@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (smoke, sf0.001).
+``queries()`` — every implemented operator from SURVEY.md §2 as
+``(spark, sf_dir) -> DataFrame`` callables.
+``oracle_sql()`` — matching DuckDB SQL for the hash-match gate.
+
+Implementation lives in ``vector_db_core_spark/``; this module is a
+thin adapter over its query registry.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference's two core reads in one plan — ordinal range scan
+    (`pullx`, dynamic_vector_manage_service.rs:332-359) + count (`len`,
+    :72-79) — generalized to a grouped aggregate over the events log:
+    pushed-down rowid range predicate, exact-decimal sums.
+    """
+    from pyspark.sql import functions as F
+
+    from vector_db_core_spark.functions.exact import dsum
+    from vector_db_core_spark.sources import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    return (
+        events.where(F.col("event_id").between(0, 799))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from vector_db_core_spark.operators import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vector_db_core_spark.operators import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,40 @@
+"""The local replica of the driver's t2 gate: every registered query
+with an oracle must match DuckDB on the sf0.01 tables exactly
+(names + row count + order-insensitive values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tests.oracle_util import compare_spark_duck
+
+
+def _pairs():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    return sorted(o.keys()), q, o
+
+
+def test_every_oracle_has_query():
+    names, q, o = _pairs()
+    missing = [n for n in names if n not in q]
+    assert not missing, f"oracle_sql entries without queries(): {missing}"
+
+
+@pytest.mark.parametrize("name", _pairs()[0])
+def test_oracle_match(name, spark, duck):
+    _, queries, oracles = _pairs()
+    df = queries[name](spark, SF_ORACLE)
+    rel = duck.sql(oracles[name])
+    problems = compare_spark_duck(df, rel)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,100 @@
+"""OrdinalStore round-trips — the new-engine versions of the
+reference's save/load assertions (sample_data_test.rs:79-108,
+dynamic_vector_manage_service.rs:362-518)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from vector_db_core_spark.store import OrdinalStore, with_dense_rowid
+
+SCHEMA = (
+    "my_number1 INT, my_string1 STRING, my_number2 INT, "
+    "my_boolean1 BOOLEAN, my_string2 STRING"
+)
+
+
+def sample_rows(n, start=0):
+    """SampleData generator from FIXTURES.md §1 (sample_data_test.rs:84-93)."""
+    return [
+        Row(
+            my_number1=i,
+            my_string1=f"Hello, World! 你好世界 {i}",
+            my_number2=i * 10,
+            my_boolean1=i % 2 == 0,
+            my_string2=f"This is another longer string. {i}",
+        )
+        for i in range(start, start + n)
+    ]
+
+
+def test_dense_rowid_is_dense_and_stable(spark):
+    df = spark.range(0, 10_000, 1, 8).select(F.col("id").alias("payload"))
+    out = with_dense_rowid(df, start=0)
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rowid").alias("n_distinct"),
+        F.min("rowid").alias("lo"),
+        F.max("rowid").alias("hi"),
+    ).collect()[0]
+    assert stats.n == 10_000
+    assert stats.n_distinct == 10_000  # dense ⇒ no collisions
+    assert stats.lo == 0
+    assert stats.hi == 9_999
+
+
+def test_push_pull_roundtrip(spark, tmp_path):
+    store = OrdinalStore(spark, str(tmp_path / "s1"))
+    assert store.is_empty()
+    store.pushx(spark.createDataFrame(sample_rows(1000), schema=SCHEMA))
+    assert store.count() == 1000
+    assert not store.is_empty()
+
+    row = store.pull_row(999)  # reference asserts objs[COUNT-1].id == COUNT-1
+    assert row.my_number1 == 999
+    assert row.my_string1.endswith("你好世界 999")
+    assert row.my_number2 == 9990
+    assert row.my_boolean1 is False
+
+    rng = store.pullx(100, 50).collect()
+    assert [r.rowid for r in rng] == list(range(100, 150))
+    assert [r.my_number1 for r in rng] == list(range(100, 150))
+
+
+def test_append_continues_ordinals(spark, tmp_path):
+    """Two-phase append-read-append-read
+    (cache_engine_performance_test.rs:227-264)."""
+    store = OrdinalStore(spark, str(tmp_path / "s2"))
+    first = store.pushx(spark.createDataFrame(sample_rows(500), schema=SCHEMA))
+    assert first == 0
+    second = store.pushx(spark.createDataFrame(sample_rows(500, start=500), schema=SCHEMA))
+    assert second == 500
+    assert store.count() == 1000
+    # ordinals stay dense across appends and payload follows ordinal
+    all_rows = store.getall().select("rowid", "my_number1").collect()
+    assert [r.rowid for r in all_rows] == list(range(1000))
+    assert all(r.rowid == r.my_number1 for r in all_rows)
+
+
+def test_bounds_semantics(spark, tmp_path):
+    store = OrdinalStore(spark, str(tmp_path / "s3"))
+    store.pushx(spark.createDataFrame(sample_rows(10), schema=SCHEMA))
+    # get/getx → None out of bounds (vector_engine.rs:33-46)
+    assert store.get(10) is None
+    assert store.getx(5, 6) is None
+    assert store.getx(0, 10) is not None
+    # pull/pullx → raise like the reference's panic
+    import pytest
+
+    with pytest.raises(IndexError):
+        store.pull(10)
+    with pytest.raises(IndexError):
+        store.pullx(8, 3)
+
+
+def test_push_single(spark, tmp_path):
+    store = OrdinalStore(spark, str(tmp_path / "s4"), schema=SCHEMA)
+    store.push({"my_number1": 1, "my_string1": "a", "my_number2": 10, "my_boolean1": True, "my_string2": None})
+    assert store.count() == 1
+    assert store.pull_row(0).my_string2 is None

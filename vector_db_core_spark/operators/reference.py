@@ -1,0 +1,82 @@
+"""Reference-surface operators (SURVEY.md §2.1, rows E1-E9/S1-S2).
+
+The reference's entire query surface is ordinal-addressed retrieval:
+``pull(i)`` / ``pullx(i, n)`` / ``len()`` / ``getall()``
+(/root/reference/src/vector_engine.rs:10-54). The ``events`` fixture
+plays the append log: its ``event_id`` is the dense 0-based insertion
+ordinal (verified dense 0..N-1), i.e. exactly the ``rowid`` an
+``OrdinalStore`` materializes at ingest (store.py).
+
+Each operator here is the *query-side* mapping; the write-side
+(push/pushx with rowid assignment) is exercised by tests/test_store.py
+against temp parquet stores, since the fixtures are read-only.
+
+Scale notes: point and range reads are single pushed-down predicates
+on the ordinal column — with sort-on-write row groups, Parquet min/max
+stats prune to the few overlapping row groups, the Spark analog of the
+reference's O(1) offset arithmetic
+(dynamic_vector_manage_service.rs:226-242,332-359). No shuffle in any
+of these plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_core_spark.operators.registry import register
+from vector_db_core_spark.sources import load_table
+
+
+@register(
+    "ref_pull_point",
+    oracle="SELECT * FROM events WHERE event_id = 4242",
+)
+def ref_pull_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E7 `pull`/`get`: point read by ordinal → pushed-down equality."""
+    return load_table(spark, sf_dir, "events").where(F.col("event_id") == 4242)
+
+
+@register(
+    "ref_pullx_range",
+    oracle="SELECT * FROM events WHERE event_id BETWEEN 1000 AND 1499",
+)
+def ref_pullx_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E8 `pullx`/`getx`: contiguous range read → pushed-down BETWEEN."""
+    return load_table(spark, sf_dir, "events").where(F.col("event_id").between(1000, 1499))
+
+
+@register(
+    "ref_len",
+    oracle="SELECT COUNT(*) AS len FROM events",
+)
+def ref_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 `len`: record count — metadata-only against Parquet footers."""
+    return load_table(spark, sf_dir, "events").agg(F.count("*").alias("len"))
+
+
+@register(
+    "ref_is_empty",
+    oracle="SELECT COUNT(*) = 0 AS is_empty FROM events",
+)
+def ref_is_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 `is_empty` = len()==0 (vector_engine.rs:30-32)."""
+    return load_table(spark, sf_dir, "events").agg((F.count("*") == 0).alias("is_empty"))
+
+
+@register(
+    "ref_getall",
+    oracle="SELECT * FROM events",
+)
+def ref_getall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 `getall`: full scan (vector_engine.rs:47-53)."""
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "ref_out_of_bounds",
+    oracle="SELECT * FROM events WHERE event_id = 999999999",
+)
+def ref_out_of_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 `get` past the end: empty result, not a panic (vector_engine.rs:33-39)."""
+    return load_table(spark, sf_dir, "events").where(F.col("event_id") == 999999999)

@@ -1,0 +1,93 @@
+"""Table loaders for the driver-generated parquet fixtures.
+
+The testdata layout is one parquet file per table under an sf dir
+(``/root/testdata/sf{0.001,0.01,0.1}/<name>.parquet`` — TESTDATA.md).
+Everything is loaded with ``spark.read.parquet`` so Catalyst gets
+predicate pushdown / column pruning / row-group pruning for free.
+
+Beyond parquet, ``read_any`` exposes the CSV/JSON ingest surface
+([EXT] — the reference only reads its own binary files,
+``/root/reference/src/services/file_access_service.rs:24-38``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: All driver-provided tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor —
+#: region is 5 rows and nation 25 at every TPC-H SF by spec.
+BROADCASTABLE = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+#: columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+#: reader rejects outright (PARQUET_TYPE_ILLEGAL). We read them as the
+#: raw nanos long (legacy conf) and rebuild a microsecond timestamp with
+#: integer `div` truncation — the same ns→µs truncation DuckDB applies,
+#: so oracle comparisons stay bit-identical.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Defensive session hygiene for externally-created sessions (the
+    # driver hands us its own SparkSession): timestamps must be UTC to
+    # mean the same thing as the oracle's UTC-naive values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options) -> DataFrame:
+    """Generic ingest: parquet (default), csv, json, orc.
+
+    Schemas should be passed explicitly in production ingest (schema
+    inference is a full extra pass at 100 TB); the reference is equally
+    fail-fast — bincode decodes against a compile-time struct
+    (/root/reference/src/vector_engine.rs:10-18).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path)

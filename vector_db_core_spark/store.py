@@ -1,0 +1,214 @@
+"""OrdinalStore — the reference's record-store semantics on Spark.
+
+The reference (`tianzeshi-study/vector-db-core`) is an embedded,
+append-only record store addressed by dense 0-based insertion ordinal;
+its whole public API is the ``VectorEngine<T>`` trait
+(/root/reference/src/vector_engine.rs:10-54):
+
+    push / pushx      append one / many
+    pull / pullx      point / contiguous-range read by ordinal
+    len / is_empty    record count
+    get / getx        bounds-checked pull/pullx (Option)
+    getall            full scan
+
+Here a store is **one Parquet dataset** with a materialized
+``rowid BIGINT`` column. The two reference layouts (fixed-slot
+"static" vs offset-indexed "dynamic",
+static_vector_manage_service.rs / dynamic_vector_manage_service.rs)
+are a storage-encoding detail subsumed by Parquet's encodings, so one
+store class covers both (SURVEY.md §1.2, §1.5).
+
+Scale design
+------------
+* **Dense rowid without a global shuffle.**
+  ``monotonically_increasing_id()`` encodes ``(partition_id << 33) +
+  record_position`` where record_position is consecutive from 0 within
+  each partition. One tiny aggregate collects per-partition counts
+  (K rows for K partitions — bytes, not data), the driver prefix-sums
+  them into partition start offsets, and a broadcast join + arithmetic
+  yields a dense, batch-stable ordinal. No window over a single
+  partition, no zipWithIndex RDD round-trip, no shuffle of the data.
+* **Point/range reads prune, not scan.** Batches are written sorted by
+  rowid (sortWithinPartitions after a range repartition for large
+  batches), so Parquet row-group min/max statistics answer
+  ``rowid = i`` / ``rowid BETWEEN a AND b`` by reading only the
+  overlapping row groups — the Spark analog of the reference's
+  O(1) slot arithmetic (dynamic_vector_manage_service.rs:226-242).
+* **count() without a data scan.** Parquet footers carry row counts, so
+  ``count()`` on a plain scan is metadata-only; we additionally keep a
+  tiny ``_meta.json`` with the committed length (the analog of the
+  reference's 8-byte persisted length header,
+  dynamic_vector_manage_service.rs:24,72-79).
+
+Consistency: visibility is committed-batch (Spark's commit protocol),
+deliberately *stronger* than the reference, which bumps its length
+header before data lands and so can expose phantom ordinals
+(dynamic_vector_manage_service.rs:291-302; SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+_PARTITION_MASK = (1 << 33) - 1  # low 33 bits of monotonically_increasing_id
+
+ROWID = "rowid"
+
+
+def with_dense_rowid(df: DataFrame, start: int = 0, rowid_col: str = ROWID) -> DataFrame:
+    """Assign a dense ``start``-based ordinal to every row, shuffle-free.
+
+    Uses the documented bit layout of ``monotonically_increasing_id``:
+    partition id in the high bits, a consecutive 0-based record number
+    in the low 33 bits. Per-partition counts are collected (K tiny
+    rows), prefix-summed on the driver, and broadcast back — the data
+    itself never shuffles and never funnels through one partition.
+
+    The input must be deterministically partitioned between the count
+    action and downstream use (true for file scans and cached frames;
+    callers with non-deterministic sources should persist first).
+    """
+    tagged = df.withColumn("_mid", F.monotonically_increasing_id())
+    pid = F.shiftright(F.col("_mid"), 33).alias("_pid")
+    counts = tagged.select(pid).groupBy("_pid").count().collect()
+    offsets = []
+    acc = start
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(offsets, schema="_pid LONG, _offset LONG")
+    return (
+        tagged.withColumn("_pid", F.shiftright(F.col("_mid"), 33))
+        .join(F.broadcast(offsets_df), "_pid")
+        .withColumn(rowid_col, F.col("_offset") + (F.col("_mid").bitwiseAND(_PARTITION_MASK)))
+        .drop("_mid", "_pid", "_offset")
+    )
+
+
+class OrdinalStore:
+    """Append-only, ordinal-addressed table — the ``VectorEngine`` façade.
+
+    API parity (reference method → here):
+      push→push, pushx→pushx, pull→pull, pullx→pullx, len→count,
+      is_empty→is_empty, get→get, getx→getx, getall→getall.
+    ``pull``/``pullx`` return DataFrames (the relational analog of a
+    deserialized struct); ``pull_row`` returns one Row for the strict
+    point-read semantic. Out-of-range reads raise IndexError like the
+    reference's panic (vector_engine.rs:62, bounds logic :33-46).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, schema=None):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self._meta_path = os.path.join(path, "_meta.json")
+
+    # -- length header ------------------------------------------------
+    def _read_meta(self) -> int | None:
+        try:
+            with open(self._meta_path) as f:
+                return int(json.load(f)["length"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _write_meta(self, length: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._meta_path, "w") as f:
+            json.dump({"length": length}, f)
+
+    def count(self) -> int:
+        """Record count — the reference's `len` (vector_engine.rs:92-94).
+
+        Prefers the persisted meta header (O(1), like the reference's
+        8-byte header read); falls back to a Parquet metadata count.
+        """
+        meta = self._read_meta()
+        if meta is not None:
+            return meta
+        try:
+            return self._df().count()  # metadata-only for a bare scan
+        except Exception:
+            return 0
+
+    def is_empty(self) -> bool:
+        return self.count() == 0
+
+    # -- writes -------------------------------------------------------
+    def _df(self) -> DataFrame:
+        # the stored dataset carries payload + rowid; parquet footers
+        # are authoritative (self.schema describes only the payload and
+        # is used when coercing python rows in pushx)
+        return self.spark.read.parquet(self.path)
+
+    def pushx(self, batch: DataFrame | Sequence[Row] | Iterable[dict]) -> int:
+        """Bulk append; returns the first ordinal assigned.
+
+        The Spark analog of `save_bulk`'s reserve-ordinals → one blob
+        write → one index write pipeline
+        (dynamic_vector_manage_service.rs:290-330): rowids are assigned
+        shuffle-free, the batch is sorted within partitions by rowid so
+        row-group stats stay pruning-friendly, and one atomic
+        parquet append commits it.
+        """
+        if not isinstance(batch, DataFrame):
+            batch = self.spark.createDataFrame(list(batch), schema=self.schema)
+        start = self.count()
+        out = with_dense_rowid(batch, start=start)
+        out.sortWithinPartitions(ROWID).write.mode("append").parquet(self.path)
+        written = out.count()
+        self._write_meta(start + written)
+        return start
+
+    def push(self, row: Row | dict) -> int:
+        """Append one record (degenerate pushx — vector_engine.rs:79-81)."""
+        return self.pushx([row])
+
+    # -- reads --------------------------------------------------------
+    def pullx(self, index: int, count: int) -> DataFrame:
+        """Contiguous range read by ordinal (reference `pullx`).
+
+        A rowid BETWEEN predicate pushed into the Parquet scan; with
+        sorted-on-write row groups this touches only the overlapping
+        groups — the analog of the reference's single spanning blob
+        read (dynamic_vector_manage_service.rs:332-359).
+        """
+        n = self.count()
+        if index < 0 or count < 0 or index + count > n:
+            raise IndexError(f"range [{index}, {index + count}) out of bounds for length {n}")
+        return self._df().where(F.col(ROWID).between(index, index + count - 1)).orderBy(ROWID)
+
+    def pull(self, index: int) -> DataFrame:
+        """Point read by ordinal (reference `pull`)."""
+        n = self.count()
+        if index < 0 or index >= n:
+            raise IndexError(f"index {index} out of bounds for length {n}")
+        return self._df().where(F.col(ROWID) == index)
+
+    def pull_row(self, index: int) -> Row:
+        rows = self.pull(index).collect()
+        if not rows:
+            raise IndexError(f"index {index} not found (store corrupt or concurrent write)")
+        return rows[0]
+
+    def get(self, index: int) -> DataFrame | None:
+        """Bounds-checked pull → None instead of raising (vector_engine.rs:33-39)."""
+        try:
+            return self.pull(index)
+        except IndexError:
+            return None
+
+    def getx(self, index: int, count: int) -> DataFrame | None:
+        try:
+            return self.pullx(index, count)
+        except IndexError:
+            return None
+
+    def getall(self) -> DataFrame:
+        """Full scan in ordinal order (vector_engine.rs:47-53)."""
+        return self._df().orderBy(ROWID)
