@@ -1,9 +1,18 @@
 from __future__ import annotations
 
+import os
 import sys
+import time
 from pathlib import Path
 
 import pytest
+
+# Pin the process timezone to UTC before Spark or DuckDB start:
+# PySpark collect() materializes timestamps in the OS-local zone while
+# DuckDB returns UTC-naive values, so comparisons are only meaningful
+# when the host zone is UTC — make that explicit instead of assumed.
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))

@@ -93,6 +93,51 @@ def test_bounds_semantics(spark, tmp_path):
         store.pullx(8, 3)
 
 
+def test_crash_consistency_stale_meta(spark, tmp_path):
+    """A crash between the parquet commit and the meta rename leaves a
+    stale-low header; count() must reconcile against the footers (max)
+    so the next pushx does NOT reuse ordinals."""
+    import json
+
+    path = str(tmp_path / "s5")
+    store = OrdinalStore(spark, path)
+    store.pushx(spark.createDataFrame(sample_rows(100), schema=SCHEMA))
+    # simulate the crash window: roll the header back
+    with open(store._meta_path, "w") as f:
+        json.dump({"length": 40}, f)
+    reopened = OrdinalStore(spark, path)  # fresh instance, like a restart
+    assert reopened.count() == 100  # footer wins over stale meta
+    # header was repaired in place
+    with open(store._meta_path) as f:
+        assert json.load(f)["length"] == 100
+    start = reopened.pushx(spark.createDataFrame(sample_rows(10, start=100), schema=SCHEMA))
+    assert start == 100  # no ordinal reuse
+    ids = reopened.getall().select("rowid").agg(
+        F.countDistinct("rowid").alias("d"), F.max("rowid").alias("m")
+    ).collect()[0]
+    assert ids.d == 110 and ids.m == 109  # still dense, no duplicates
+
+
+def test_pushx_nondeterministic_source_stays_dense(spark, tmp_path):
+    """pushx persists the tagged batch, so even a non-deterministically
+    partitioned input (repartition over random keys) gets dense ordinals."""
+    store = OrdinalStore(spark, str(tmp_path / "s6"))
+    df = (
+        spark.createDataFrame(sample_rows(2000), schema=SCHEMA)
+        .withColumn("_r", F.rand(seed=7))
+        .repartition(16, "_r")
+        .drop("_r")
+    )
+    store.pushx(df)
+    stats = store.getall(ordered=False).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rowid").alias("d"),
+        F.min("rowid").alias("lo"),
+        F.max("rowid").alias("hi"),
+    ).collect()[0]
+    assert (stats.n, stats.d, stats.lo, stats.hi) == (2000, 2000, 0, 1999)
+
+
 def test_push_single(spark, tmp_path):
     store = OrdinalStore(spark, str(tmp_path / "s4"), schema=SCHEMA)
     store.push({"my_number1": 1, "my_string1": "a", "my_number2": 10, "my_boolean1": True, "my_string2": None})

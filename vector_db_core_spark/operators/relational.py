@@ -224,14 +224,45 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit broadcast-hash join: dim `part` ships to executors, the
-    lineitem fact never shuffles for the join (only for the 25-group agg)."""
+    """Fact-dim join sized by the optimizer, not by hand.
+
+    `part` is SF-scaled (~200k rows x SF) — an explicit broadcast hint
+    here would OOM executors at the 100 TB design point, so the join is
+    left to AQE: below autoBroadcastJoinThreshold it becomes a
+    broadcast-hash join at runtime, above it a shuffle join with skew
+    splitting. Only the 2 needed part columns are scanned (pruning).
+    The genuinely-always-broadcastable dims are region/nation — see
+    `join_broadcast_nation_volume`."""
     li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_items"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "join_broadcast_nation_volume",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join on a dim that is bounded at ANY
+    scale factor (nation = 25 rows by TPC-H spec, loaders.BROADCASTABLE):
+    the supplier fact never shuffles for the join, only for the
+    25-group aggregate."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_suppliers"), dsum("s_acctbal", "total_acctbal"))
     )
 
 
@@ -341,17 +372,22 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_rank_dense_rank",
     oracle="""
-    SELECT o_orderkey, o_orderpriority,
-           CAST(RANK()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS price_rank,
-           CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS price_dense_rank
+    SELECT o_orderkey, o_custkey,
+           CAST(RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS price_dense_rank
     FROM orders
     """,
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    """rank/dense_rank partitioned by a HIGH-cardinality key
+    (o_custkey scales with SF), so window parallelism scales with the
+    data instead of capping at the handful of distinct values a
+    low-card key like o_orderpriority would give (each of its 5
+    partitions would sort millions of rows at 100 TB)."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        "o_orderpriority",
+        "o_custkey",
         F.rank().over(w).alias("price_rank"),
         F.dense_rank().over(w).alias("price_dense_rank"),
     )

@@ -1,3 +1,10 @@
-from vector_db_core_spark.sources.loaders import TABLES, load_table, load_all, register_views
+from vector_db_core_spark.sources.loaders import (
+    TABLES,
+    init_session,
+    load_all,
+    load_table,
+    read_any,
+    register_views,
+)
 
-__all__ = ["TABLES", "load_table", "load_all", "register_views"]
+__all__ = ["TABLES", "init_session", "load_table", "load_all", "read_any", "register_views"]

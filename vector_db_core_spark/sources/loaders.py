@@ -50,17 +50,28 @@ def table_path(sf_dir: str, name: str) -> str:
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+def init_session(spark: SparkSession) -> SparkSession:
+    """One-time session conf for externally-created sessions.
+
+    The driver hands us its own plain SparkSession, so the engine's
+    invariants are applied here, explicitly and once (idempotent):
+    UTC timestamps (so values mean the same thing as the oracle's
+    UTC-naive values) and nanos-as-long parquet reads (the events.ts
+    column is TIMESTAMP(NANOS), which the vectorized reader rejects).
+    """
+    if not spark.conf.get("spark.vector_db_core.initialized", None):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.vector_db_core.initialized", "true")
+    return spark
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # Defensive session hygiene for externally-created sessions (the
-    # driver hands us its own SparkSession): timestamps must be UTC to
-    # mean the same thing as the oracle's UTC-naive values.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    init_session(spark)
     nanos_cols = _NANOS_TS_COLS.get(name, ())
-    if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -50,14 +50,42 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+from pyspark.storagelevel import StorageLevel
 
 _PARTITION_MASK = (1 << 33) - 1  # low 33 bits of monotonically_increasing_id
 
 ROWID = "rowid"
+
+
+def _dense_rowid_frame(tagged: DataFrame, start: int) -> tuple[DataFrame, int]:
+    """Core rowid assignment over an already-``_mid``-tagged frame.
+
+    Returns ``(frame_with_rowid, total_rows)`` — the total comes from
+    the same per-partition counts used for the prefix sum, so callers
+    never need a second counting job over the data.
+    """
+    pid = F.shiftright(F.col("_mid"), 33).alias("_pid")
+    counts = tagged.select(pid).groupBy("_pid").count().collect()
+    offsets = []
+    acc = start
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    spark = tagged.sparkSession
+    offsets_df = spark.createDataFrame(offsets, schema="_pid LONG, _offset LONG")
+    out = (
+        tagged.withColumn("_pid", F.shiftright(F.col("_mid"), 33))
+        .join(F.broadcast(offsets_df), "_pid")
+        .withColumn(ROWID, F.col("_offset") + (F.col("_mid").bitwiseAND(_PARTITION_MASK)))
+        .drop("_mid", "_pid", "_offset")
+    )
+    return out, acc - start
 
 
 def with_dense_rowid(df: DataFrame, start: int = 0, rowid_col: str = ROWID) -> DataFrame:
@@ -70,25 +98,17 @@ def with_dense_rowid(df: DataFrame, start: int = 0, rowid_col: str = ROWID) -> D
     itself never shuffles and never funnels through one partition.
 
     The input must be deterministically partitioned between the count
-    action and downstream use (true for file scans and cached frames;
-    callers with non-deterministic sources should persist first).
+    action and downstream use (true for file scans and cached frames).
+    Callers with non-deterministic sources must persist first —
+    ``OrdinalStore.pushx`` does exactly that, and additionally verifies
+    the written count against the collected counts so any drift fails
+    loudly instead of silently corrupting the ordinal invariant.
     """
     tagged = df.withColumn("_mid", F.monotonically_increasing_id())
-    pid = F.shiftright(F.col("_mid"), 33).alias("_pid")
-    counts = tagged.select(pid).groupBy("_pid").count().collect()
-    offsets = []
-    acc = start
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], acc))
-        acc += row["count"]
-    spark = df.sparkSession
-    offsets_df = spark.createDataFrame(offsets, schema="_pid LONG, _offset LONG")
-    return (
-        tagged.withColumn("_pid", F.shiftright(F.col("_mid"), 33))
-        .join(F.broadcast(offsets_df), "_pid")
-        .withColumn(rowid_col, F.col("_offset") + (F.col("_mid").bitwiseAND(_PARTITION_MASK)))
-        .drop("_mid", "_pid", "_offset")
-    )
+    out, _ = _dense_rowid_frame(tagged, start)
+    if rowid_col != ROWID:
+        out = out.withColumnRenamed(ROWID, rowid_col)
+    return out
 
 
 class OrdinalStore:
@@ -108,6 +128,10 @@ class OrdinalStore:
         self.path = path
         self.schema = schema
         self._meta_path = os.path.join(path, "_meta.json")
+        # one meta-vs-footer reconciliation per instance (repaired on
+        # first count(), refreshed after every write through this
+        # instance); crash repair still happens on reopen
+        self._reconciled = False
 
     # -- length header ------------------------------------------------
     def _read_meta(self) -> int | None:
@@ -118,23 +142,63 @@ class OrdinalStore:
             return None
 
     def _write_meta(self, length: int) -> None:
+        """Atomic header update: temp file + rename in the same dir.
+
+        A crash can no longer leave a half-written header; a crash
+        *between* the parquet commit and this rename leaves a stale
+        (too-small) length, which ``count()`` repairs by reconciling
+        against the parquet footers (taking the max) — so committed
+        rows are never hidden and ordinals are never reused.
+        """
         os.makedirs(self.path, exist_ok=True)
-        with open(self._meta_path, "w") as f:
-            json.dump({"length": length}, f)
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_meta.", suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"length": length}, f)
+            os.replace(tmp, self._meta_path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    def _footer_count(self) -> int | None:
+        """Row count from parquet footers (metadata-only job); None if
+        the dataset doesn't exist yet. Only the missing-path error is
+        swallowed — a transient read failure propagates rather than
+        silently restarting ordinals at 0 over existing data."""
+        try:
+            return self._df().count()
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return None
+            raise
 
     def count(self) -> int:
         """Record count — the reference's `len` (vector_engine.rs:92-94).
 
-        Prefers the persisted meta header (O(1), like the reference's
-        8-byte header read); falls back to a Parquet metadata count.
+        The meta header is the analog of the reference's 8-byte length
+        header (dynamic_vector_manage_service.rs:72-79) but is written
+        *after* the data commits, so on any crash window it can only be
+        stale-low; reconciling with the footer count (max) yields the
+        committed length. Concurrent writers are not supported (the
+        reference serializes writers on an in-process mutex; across
+        processes neither engine guards this).
         """
         meta = self._read_meta()
-        if meta is not None:
-            return meta
-        try:
-            return self._df().count()  # metadata-only for a bare scan
-        except Exception:
+        if meta is not None and self._reconciled:
+            return meta  # O(1) header read, like the reference
+        footer = self._footer_count()
+        self._reconciled = True
+        if meta is None and footer is None:
             return 0
+        if footer is None:
+            return meta
+        if meta is None or footer > meta:
+            self._write_meta(footer)  # repair the stale/missing header
+            return footer
+        return meta
 
     def is_empty(self) -> bool:
         return self.count() == 0
@@ -159,10 +223,21 @@ class OrdinalStore:
         if not isinstance(batch, DataFrame):
             batch = self.spark.createDataFrame(list(batch), schema=self.schema)
         start = self.count()
-        out = with_dense_rowid(batch, start=start)
-        out.sortWithinPartitions(ROWID).write.mode("append").parquet(self.path)
-        written = out.count()
+        # Persist the tagged frame so the counts action and the write
+        # see the SAME partitioning even for non-deterministic sources
+        # (shuffles, sampled/rand inputs) — without this, drift between
+        # the two evaluations could assign non-dense or duplicate
+        # ordinals silently.
+        tagged = batch.withColumn("_mid", F.monotonically_increasing_id()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            out, written = _dense_rowid_frame(tagged, start)
+            out.sortWithinPartitions(ROWID).write.mode("append").parquet(self.path)
+        finally:
+            tagged.unpersist()
         self._write_meta(start + written)
+        self._reconciled = True
         return start
 
     def push(self, row: Row | dict) -> int:
@@ -209,6 +284,16 @@ class OrdinalStore:
         except IndexError:
             return None
 
-    def getall(self) -> DataFrame:
-        """Full scan in ordinal order (vector_engine.rs:47-53)."""
-        return self._df().orderBy(ROWID)
+    def getall(self, ordered: bool = True) -> DataFrame:
+        """Full scan (vector_engine.rs:47-53).
+
+        ``ordered=True`` honors the reference's insertion-order
+        contract with a global sort on rowid — at very large scale
+        that is a full-data shuffle, so callers that don't need a
+        globally-ordered *stream* (most analytics: joins, aggs,
+        dedup) should pass ``ordered=False`` and keep the scan
+        shuffle-free; files are already sorted by rowid internally
+        (sortWithinPartitions on write), so per-file order is free.
+        """
+        df = self._df()
+        return df.orderBy(ROWID) if ordered else df
