@@ -37,3 +37,41 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hyperplane_bucket(v: Column | str, planes: int = 8) -> Column:
+    """Sign-random-projection LSH bucket id in ``[0, 2^planes)``.
+
+    Plane ``p`` is a deterministic ±1 vector derived from
+    ``xxhash64(p, dim_index)`` parity — no stored projection matrix,
+    every executor recomputes it from nothing, so the bucketing is
+    reproducible across jobs and clusters. Bit ``p`` of the bucket is
+    the sign of ``v · plane_p``. Cosine-similar vectors land in the
+    same bucket with probability ``(1 - θ/π)^planes``, so candidate
+    search touches one bucket (plus optional neighbors) instead of the
+    whole corpus — the ANN scale path; exact cosine re-ranks within
+    the bucket.
+    """
+    vv = _d(v)
+    out = F.lit(0).cast("long")
+
+    def _component(plane: int):
+        # closure factory — a defaulted lambda arg would change the
+        # lambda's arity for PySpark's higher-order-function dispatch
+        return lambda x, i: x * (
+            F.xxhash64(F.lit(plane), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("double")
+
+    for p in range(planes):
+        # ±1 component for (plane p, dim i) from hash parity
+        proj = F.aggregate(
+            F.zip_with(vv, F.sequence(F.lit(0), F.size(vv) - 1), _component(p)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        out = out.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out

@@ -1,0 +1,692 @@
+"""LLM-data-pipeline operators [EXT] over ``documents``/``embeddings``.
+
+The north-star surface (BASELINE.json ``north_star``): deduplication
+(exact, canonical, MinHash-LSH, SimHash, n-gram Jaccard), similarity
+search (exact cosine top-k + LSH-bucketed ANN), text analysis
+(token/doc stats, quality scoring, language heuristic, fingerprinting)
+and multimodal columns. The reference computes nothing over its stored
+payloads (SURVEY.md §2.2) — this whole module is new design.
+
+Everything stays JVM-side (higher-order functions: transform /
+aggregate / zip_with / filter) — zero Python UDFs in any registered
+query, so every plan is whole-stage-codegen'd and Arrow never enters
+the hot path. Oracle-checkability decisions:
+
+* cosine / jaccard / ratios: computed as the SAME sequence of IEEE
+  double ops on both engines (Spark ``F.aggregate`` left fold ==
+  DuckDB ``list_reduce`` left fold), verified bit-identical — no
+  rounding fudge needed.
+* MinHash / SimHash / hyperplane buckets hash with ``xxhash64``,
+  which DuckDB lacks → those queries register without ``oracle_sql``
+  (driver records the weaker rows-only check), EXCEPT the banded-LSH
+  dedup whose *verified* output provably equals the exact-Jaccard
+  answer (miss probability ~4e-8 at the planted similarity levels),
+  so it carries the exact oracle.
+
+Scale design is per-operator (docstrings), the cross-cutting rule:
+signatures/buckets/fingerprints are per-row map work (no shuffle);
+candidate generation shuffles only (id, band/bucket key) pairs; exact
+verification touches only candidates. All-pairs exact variants exist
+as the correctness baseline and are labeled as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vector_db_core_spark.functions.text import (
+    canonical_text,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+    token_shingles,
+    tokens,
+)
+from vector_db_core_spark.functions.vectors import (
+    cosine_similarity,
+    hyperplane_bucket,
+)
+from vector_db_core_spark.operators.registry import register
+from vector_db_core_spark.sources import load_table
+
+
+# --------------------------------------------------------------- SQL fragments
+# DuckDB mirrors of the Spark helpers. Tokens/shingles must produce the
+# exact same string sets on both engines; ratios and similarities must
+# be the same IEEE ops in the same order (list_reduce == F.aggregate).
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+_SHINGLES = f"""
+CASE WHEN len({_TOKS}) >= 3
+     THEN list_distinct(list_transform(generate_series(1, len({_TOKS}) - 2),
+                                       i -> array_to_string(({_TOKS})[i:i+2], ' ')))
+     ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+# exact all-pairs 3-gram Jaccard >= 0.5 — the oracle for BOTH the exact
+# query and the banded MinHash-LSH query (whose verified output equals
+# it up to a ~4e-8 LSH miss probability at the planted j>=0.9 levels).
+_JACCARD_PAIRS_SQL = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
+"""
+
+# left-fold dot/norm mirroring F.aggregate exactly (0.0 + x1 == x1)
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (p, q) -> p + q)"
+
+
+def _duck_norm(a: str) -> str:
+    return f"sqrt(list_reduce(list_transform({a}, x -> x * x), (p, q) -> p + q))"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return f"{_duck_dot(a, b)} / ({_duck_norm(a)} * {_duck_norm(b)})"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, s: array<string>) — distinct 3-gram shingle sets.
+
+    Pure per-row map work: at 100 TB this is a scan + project with no
+    shuffle, and the shingle arrays never leave the executor that read
+    the document.
+    """
+    return docs.select("doc_id", F.array_distinct(token_shingles("text", 3)).alias("s"))
+
+
+def _jaccard(sa, sb) -> F.Column:
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = (F.size(sa) + F.size(sb)).cast("double") - F.size(F.array_intersect(sa, sb)).cast(
+        "double"
+    )
+    return inter / union
+
+
+# ------------------------------------------------------------------ exact dedup
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100)
+    SELECT sha256(text) AS content_sha256,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest, with a deterministic survivor.
+
+    The corpus is the documents table plus a re-keyed copy of its
+    first 100 docs (the fixture texts are all distinct, so duplicates
+    are introduced by construction to make the operator observable).
+    One hash-groupBy: partial aggregation collapses duplicates
+    map-side, so the shuffle carries one row per distinct digest — at
+    100 TB this is the cheapest possible dedup (no sort, no window,
+    no self-join), and ``sha2`` beats raw-text grouping because the
+    shuffle key is 32 bytes instead of document bytes.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return (
+        docs.unionByName(dupes)
+        .groupBy(F.sha2("text", 256).alias("content_sha256"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_canonical_documents",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, upper(text) || '  ' AS text
+      FROM documents WHERE doc_id < 100)
+    SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS canon_sha256,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (near-exact) dedup: case/whitespace variants collapse.
+
+    The injected duplicates are UPPERCASED with trailing whitespace —
+    invisible to exact hashing, caught by canonicalization
+    (lower+trim+collapse, ``functions/text.canonical_text``). Same
+    single hash-groupBy shape as exact dedup; canonicalization is
+    per-row expression work that rides the scan.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return (
+        docs.unionByName(variants)
+        .groupBy(F.sha2(canonical_text("text"), 256).alias("canon_sha256"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------------------- near-dedup
+@register("dedup_ngram_jaccard_pairs", oracle=_JACCARD_PAIRS_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs — the correctness BASELINE.
+
+    All-pairs O(n²) by construction; it exists to define ground truth
+    (and the oracle) for the LSH variant below, and is only run at
+    correctness scale. At 100 TB you never run this plan — you run
+    ``dedup_minhash_lsh_pairs``, which produces the same verified
+    pairs without the quadratic join.
+    """
+    sh = _shingle_sets(_t(spark, sf_dir, "documents"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _jaccard(F.col("a.s"), F.col("b.s")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_JACCARD_PAIRS_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup detection — the 100 TB scale path.
+
+    Pipeline (shuffle budget in brackets):
+      1. shingle sets + 64-slot MinHash signatures — per-row map work
+         [no shuffle];
+      2. 16 bands x 4 rows → band keys; explode to (doc_id, band, key)
+         [shuffle of docs x 16 TINY rows, the only data movement];
+      3. self-join on (band, key) → candidate pairs, distinct
+         [shuffle of candidates only];
+      4. exact Jaccard verification on candidates — re-join the two
+         shingle sets, filter >= 0.5 [candidate-sized].
+    Detection probability at j=0.9 is 1-(1-0.9^4)^16 ≈ 1-4e-8, and
+    verification removes all false positives, so the output equals the
+    exact all-pairs answer (same oracle) without the O(n²) join.
+    Hash family is fully deterministic (xxhash64 with literal seeds) —
+    reruns and the driver see identical results.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingle_sets(docs)
+    sig = sh.select("doc_id", "s", minhash_signature(F.col("s"), 64).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", _jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@register("dedup_simhash_pairs")  # xxhash64-based → no DuckDB oracle (rows-only)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, Hamming <= 12.
+
+    Candidates come from chunk banding (pigeonhole: two fingerprints
+    within Hamming 12 of each other must agree exactly on at least one
+    of 4 16-bit chunks... at d<=12 at least one chunk has <= 3 diffs;
+    exact-agreement banding is a heuristic recall/cost trade — the
+    fixture near-dups at j>=0.9 flip few bits, so they collide), then
+    ``bit_count(xor)`` verifies the true distance. Per-row fingerprint
+    [no shuffle] + tiny (doc_id, chunk) join — same scale shape as
+    MinHash-LSH. Deterministic; registered rows-only because DuckDB
+    has no xxhash64.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", simhash64(F.array_distinct(token_shingles("text", 3))).alias("simhash")
+    )
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "val"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= 12)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- text analysis
+@register(
+    "text_stats_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, lang, n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS type_token_ratio,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — the text-quality raw signals.
+
+    Single projection over the scan (no shuffle, no UDF): token
+    counts, type-token ratio, average token length, stopword ratio.
+    Ratios are int/int divisions in double — bit-identical on any
+    engine and at any parallelism.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n.cast("double")).alias(
+            "type_token_ratio"
+        ),
+        (
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+            ).cast("double")
+            / n.cast("double")
+        ).alias("avg_token_len"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double")
+            / n.cast("double")
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+                 CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS stop_ratio
+          FROM t)
+    SELECT doc_id,
+           0.5 * ttr + 0.3 * (1.0 - stop_ratio)
+             + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score,
+           CASE WHEN 0.5 * ttr + 0.3 * (1.0 - stop_ratio)
+                     + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) >= 0.5
+                THEN 'keep' ELSE 'filter' END AS quality_bucket
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (lexical diversity + stopword balance +
+    length saturation) with a keep/filter bucket — the shape of a
+    corpus-filtering pass. Identical double arithmetic on identical
+    int inputs on both engines, so even the CASE boundary is stable.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double") / n.cast("double")
+    score = (
+        F.lit(0.5) * ttr
+        + F.lit(0.3) * (F.lit(1.0) - stop)
+        + F.lit(0.2) * F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        F.when(score >= 0.5, "keep").otherwise("filter").alias("quality_bucket"),
+    )
+
+
+@register(
+    "text_lang_profile",
+    oracle=f"""
+    WITH t AS (SELECT lang, source, n_chars, {_TOKS} AS toks FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+           SUM(CAST(len(toks) AS BIGINT)) AS total_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by language — integer-exact aggregates (counts
+    and bigint sums commute), one tiny-keyspace groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "source", "n_chars", F.size(tokens("text")).alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*").cast("double")).alias("avg_chars"),
+            F.sum(F.col("nt").cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (letter runs / digit runs / single non-alnum symbols) — the cheap
+    pre-tokenizer estimate used to budget LLM training tokens.
+    Per-row regex work on the scan; both engines run the same pattern.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+        ).alias("n_bpe_tokens"),
+        F.size(tokens("text")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(generate_series(1, length(text)),
+                                         i -> CAST(unicode(text[i]) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % 1000000007) AS rolling_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: content digest + 31-polynomial rolling
+    hash mod 1e9+7 over code points. The rolling fold is exact integer
+    arithmetic, so Spark's ``aggregate`` and DuckDB's ``list_reduce``
+    agree exactly; per-row work only."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c).cast("long")) % 1000000007,
+    )
+    return docs.select("doc_id", F.md5("text").alias("content_md5"), fp.alias("rolling_fp"))
+
+
+@register(
+    "text_lang_id_heuristic",
+    oracle=r"""
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN regexp_matches(text, '[а-яА-Я]') THEN 'ru'
+                WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+                ELSE 'en' END AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class language-ID heuristic (CJK / Cyrillic / Spanish
+    diacritics / default-Latin) next to the fixture's label. A real
+    pipeline would use char-n-gram profiles; the operator shape — one
+    per-row CASE over regexes, no shuffle — is the same."""
+    docs = _t(spark, sf_dir, "documents")
+    guess = (
+        F.when(F.col("text").rlike(r"[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[а-яА-Я]"), "ru")
+        .when(F.col("text").rlike("[áéíóúñ¿¡]"), "es")
+        .otherwise("en")
+    )
+    return docs.select("doc_id", F.col("lang").alias("lang_label"), guess.alias("lang_guess"))
+
+
+# ----------------------------------------------------------- similarity search
+_COS_AB = _duck_cosine("a.v", "b.v")
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_AB} AS cosine_sim
+          FROM e a JOIN e b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 10),
+    r AS (SELECT query_id, neighbor_id, cosine_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+          FROM p)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM r WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k — the ANN baseline.
+
+    The query set (10 vectors) is broadcast, so scoring is a map-only
+    pass over the corpus: each candidate partition scores 10xN pairs
+    locally with codegen'd ``zip_with``/``aggregate`` folds. Top-k is
+    TWO-PHASE: a local rank per (query, input partition) keeps <= k
+    rows per partition before the only shuffle, then the global rank
+    runs over <= k * n_partitions survivors — per-query data never
+    concentrates on one node, which is what makes this plan survive a
+    100 TB corpus (a single window over all pairs would funnel every
+    query's N rows through one task).
+    """
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cosine_sim"),
+        )
+    )
+    local = W.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    final = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("lrank", F.row_number().over(local))
+        .where(F.col("lrank") <= 5)
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= 5)
+        .drop("lrank")
+    )
+
+
+@register(
+    "sim_embedding_near_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_AB} AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= 0.35
+    """,
+)
+def sim_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.35), exact all-pairs
+    — the correctness baseline for embedding-space dedup, run at
+    correctness scale only (like ``dedup_ngram_jaccard_pairs``; the
+    scale path is ``sim_ann_lsh_topk``'s bucketed candidates)."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cs = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cs.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.35)
+    )
+
+
+@register("sim_ann_lsh_topk")  # xxhash64-derived planes → rows-only check
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-random-projection buckets — the scale
+    path. Every vector gets a 6-bit hyperplane bucket (per-row map
+    work, deterministic planes from hash parity); queries only score
+    candidates in THEIR bucket, so scored pairs drop from N*Q to
+    ~N*Q/64, and the bucket join is an equi-join AQE handles. Exact
+    cosine re-ranks within the bucket (approximation = recall loss
+    only, never wrong scores). Deterministic; no oracle because the
+    planes derive from xxhash64. Recall vs the exact baseline is
+    asserted in tests/test_llm.py."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bucket", hyperplane_bucket(F.col("v"), planes=6))
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ------------------------------------------------------------------- multimodal
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: payloads as ``binary`` with typed
+    metadata (size, digest) computed JVM-side. The fixture has no real
+    image/audio bytes, so the UTF-8 encoding of the text plays the
+    payload; the schema/partitioning story is identical for real
+    media. Decode/feature-extraction (the part that needs
+    image/audio libs) lives in ``functions/multimodal.py`` as
+    Arrow-batched ``mapInPandas`` plumbing with a stubbed decoder,
+    exercised in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+@register(
+    "multimodal_doc_embedding_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+    SELECT d.doc_id, d.lang, e.label,
+           CAST(len(e.v) AS INT) AS emb_dim,
+           {_duck_norm("e.v")} AS emb_norm
+    FROM documents d JOIN e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A multimodal record = text row + embedding column in one frame:
+    equi-join documents to embeddings (same key space), carrying the
+    ``array<float>`` column with typed metadata beside text fields.
+    At scale both sides shuffle on the key once (or co-located
+    bucketing removes even that); the norm is a per-row fold."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    from vector_db_core_spark.functions.vectors import l2_norm
+
+    return (
+        docs.join(e, docs.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "label",
+            F.size(F.col("v")).alias("emb_dim"),
+            l2_norm(F.col("v")).alias("emb_norm"),
+        )
+    )
