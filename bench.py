@@ -1,0 +1,146 @@
+"""Bench harness — one JSON line on stdout, everything else on stderr.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the two
+reference-defined store workloads (BASELINE.md §A):
+
+  W1  bulk append of 1,000,000 SampleData records to an OrdinalStore
+      (reproducing /root/reference/tests/tests/sample_data_test.rs:79-98)
+  W2  contiguous ordinal range read of the same 1,000,000 records
+      (sample_data_test.rs:99-107)
+
+Headline queries exclude the all-pairs O(n²) correctness baselines
+(`dedup_ngram_jaccard_pairs`, `sim_embedding_near_pairs`) — at bench
+scale you run their scale-path variants (`dedup_minhash_lsh_pairs`,
+`sim_ann_lsh_topk`), exactly as you would at 100 TB.
+
+Query execution is timed with a `noop`-format write: the full plan
+executes on the executors and nothing funnels through the driver, so
+the number measures the engine, not row serialization to Python.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "ref_pullx_range",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_broadcast_brand_volume",
+    "join_outer_order_counts",
+    "group_topk_orders_per_customer",
+    "window_running_total",
+    "agg_stats_lineitem",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "text_stats_documents",
+    "sim_cosine_topk",
+    "sim_ann_lsh_topk",
+]
+
+STORE_ROWS = 1_000_000
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_query(queries, name, spark) -> float:
+    df = queries[name](spark, SF_DIR)
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def sample_data_df(spark):
+    """1M SampleData rows (FIXTURES.md §1) built JVM-side from range()."""
+    from pyspark.sql import functions as F
+
+    return spark.range(0, STORE_ROWS, 1, 32).select(
+        F.col("id").cast("int").alias("my_number1"),
+        F.concat(F.lit("Hello, World! 你好世界 "), F.col("id")).alias("my_string1"),
+        (F.col("id") * 10).cast("int").alias("my_number2"),
+        (F.col("id") % 2 == 0).alias("my_boolean1"),
+        F.concat(F.lit("This is another longer string. "), F.col("id")).alias("my_string2"),
+    )
+
+
+def bench_store(spark) -> dict[str, float]:
+    from vector_db_core_spark.store import OrdinalStore
+
+    tmp = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        store = OrdinalStore(spark, os.path.join(tmp, "s"))
+        batch = sample_data_df(spark)
+        t0 = time.perf_counter()
+        store.pushx(batch)
+        w1 = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        store.pullx(0, STORE_ROWS).write.mode("overwrite").format("noop").save()
+        w2 = time.perf_counter() - t0
+        assert store.count() == STORE_ROWS
+        return {"w1_append_1m_sec": round(w1, 3), "w2_range_read_1m_sec": round(w2, 3)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    from vector_db_core_spark.session import get_spark
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    spark = get_spark(app_name="vector_db_core_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # session warm-up (JVM/codegen paths), untimed
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            log(f"bench: skipping unknown query {name}")
+            continue
+        secs = run_query(queries, name, spark)
+        per_query[name] = round(secs, 3)
+        log(f"bench: {name} {secs:.3f}s")
+
+    store_times = bench_store(spark)
+    for k, v in store_times.items():
+        log(f"bench: {k} {v:.3f}s")
+
+    total = round(sum(per_query.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "store": store_times,
+        "sf": sf_val,
+        "n_queries": len(per_query),
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

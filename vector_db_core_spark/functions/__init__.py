@@ -1,10 +1,25 @@
 from vector_db_core_spark.functions.exact import dec, dsum, davg
+from vector_db_core_spark.functions.multimodal import (
+    extract_features,
+    media_table_from_documents,
+    stub_features,
+)
+from vector_db_core_spark.functions.text import (
+    canonical_text,
+    distinct_tokens,
+    lsh_band_keys,
+    minhash_signatures_df,
+    shingles_of_tokens,
+    simhash64,
+    token_shingles,
+    tokens,
+)
 from vector_db_core_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
+    hyperplane_bucket,
     l2_norm,
 )
-from vector_db_core_spark.functions.text import tokens, distinct_tokens, token_shingles
 
 __all__ = [
     "dec",
@@ -12,8 +27,17 @@ __all__ = [
     "davg",
     "cosine_similarity",
     "dot_product",
+    "hyperplane_bucket",
     "l2_norm",
     "tokens",
     "distinct_tokens",
     "token_shingles",
+    "shingles_of_tokens",
+    "canonical_text",
+    "minhash_signatures_df",
+    "lsh_band_keys",
+    "simhash64",
+    "extract_features",
+    "media_table_from_documents",
+    "stub_features",
 ]

@@ -25,14 +25,19 @@ def distinct_tokens(text: Column | str) -> Column:
     return F.array_distinct(tokens(text))
 
 
-def token_shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles: array of 'w1 w2 … wn' strings.
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a pre-tokenized array column.
 
-    Built as sequence(0, len-n) → transform(slice → concat_ws): stays
-    JVM-side. Documents shorter than n tokens yield a single shingle of
-    the whole text so they still participate in similarity.
+    IMPORTANT: pass a plain column reference (materialized by an
+    upstream select), NOT the tokenization expression itself — Spark's
+    higher-order functions are interpreted (CodegenFallback) and do no
+    common-subexpression elimination, so an embedded split/filter tree
+    would be re-evaluated for every produced shingle (O(tokens²) per
+    document). With a column reference each element access is O(1).
+
+    Documents shorter than n tokens yield a single shingle of the
+    whole text so they still participate in similarity.
     """
-    toks = tokens(text)
     k = F.size(toks)
     whole = F.array(F.concat_ws(" ", toks))
     grams = F.transform(
@@ -40,6 +45,13 @@ def token_shingles(text: Column | str, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.when(k >= n, grams).otherwise(whole)
+
+
+def token_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles straight from a text column (convenience;
+    see ``shingles_of_tokens`` for the two-step form that avoids
+    re-tokenizing per element in interpreted higher-order functions)."""
+    return shingles_of_tokens(tokens(text), n)
 
 
 def canonical_text(text: Column | str) -> Column:
@@ -50,25 +62,34 @@ def canonical_text(text: Column | str) -> Column:
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: array of ``num_hashes`` 64-bit minima.
+def minhash_signatures_df(
+    df, id_col: str = "doc_id", shingles_col: str = "s", num_hashes: int = 64
+):
+    """MinHash signatures as a DataFrame op: ``(id, sig array<long>)``.
 
-    Hash family: ``xxhash64(seed_i, shingle)`` — seeding via an extra
-    hashed column gives ``num_hashes`` independent functions from the
-    one built-in. Entirely per-row JVM expression work (transform +
-    array_min): signatures need NO shuffle and NO UDF, so this step
-    scales linearly with a pure map stage at any data size.
+    An array-expression form (transform + array_min per seed) would
+    run inside Spark's higher-order functions, which are
+    CodegenFallback — interpreted per element, ~10x slower than
+    generated code. This form stays entirely in whole-stage codegen:
+    explode the shingle set, hash each shingle once (string hash),
+    then ``num_hashes`` seeded rehashes of the fixed 8-byte base
+    inside ONE hash-aggregate with min states. Map-side partial
+    aggregation collapses each partition to one row per document
+    before the only shuffle (by document id, narrow rows) — the
+    scalable signature plan.
+
+    Hash family: seed ``i``'s function is a full-avalanche rehash
+    ``xxhash64(i, base)`` — NOT a cheap ``h1 + i*h2`` double-hash
+    family, whose shared ``argmin(h2)`` correlates the signature slots
+    and breaks the min-wise independence MinHash needs (observed as
+    missed true near-duplicates).
     """
-    # NB: seed binding must use a closure factory, not a defaulted
-    # lambda arg — PySpark dispatches higher-order-function lambdas on
-    # their total parameter count, so `lambda s, i=i:` would be treated
-    # as the (element, index) form and silently hash with the array
-    # index instead of the seed.
-    def _hasher(seed: int):
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
-    sigs = [F.array_min(F.transform(shingles, _hasher(i))) for i in range(num_hashes)]
-    return F.array(*sigs)
+    ex = df.select(id_col, F.explode(shingles_col).alias("_sh")).select(
+        id_col, F.xxhash64("_sh").alias("_b")
+    )
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("_b"))).alias(f"_s{i}") for i in range(num_hashes)]
+    wide = ex.groupBy(id_col).agg(*aggs)
+    return wide.select(id_col, F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def lsh_band_keys(signature: Column, bands: int = 16, rows: int = 4) -> Column:

@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 from vector_db_core_spark.functions.text import (
     canonical_text,
     lsh_band_keys,
-    minhash_signature,
+    minhash_signatures_df,
+    shingles_of_tokens,
     simhash64,
     token_shingles,
     tokens,
@@ -99,9 +100,16 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
 
     Pure per-row map work: at 100 TB this is a scan + project with no
     shuffle, and the shingle arrays never leave the executor that read
-    the document.
+    the document. Two projections on purpose: tokens materialize as a
+    real column first, so the interpreted shingle lambda does O(1)
+    element accesses instead of re-running split/filter per shingle
+    (Catalyst refuses to collapse projections that would duplicate the
+    expensive tokenize expression — that refusal is what we rely on).
     """
-    return docs.select("doc_id", F.array_distinct(token_shingles("text", 3)).alias("s"))
+    toksdf = docs.select("doc_id", tokens("text").alias("_toks"))
+    return toksdf.select(
+        "doc_id", F.array_distinct(shingles_of_tokens(F.col("_toks"), 3)).alias("s")
+    )
 
 
 def _jaccard(sa, sb) -> F.Column:
@@ -229,7 +237,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     sh = _shingle_sets(docs)
-    sig = sh.select("doc_id", "s", minhash_signature(F.col("s"), 64).alias("sig"))
+    sig = minhash_signatures_df(sh, "doc_id", "s", num_hashes=64)
     bands = sig.select(
         "doc_id",
         F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
