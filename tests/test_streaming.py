@@ -1,0 +1,187 @@
+"""Streaming ingest (W1/W2 analogs) — batch-replay equality is the
+correctness oracle the DuckDB harness can't provide for streams:
+streaming output over closed data must equal the batch computation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_db_core_spark.store import OrdinalStore
+from vector_db_core_spark.streaming import (
+    IngestBuffer,
+    dedup_within_watermark,
+    stream_append_to_store,
+    windowed_event_counts,
+)
+
+SCHEMA = "my_number1 INT, my_string1 STRING, my_number2 INT"
+
+
+def _write_landing_files(tmp_path, n_files=4, rows_per_file=100):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    i = 0
+    for f in range(n_files):
+        with open(landing / f"batch_{f:04d}.json", "w") as fh:
+            for _ in range(rows_per_file):
+                fh.write(
+                    json.dumps(
+                        {"my_number1": i, "my_string1": f"row {i}", "my_number2": i * 10}
+                    )
+                    + "\n"
+                )
+                i += 1
+    return str(landing), i
+
+
+def test_stream_append_equals_batch(spark, tmp_path):
+    """W1 replay: streaming the landing files into the store produces
+    exactly the rows a batch read sees, with dense continuing rowids."""
+    landing, total = _write_landing_files(tmp_path)
+    store = OrdinalStore(spark, str(tmp_path / "store"), schema=SCHEMA)
+    q = stream_append_to_store(
+        spark,
+        landing,
+        store,
+        schema=SCHEMA,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        fmt="json",
+        available_now=True,
+        max_files_per_trigger=1,  # force multiple micro-batches (flushes)
+    )
+    q.awaitTermination()
+    assert store.count() == total
+    got = store.getall().select("rowid", "my_number1").collect()
+    assert [r.rowid for r in got] == list(range(total))  # dense, ordered
+    # payload equality vs a plain batch read of the same files
+    batch = {
+        (r.my_number1, r.my_string1, r.my_number2)
+        for r in spark.read.schema(SCHEMA).json(landing).collect()
+    }
+    stream_rows = {
+        (r.my_number1, r.my_string1, r.my_number2)
+        for r in store.getall(ordered=False).drop("rowid").collect()
+    }
+    assert stream_rows == batch
+
+
+def test_stream_append_continues_after_restart(spark, tmp_path):
+    """New files after a stop are picked up by a restarted query
+    (same checkpoint) and ordinals continue."""
+    landing, total = _write_landing_files(tmp_path, n_files=2, rows_per_file=50)
+    store = OrdinalStore(spark, str(tmp_path / "store"), schema=SCHEMA)
+    ckpt = str(tmp_path / "ckpt")
+    stream_append_to_store(
+        spark, landing, store, SCHEMA, ckpt, available_now=True
+    ).awaitTermination()
+    assert store.count() == 100
+    # land two more files, restart
+    with open(os.path.join(landing, "batch_9998.json"), "w") as fh:
+        for i in range(100, 130):
+            fh.write(json.dumps({"my_number1": i, "my_string1": f"row {i}", "my_number2": i * 10}) + "\n")
+    stream_append_to_store(
+        spark, landing, store, SCHEMA, ckpt, available_now=True
+    ).awaitTermination()
+    assert store.count() == 130
+    rowids = [r.rowid for r in store.getall().select("rowid").collect()]
+    assert rowids == list(range(130))
+
+
+def test_ingest_buffer_union_view(spark, tmp_path):
+    store = OrdinalStore(spark, str(tmp_path / "store"), schema=SCHEMA)
+    buf = IngestBuffer(store, threshold=100)
+    # seed the store with committed rows
+    store.pushx([{"my_number1": i, "my_string1": f"c{i}", "my_number2": i} for i in range(50)])
+    # buffer below threshold: stays pending, read() unions it in
+    buf.pushx([{"my_number1": 50 + i, "my_string1": f"p{i}", "my_number2": 0} for i in range(30)])
+    assert buf.lens() == (30, 50, 80)
+    view = buf.read()
+    rows = view.orderBy("rowid").collect()
+    assert [r.rowid for r in rows] == list(range(80))  # provisional ids continue
+    assert rows[49].my_string1 == "c49" and rows[50].my_string1 == "p0"
+    # range read across the disk/buffer boundary — the 3-way split case
+    mid = view.where(F.col("rowid").between(45, 54)).orderBy("rowid").collect()
+    assert [r.my_string1 for r in mid] == [f"c{i}" for i in range(45, 50)] + [
+        f"p{i}" for i in range(5)
+    ]
+    # crossing the threshold auto-flushes
+    buf.pushx([{"my_number1": 80 + i, "my_string1": f"q{i}", "my_number2": 0} for i in range(70)])
+    assert buf.lens()[0] == 0  # drained
+    assert store.count() == 150
+    # close() flushes the remainder (Drop analog)
+    buf.push({"my_number1": 150, "my_string1": "last", "my_number2": 0})
+    assert buf.close() == 1
+    assert store.count() == 151 and buf.lens() == (0, 151, 151)
+
+
+def _events_landing(spark, tmp_path, n_files=3):
+    """Re-land the events fixture as micro-batch parquet files with
+    plain µs timestamps (the fixture's TIMESTAMP(NANOS) doesn't matter
+    once re-written by Spark)."""
+    from vector_db_core_spark.sources import load_table
+
+    events = load_table(spark, SF_ORACLE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    landing = str(tmp_path / "events_landing")
+    events.repartition(n_files).write.mode("overwrite").parquet(landing)
+    return events, landing
+
+
+def test_windowed_agg_stream_replays_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregate over the closed stream ==
+    the same aggregate computed in batch (complete-mode memory sink)."""
+    events, landing = _events_landing(spark, tmp_path)
+    schema = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("win_counts").collect()
+    }
+    expect = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_counts(events, window="6 hours", watermark=None).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_dedup_within_watermark_drops_duplicates(spark, tmp_path):
+    """Duplicated landing data → stateful streaming dedup emits each
+    key exactly once (replay check vs batch distinct)."""
+    events, _ = _events_landing(spark, tmp_path)
+    sample = events.limit(200)
+    landing = str(tmp_path / "dup_landing")
+    # land the same rows twice, in different files
+    sample.coalesce(1).write.mode("overwrite").parquet(landing)
+    sample.coalesce(1).write.mode("append").parquet(landing)
+    schema = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    stream = spark.readStream.schema(schema).parquet(landing)
+    deduped = dedup_within_watermark(stream, ["event_id"], ts_col="ts", watermark="24 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_out").collect()
+    assert len(out) == 200  # each event_id exactly once
+    assert len({r.event_id for r in out}) == 200
