@@ -10,7 +10,7 @@ from vector_db_core_spark.functions.text import (
     lsh_band_keys,
     minhash_signatures_df,
     shingles_of_tokens,
-    simhash64,
+    simhash64_df,
     token_shingles,
     tokens,
 )
@@ -36,7 +36,7 @@ __all__ = [
     "canonical_text",
     "minhash_signatures_df",
     "lsh_band_keys",
-    "simhash64",
+    "simhash64_df",
     "extract_features",
     "media_table_from_documents",
     "stub_features",

@@ -113,27 +113,33 @@ def lsh_band_keys(signature: Column, bands: int = 16, rows: int = 4) -> Column:
     return F.array(*keys)
 
 
-def simhash64(terms: Column) -> Column:
-    """64-bit SimHash over an array of terms (tokens or shingles).
+def simhash64_df(df, id_col: str = "doc_id", terms_col: str = "s"):
+    """64-bit SimHash per document: ``(id, simhash)``.
 
-    Bit ``j`` of the result is 1 iff the sum over terms of
-    ``±1`` (sign of bit ``j`` of ``xxhash64(term)``) is positive.
-    Near-duplicate documents differ in few bits (small Hamming
-    distance). Pure per-row fold — no shuffle, no UDF.
+    Bit ``j`` of the fingerprint is 1 iff the sum over terms of ``±1``
+    (sign of bit ``j`` of ``xxhash64(term)``) is positive; near-dup
+    documents differ in few bits. Same execution shape as
+    ``minhash_signatures_df`` and for the same reason: explode +
+    64 codegen'd sum-aggregates instead of per-row array folds (Spark
+    higher-order functions are CodegenFallback — interpreted, ~50x
+    slower here). Partial aggregation collapses map-side; the only
+    shuffle carries one 64-column row per document.
     """
-    hashes = F.transform(terms, lambda t: F.xxhash64(t))
-
-    def _bit_merge(bit: int):
-        # closure factory (see minhash_signature) — a defaulted lambda
-        # arg would change the lambda's arity for PySpark's dispatch
-        return lambda acc, h: acc + (F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    bit_sums = [F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(j)) for j in range(64)]
+    ex = df.select(id_col, F.explode(terms_col).alias("_t")).select(
+        id_col, F.xxhash64("_t").alias("_h")
+    )
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{j}")
+        for j in range(64)
+    ]
+    wide = ex.groupBy(id_col).agg(*aggs)
     out = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
+    for j in range(64):
         # bitwise OR of disjoint bits; shiftleft keeps bit 63 in-range
         # (it becomes the sign bit of the 64-bit pattern)
         out = out.bitwiseOR(
-            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"_b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return out
+    return wide.select(id_col, out.alias("simhash"))

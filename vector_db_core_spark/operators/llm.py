@@ -40,8 +40,7 @@ from vector_db_core_spark.functions.text import (
     lsh_band_keys,
     minhash_signatures_df,
     shingles_of_tokens,
-    simhash64,
-    token_shingles,
+    simhash64_df,
     tokens,
 )
 from vector_db_core_spark.functions.vectors import (
@@ -274,9 +273,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no xxhash64.
     """
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select(
-        "doc_id", simhash64(F.array_distinct(token_shingles("text", 3))).alias("simhash")
-    )
+    fp = simhash64_df(_shingle_sets(docs), "doc_id", "s")
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -1,6 +1,7 @@
 from vector_db_core_spark.streaming.ingest import (
     IngestBuffer,
     dedup_within_watermark,
+    ingest_metrics,
     stream_append_to_store,
     windowed_event_counts,
 )
@@ -8,6 +9,7 @@ from vector_db_core_spark.streaming.ingest import (
 __all__ = [
     "IngestBuffer",
     "dedup_within_watermark",
+    "ingest_metrics",
     "stream_append_to_store",
     "windowed_event_counts",
 ]

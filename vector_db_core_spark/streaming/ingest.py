@@ -156,6 +156,21 @@ class IngestBuffer:
         return base.unionByName(pend.select(base.columns))
 
 
+def ingest_metrics(query: StreamingQuery) -> dict:
+    """Ingest introspection (W3 — ``get_each_len``/buffer metrics,
+    writable_cache.rs:119-147): rows and timing of the most recent
+    flush, plus cumulative progress, from ``lastProgress``."""
+    p = query.lastProgress or {}
+    return {
+        "batch_id": p.get("batchId"),
+        "num_input_rows": p.get("numInputRows"),
+        "batch_duration_ms": p.get("batchDuration"),
+        "input_rows_per_sec": p.get("inputRowsPerSecond"),
+        "is_active": query.isActive,
+        "run_id": str(query.runId),
+    }
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
