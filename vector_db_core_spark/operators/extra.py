@@ -336,6 +336,77 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- batch event windows
 @register(
+    "window_session_user_activity",
+    oracle="""
+    WITH t AS (SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL '30 minutes'
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+               FROM events),
+         s AS (SELECT user_id, ts, value,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+               FROM t)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — Spark's
+    ``session_window`` merges events into variable-length sessions in
+    ONE aggregation (state machine inside the agg, one shuffle on the
+    key); the oracle derives the same sessions with the classic
+    gaps-and-islands window SQL. The same expression powers the
+    streaming path (watermarked state cleanup) — batch is the replay
+    semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "window_sliding_event_counts",
+    oracle="""
+    WITH b AS (SELECT event_type, ts,
+                      UNNEST([time_bucket(INTERVAL '3 hours', ts),
+                              time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours'])
+                        AS window_start
+               FROM events)
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM b GROUP BY window_start, event_type
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (6h length / 3h slide): every event lands in
+    exactly length/slide = 2 windows. Spark's ``window()`` replicates
+    rows internally; the oracle does the same expansion explicitly
+    (each event belongs to the two 3h-aligned starts covering it)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@register(
     "window_tumbling_event_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,

@@ -5,8 +5,10 @@ from vector_db_core_spark.streaming.ingest import (
     stream_append_to_store,
     windowed_event_counts,
 )
+from vector_db_core_spark.streaming.stateful import running_user_totals
 
 __all__ = [
+    "running_user_totals",
     "IngestBuffer",
     "dedup_within_watermark",
     "ingest_metrics",

@@ -1,0 +1,55 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+[EXT] SURVEY §2.2's "custom stateful operators" row. Built-in stateful
+ops (windowed aggs, dropDuplicatesWithinWatermark) cover the common
+cases; this is the escape hatch for semantics they can't express —
+here a per-key running accumulator that survives across micro-batches
+(the streaming twin of a grand-total ``groupBy``), the canonical shape
+for sessionization/enrichment state machines.
+
+Scale notes: state lives in the state store partitioned by group key —
+one shuffle per batch on the key, state size O(distinct keys), and
+Arrow batches the per-group data into pandas. Keys must be bounded or
+timeout-evicted (``GroupStateTimeout``) for an unbounded stream; the
+replay test drives a closed stream, where NoTimeout is correct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+STATE_SCHEMA = "n BIGINT, total DOUBLE"
+
+
+def _update_totals(key, batches: Iterator["pd.DataFrame"], state: GroupState):
+    """Merge this batch's rows for one user into the running state and
+    emit the updated totals."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, total value) maintained across
+    micro-batches; each batch emits the keys it touched with their
+    post-batch totals (update semantics)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
