@@ -80,6 +80,17 @@ def test_ann_lsh_scores_exact_within_bucket(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
 
 
+def test_mllib_minhash_agrees_with_exact(spark):
+    """The MLlib estimator path must find the same near-dup pairs as
+    the exact/banded pipelines (its similarity is estimated from 8
+    hash tables, so values are approximate — pair SET parity only)."""
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_mllib_minhash_pairs"](spark, SF_ORACLE).collect()
+    }
+    assert got == _planted_pairs(spark)
+
+
 def test_multimodal_extract_features_roundtrip(spark):
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(50)
     media = media_table_from_documents(docs)

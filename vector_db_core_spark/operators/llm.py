@@ -510,6 +510,90 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.col("lang").alias("lang_label"), guess.alias("lang_guess"))
 
 
+@register(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+                  FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (SELECT tf.doc_id, tf.term,
+                           CAST(tf.tf AS DOUBLE)
+                             * ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))
+                             AS tfidf
+                    FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (SELECT doc_id, term, tfidf,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                   ORDER BY tfidf DESC, term) AS INT) AS rnk
+                    FROM scored)
+    SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with per-document top-3 terms — the classic text-analysis
+    kernel as three aggregations: term frequency (explode + groupBy,
+    map-side combined), document frequency (same explode, distinct
+    docs per term — at corpus scale a bounded-vocabulary aggregate),
+    and a smoothed idf ``ln((N+1)/(df+1))`` identical in both engines.
+    The df side is vocabulary-sized → broadcast join onto tf; N is a
+    scalar cross join. Ranking is deterministic (tfidf desc, term)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # tiny metadata count; a literal in the plan
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0))
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        # ln() differs by 1 ulp between JVM and libm — rank on the full
+        # value (flip-safe: unequal tfidf means different (tf, df), a
+        # gap far above 1 ulp), round only the emitted column
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rnk")
+    )
+
+
+@register("dedup_mllib_minhash_pairs")  # MLlib hash family → rows-only check
+def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib-native near-dup path (SURVEY §2.2: `MinHashLSH` +
+    `approxSimilarityJoin`), beside the hand-rolled banded pipeline —
+    users coming from Spark ML get the familiar estimator API; the
+    custom pipeline exists because it is fully deterministic AND
+    oracle-checkable. Shingle sets are vectorized with seeded
+    `HashingTF` (fixed feature space, no fitted vocabulary to ship),
+    distance threshold 0.5 on Jaccard distance = similarity >= 0.5.
+    Hash collisions in the 2^18 feature space can only *merge*
+    shingles, so the estimated similarity is approximate → rows-only;
+    tests assert parity with the exact pair set."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingle_sets(docs)
+    htf = HashingTF(inputCol="s", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = htf.transform(sh).where(F.size("s") > 0)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (F.lit(1.0) - F.col("jaccard_dist")).alias("jaccard_sim"),
+        )
+    )
+
+
 # ----------------------------------------------------------- similarity search
 _COS_AB = _duck_cosine("a.v", "b.v")
 

@@ -245,18 +245,23 @@ class OrdinalStore:
         return self.pushx([row])
 
     # -- reads --------------------------------------------------------
-    def pullx(self, index: int, count: int) -> DataFrame:
+    def pullx(self, index: int, count: int, ordered: bool = True) -> DataFrame:
         """Contiguous range read by ordinal (reference `pullx`).
 
         A rowid BETWEEN predicate pushed into the Parquet scan; with
         sorted-on-write row groups this touches only the overlapping
         groups — the analog of the reference's single spanning blob
         read (dynamic_vector_manage_service.rs:332-359).
+
+        ``ordered=False`` skips the result sort (a range-sized shuffle)
+        for callers feeding joins/aggregates that don't need row order
+        — same guidance as ``getall``.
         """
         n = self.count()
         if index < 0 or count < 0 or index + count > n:
             raise IndexError(f"range [{index}, {index + count}) out of bounds for length {n}")
-        return self._df().where(F.col(ROWID).between(index, index + count - 1)).orderBy(ROWID)
+        df = self._df().where(F.col(ROWID).between(index, index + count - 1))
+        return df.orderBy(ROWID) if ordered else df
 
     def pull(self, index: int) -> DataFrame:
         """Point read by ordinal (reference `pull`)."""
