@@ -91,6 +91,36 @@ def test_mllib_minhash_agrees_with_exact(spark):
     assert got == _planted_pairs(spark)
 
 
+def test_ann_ivf_scores_exact_and_better_recall(spark):
+    """IVF returns true cosine values (selection-only approximation)
+    and with nprobe=2 over 16 cells should recall a decent share of
+    the exact top-5."""
+    ivf = QUERIES["sim_ann_ivf_topk"](spark, SF_ORACLE).collect()
+    assert ivf
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return d / (na * nb)
+
+    for r in ivf:
+        assert abs(r.cosine_sim - cos(emb[r.query_id], emb[r.neighbor_id])) < 1e-9
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_cosine_topk"](spark, SF_ORACLE).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    # measured ~46% top-5 recall at nprobe=2/k=16 on the fixture
+    # (vs ~6% for 6-bit sign-LSH on the same near-orthogonal vectors);
+    # assert a conservative floor — everything is seeded/deterministic
+    assert len(got & exact) / len(exact) >= 0.3
+
+
 def test_multimodal_extract_features_roundtrip(spark):
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(50)
     media = media_table_from_documents(docs)
