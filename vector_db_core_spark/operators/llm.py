@@ -779,6 +779,51 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ann_brp_lsh_topk")  # MLlib Euclidean LSH → rows-only check
+def sim_ann_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via MLlib ``BucketedRandomProjectionLSH`` (SURVEY §2.2) —
+    Euclidean LSH over L2-normalized vectors, where ``||a-b||^2 =
+    2 - 2*cos(a,b)`` makes Euclidean distance monotone in cosine, so
+    a distance threshold IS a cosine threshold (1.45 ~ cos >= -0.05).
+
+    The batch-scale pattern: ``approxSimilarityJoin`` hashes both
+    sides into random-projection buckets and equi-joins on (table,
+    bucket) — candidate volume is governed by bucketLength/numHashTables,
+    never N*Q. (``approxNearestNeighbors`` is the single-key serving
+    call — a driver-side loop at batch scale — so the join form is the
+    one registered; the serving call is exercised in tests.) Exact
+    cosine from the original vectors re-ranks candidates, so scores
+    are always true values. Seeded; rows-only (no LSH in DuckDB);
+    recall floor vs the exact baseline asserted in tests/test_llm.py.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from vector_db_core_spark.functions.vectors import l2_norm
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("fv", array_to_vector(F.transform("v", lambda x: x / l2_norm("v"))))
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="fv", outputCol="hashes", bucketLength=0.8, numHashTables=3, seed=42
+    ).fit(e)
+    q = e.where(F.col("vec_id") < 10)
+    pairs = model.approxSimilarityJoin(q, e, threshold=1.45, distCol="euclid")
+    scored = pairs.where(F.col("datasetA.vec_id") != F.col("datasetB.vec_id")).select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        cosine_similarity(F.col("datasetA.v"), F.col("datasetB.v")).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # ------------------------------------------------------------------- multimodal
 @register(
     "multimodal_binary_metadata",
