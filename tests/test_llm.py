@@ -183,6 +183,39 @@ def test_multimodal_extract_features_roundtrip(spark):
         assert abs(sum(r.features) - 1.0) < 1e-9  # normalized histogram
 
 
+def test_multimodal_resize_rewrites_payload_and_metadata(spark):
+    from vector_db_core_spark.functions.multimodal import resize_media, stub_resize
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(20)
+    media = media_table_from_documents(docs)
+    out = resize_media(media, width=8, height=4).collect()
+    assert len(out) == 20
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for r in out:
+        assert r.width == 8 and r.height == 4
+        assert bytes(r.payload) == stub_resize(src[r.media_id], 8, 4)
+        assert len(r.payload) <= 32
+
+
+def test_multimodal_sample_frames_fans_out(spark):
+    from vector_db_core_spark.functions.multimodal import (
+        sample_frames,
+        stub_frame_slices,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(10)
+    media = media_table_from_documents(docs)
+    out = sample_frames(media, n_frames=3).collect()
+    assert len(out) == 30  # 1 → N row fan-out
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, {})[r.frame_idx] = bytes(r.frame_payload)
+    for mid, frames in by_media.items():
+        expect = stub_frame_slices(src[mid], 3)
+        assert [frames[i] for i in sorted(frames)] == expect
+
+
 def test_multimodal_decode_stub_is_gated(spark):
     from vector_db_core_spark.functions.multimodal import decode_image
 

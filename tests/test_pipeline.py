@@ -1,0 +1,79 @@
+"""Semantic checks for the training-data pipeline operators (the
+oracle gate in test_oracle.py covers value equality; these pin the
+*behavioral* contracts: split stability, real downsampling, lossless
+chunking)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_db_core_spark.operators import QUERIES
+
+
+def test_split_proportions_and_duplicate_stability(spark):
+    rows = QUERIES["pipeline_train_val_test_split"](spark, SF_ORACLE).collect()
+    n = len(rows)
+    frac = {s: sum(r.split == s for r in rows) / n for s in ("train", "val", "test")}
+    # 75/12.5/12.5 nominal; fixture is small so allow slack
+    assert 0.6 < frac["train"] < 0.9
+    assert frac["val"] > 0 and frac["test"] > 0
+    # the assignment is a pure function of CONTENT (the no-leakage
+    # property: any duplicate of a text, anywhere, gets this split) —
+    # verified against a driver-side md5 recomputation
+    import hashlib
+
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    }
+    for r in rows:
+        nib = hashlib.md5(texts[r.doc_id].encode()).hexdigest()[0]
+        expect = "train" if nib <= "b" else ("val" if nib <= "d" else "test")
+        assert r.split == expect
+
+
+def test_mixture_downsamples_tail_sources_only(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    kept = QUERIES["pipeline_source_mixture"](spark, SF_ORACLE).collect()
+    total = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept_n: dict[str, int] = {}
+    for r in kept:
+        kept_n[r.source] = kept_n.get(r.source, 0) + 1
+    head = {s for s in total if len(s) <= 4}
+    for s in head:
+        assert kept_n.get(s, 0) == total[s]  # head kept in full
+    tail_total = sum(total[s] for s in total if s not in head)
+    tail_kept = sum(kept_n.get(s, 0) for s in total if s not in head)
+    assert tail_total > 0
+    assert tail_kept < tail_total  # actually downsampled
+    assert 0.1 < tail_kept / tail_total < 0.45  # ~25% nominal
+
+
+def test_chunking_is_lossless_and_sized(spark):
+    from vector_db_core_spark.operators.pipeline import CHUNK_TOKENS
+
+    chunks = QUERIES["pipeline_chunk_tokens"](spark, SF_ORACLE).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    }
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in chunks:
+        assert 1 <= r.n_tokens <= CHUNK_TOKENS
+        assert len(r.chunk.split()) == r.n_tokens
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk
+    for doc_id, parts in by_doc.items():
+        rebuilt = " ".join(parts[i] for i in sorted(parts))
+        assert rebuilt.split() == docs[doc_id].split()  # lossless reassembly
+    assert set(by_doc) == set(docs)  # every document chunked
+
+
+def test_normalize_masks_articles_and_collapses_space(spark):
+    out = QUERIES["pipeline_normalize_text"](spark, SF_ORACLE).collect()
+    masked = sum("<ART>" in r.clean_text for r in out)
+    assert masked > 0
+    for r in out:
+        assert "  " not in r.clean_text
+        toks = r.clean_text.split(" ")
+        assert "a" not in toks and "the" not in toks

@@ -107,6 +107,95 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def stub_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a raster resize: clamps the payload
+    to ``width * height`` bytes (a real resizer decodes, resamples and
+    re-encodes; this container has no codec). Same bytes + same target
+    → same output on any worker."""
+    if payload is None:
+        return b""
+    return bytes(payload[: width * height])
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize every media payload to ``width x height`` via Arrow-batched
+    ``mapInPandas``; the ``width``/``height`` metadata columns are
+    rewritten to the target. Schema-preserving and shuffle-free —
+    composes anywhere in a media pipeline. Swap a real decoder-backed
+    resizer in via ``resizer=``; the default is the deterministic stub.
+    """
+    rz = resizer or stub_resize
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[payload_col] = [
+                rz(bytes(p) if p is not None else b"", width, height)
+                for p in pdf[payload_col]
+            ]
+            if "width" in pdf.columns:
+                pdf["width"] = width
+            if "height" in pdf.columns:
+                pdf["height"] = height
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+#: output schema of sample_frames — one row per sampled frame.
+FRAMES_SCHEMA = "media_id BIGINT, frame_idx INT, frame_payload BINARY"
+
+
+def stub_frame_slices(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for video frame extraction: splits the
+    payload into ``n_frames`` contiguous byte slices (a real sampler
+    would demux + decode keyframes)."""
+    if payload is None or len(payload) == 0 or n_frames <= 0:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [bytes(payload[i * step : (i + 1) * step]) for i in range(n_frames)]
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    sampler: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Sample ``n_frames`` frames per media row — the 1→N mapInPandas
+    shape (each input row fans out to one row per frame, schema
+    ``FRAMES_SCHEMA``). Fan-out happens inside the Arrow batch on the
+    executor that holds the payload: bytes never move for sampling, and
+    the output inherits the input partitioning (frames of one video
+    stay co-located for downstream per-video ops).
+    """
+    smp = sampler or stub_frame_slices
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                frames = smp(bytes(p) if p is not None else b"", n_frames)
+                for i, fr in enumerate(frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
     """Build a MEDIA_SCHEMA-shaped table from the documents fixture,
     using the UTF-8 text bytes as the opaque payload (the container

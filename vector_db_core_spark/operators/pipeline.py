@@ -1,0 +1,148 @@
+"""Training-data pipeline operators [EXT] over ``documents``.
+
+The operations a 100 TB pretraining-data pipeline runs between raw
+ingest and tokenized shards — beyond dedup/similarity (operators/
+llm.py): deterministic dataset splitting, source mixture weighting,
+context-window chunking, and text normalization. The reference
+computes nothing over stored payloads (SURVEY.md §2.2); this module is
+new design mandated by the north star.
+
+All four are pure per-row map work — no shuffle, no UDF, full
+whole-stage codegen — so they scale linearly with input splits and
+compose under any downstream partitioning. Determinism is the design
+center: every decision derives from ``md5`` of the document *content*,
+so reruns, retries, and both engines agree bit-for-bit (and duplicated
+documents always land in the SAME split — content-hash splitting is
+the standard guard against train/test leakage through near-dups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_core_spark.operators.registry import register
+from vector_db_core_spark.sources import load_table
+
+CHUNK_TOKENS = 50
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "pipeline_train_val_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test assignment.
+
+    The split key is ``md5(content)`` — not doc_id, not rand(): exact
+    duplicates (and re-crawls of the same text) always land in the same
+    split, so held-out sets can't leak through duplication; adding or
+    reordering data never reshuffles existing assignments (stable under
+    incremental ingest, unlike ``randomSplit``). Hex-prefix bucketing:
+    first nibble 0-b → train (12/16), c-d → val, e-f → test. Map-only;
+    at 100 TB this is a free column in the same pass as any other
+    per-row transform.
+    """
+    nib = F.substring(F.md5("text"), 1, 1)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "pipeline_source_mixture",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE len(source) <= 4 OR substr(md5(text), 1, 1) < '4'
+    """,
+)
+def pipeline_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing — the data-mixture step of pretraining.
+
+    Head sources (src0-src9, the 4-char names) are kept in full; the
+    long tail (src10+) is downsampled to 25% by the same content-hash
+    coin as the split operator (first md5 nibble < '4'). Deterministic Bernoulli by
+    content: the mixture is reproducible across reruns and engines,
+    and per-document decisions need no shuffle or sampling state —
+    ``TABLESAMPLE``/``sample()`` give none of those guarantees.
+    Filter is pushed to the scan where the format allows.
+    """
+    keep = (F.length("source") <= 4) | (F.substring(F.md5("text"), 1, 1) < "4")
+    return _docs(spark, sf_dir).where(keep).select("doc_id", "source")
+
+
+@register(
+    "pipeline_chunk_tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(c - 1 AS INT) AS chunk_idx,
+           array_to_string(toks[(c - 1) * {CHUNK_TOKENS} + 1 : c * {CHUNK_TOKENS}], ' ') AS chunk,
+           CAST(least(len(toks) - (c - 1) * {CHUNK_TOKENS}, {CHUNK_TOKENS}) AS INT) AS n_tokens
+    FROM t, UNNEST(generate_series(1, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS u(c)
+    """,
+)
+def pipeline_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into consecutive
+    {CHUNK_TOKENS}-token chunks (the shard-preparation step before
+    tokenization). One generate per row — rows fan out to ~n/50 chunks
+    with no shuffle; chunk text is rebuilt with ``slice`` +
+    ``array_join`` inside codegen. At 100 TB the output partitioning
+    inherits the input's, so downstream shuffles see already-sized
+    chunks, never whole documents.
+    """
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    n_chunks = F.ceil(F.size("v") / F.lit(float(CHUNK_TOKENS))).cast("int")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("v"))
+        .select("doc_id", "v", F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("_p", "c"))
+        .select(
+            "doc_id",
+            (F.col("c") - 1).cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice("v", (F.col("c") - 1) * CHUNK_TOKENS + 1, CHUNK_TOKENS), " "
+            ).alias("chunk"),
+            F.least(
+                F.size("v") - (F.col("c") - 1) * CHUNK_TOKENS, F.lit(CHUNK_TOKENS)
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "pipeline_normalize_text",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '\b(a|the)\b', '<ART>', 'g'),
+                          '\s+', ' ', 'g') AS clean_text
+    FROM documents
+    """,
+)
+def pipeline_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization / masking — the cleaning pass every corpus
+    gets before tokenization (PII masking uses the same operator with
+    an email/phone pattern; the fixture has none, so articles stand in
+    as the masked class). Two codegen'd ``regexp_replace`` passes,
+    replace-all semantics on both engines (DuckDB needs the explicit
+    'g' flag). Pure map work; pattern cost is linear in bytes and the
+    regexes are RE2-safe (no backtracking blowup on adversarial
+    documents).
+    """
+    clean = F.regexp_replace(
+        F.regexp_replace("text", r"\b(a|the)\b", "<ART>"), r"\s+", " "
+    )
+    return _docs(spark, sf_dir).select("doc_id", clean.alias("clean_text"))
