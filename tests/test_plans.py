@@ -98,3 +98,36 @@ def test_lsh_has_no_cartesian_product(spark):
     plan = _plan(QUERIES["dedup_minhash_lsh_pairs"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocabulary_topn_plans_take_ordered(spark):
+    """top-100 vocabulary must be TakeOrderedAndProject (per-partition
+    heaps), never a global Sort of the full token-count table."""
+    plan = _plan(QUERIES["text_vocabulary_topn"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no standalone global sort operator
+
+
+def test_pipeline_ops_are_map_only(spark):
+    """split / mixture / chunking / normalization are pure per-row
+    transforms — ZERO exchanges anywhere in the plan."""
+    for name in (
+        "pipeline_train_val_test_split",
+        "pipeline_source_mixture",
+        "pipeline_chunk_tokens",
+        "pipeline_normalize_text",
+    ):
+        plan = _plan(QUERIES[name](spark, SF_ORACLE))
+        assert "Exchange" not in plan, name
+
+
+def test_pivot_two_phase_aggregate_shape(spark):
+    """PIVOT with an explicit value list plans as the two-phase
+    aggregate (count by (group, pivot) then pivotfirst by group) —
+    both exchanges carry already-aggregated rows, and there is NO
+    distinct-discovery job (a third exchange + collect that an
+    implicit value list would add)."""
+    plan = _plan(QUERIES["pivot_status_by_priority"](spark, SF_ORACLE))
+    assert "pivotfirst" in plan
+    # exactly the two agg exchanges (post-aggregation, tiny rows)
+    assert plan.count("+- Exchange") == 2

@@ -407,6 +407,163 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile_price_quartiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.95) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles / median per group. Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` use the same linear interpolation over
+    the sorted group, so values are bit-identical (verified — no
+    rounding needed). Exact percentile is a sort-based aggregate: at
+    100 TB prefer ``approx_percentile`` (t-digest sketch, one pass,
+    mergeable map-side) unless exactness is required — mirroring the
+    approx_count_distinct / countDistinct pairing."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.median("o_totalprice").alias("median_price"),
+        F.percentile("o_totalprice", 0.95).alias("p95"),
+    )
+
+
+@register(
+    "agg_corr_covar_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+           round(covar_pop(l_quantity, l_extendedprice), 6) AS qty_price_covar_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance aggregates per group — single-pass
+    co-moment accumulation, mergeable map-side (no extra shuffle vs
+    a plain count). Both engines accumulate in float in partition
+    order, so the last ~3 ulps differ run-to-run and engine-to-engine;
+    outputs are rounded to 6 decimals on BOTH sides (same policy as
+    the ln() rounding in text_tfidf_top_terms)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar_pop"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per order status. The pivot value list is
+    given explicitly — Spark otherwise runs an extra distinct job to
+    discover it (a full scan at 100 TB), and an explicit list keeps
+    the output schema static for downstream plans. Plans as Spark's
+    two-phase pivot aggregate (count by (group, pivot) → pivotfirst
+    by group); both shuffles move already-aggregated rows only (the
+    DuckDB mirror is the single-aggregate desugared form)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@register(
+    "unpivot_nation_measures",
+    oracle="""
+    SELECT n_name, measure, value FROM (
+      SELECT n.n_name, 'n_customers' AS measure, CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS value
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name
+      UNION ALL
+      SELECT n.n_name, 'n_suppliers', CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT)
+      FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name
+    )
+    """,
+)
+def unpivot_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-nation measures to long (measure, value)
+    rows — ``DataFrame.unpivot`` is a zero-shuffle generate (each row
+    fans out to one row per measure), so the only shuffles are the
+    upstream aggregates. Each fact table is aggregated to nation grain
+    BEFORE joining (never join two facts through a shared dim — that's
+    a per-nation cross product); the tiny per-nation results then
+    broadcast-join to ``nation``. The long form is the shape feature
+    stores and metric sinks ingest."""
+    n = _t(spark, sf_dir, "nation")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("c_custkey").alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.countDistinct("s_suppkey").alias("n_suppliers"))
+    )
+    wide = (
+        n.join(cust, cust.c_nationkey == n.n_nationkey, "left")
+        .join(supp, supp.s_nationkey == n.n_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+    return wide.unpivot(["n_name"], ["n_customers", "n_suppliers"], "measure", "value").where(
+        F.col("value") > 0
+    )
+
+
+@register(
+    "text_vocabulary_topn",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+    SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def text_vocabulary_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building — the token-frequency table every
+    tokenizer-training / vocab-pruning step starts from. Explode is
+    map-side; the count is a partial-aggregated groupBy on the token
+    (high cardinality → even shuffle); top-100 is
+    TakeOrderedAndProject (per-partition heaps, never a global sort).
+    Ties at the cutoff break deterministically by token."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+    )
+
+
+@register(
     "window_tumbling_event_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
