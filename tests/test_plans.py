@@ -131,3 +131,16 @@ def test_pivot_two_phase_aggregate_shape(spark):
     assert "pivotfirst" in plan
     # exactly the two agg exchanges (post-aggregation, tiny rows)
     assert plan.count("+- Exchange") == 2
+
+
+def test_q6_all_predicates_pushed_to_scan(spark):
+    """Q6 is the canonical pushdown probe: every predicate must reach
+    the parquet scan as a PushedFilter, and the ReadSchema must carry
+    only the 4 referenced columns."""
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, SF_ORACLE))
+    assert "PushedFilters" in plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+        assert frag in pushed, frag
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in read_schema  # unreferenced columns pruned

@@ -407,6 +407,117 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)) * CAST(l_discount AS DECIMAL(27,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    query — every predicate pushes into the parquet scan (date +
+    discount + quantity row-group pruning), one partial/final agg, no
+    shuffle of data rows at any scale. The canonical 'is pushdown
+    working' probe. Sum runs in exact DECIMAL then casts (oracle
+    bit-match policy, functions/exact.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(27,6)") * F.col("l_discount").cast("decimal(27,6)")
+    )
+    return filtered.agg(rev.cast("double").alias("revenue"))
+
+
+@register(
+    "subquery_exists_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS. Expressed as a left-semi
+    join (what any engine decorrelates EXISTS into): the filtered
+    lineitem side is reduced BEFORE the join, the semi join emits each
+    order at most once (no post-join distinct), and only (orderkey)
+    shuffles. Same answer as the subquery form, explicit about the
+    physical plan."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "subquery_scalar_above_avg_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.05 * (SELECT CAST(AVG(CAST(p_retailprice AS DECIMAL(27,6)))
+                                              AS DOUBLE) FROM part)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced >5% above the
+    corpus average. Expressed as what engines decorrelate it into — a
+    broadcast of the one-row aggregate against the scan (BroadcastNL
+    with a single row is free; no shuffle of part rows, no eager
+    driver-side action, the whole thing stays one lazy plan). The
+    average is computed in exact DECIMAL so both engines derive the
+    identical threshold."""
+    p = _t(spark, sf_dir, "part")
+    thr = p.agg(
+        (F.avg(F.col("p_retailprice").cast("decimal(27,6)")).cast("double") * 1.05).alias("_thr")
+    )
+    return (
+        p.crossJoin(F.broadcast(thr))
+        .where(F.col("p_retailprice") > F.col("_thr"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "grouping_sets_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under ROLLUP/CUBE)
+    with ``grouping_id`` to disambiguate which set produced each row
+    (real NULL vs subtotal NULL — the standard trap). Spark expands
+    sets BEFORE the shuffle and partially aggregates each, so the
+    exchange still carries only aggregated rows."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
+                       "o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "agg_percentile_price_quartiles",
     oracle="""
     SELECT o_orderpriority,
