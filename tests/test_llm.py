@@ -183,6 +183,32 @@ def test_multimodal_extract_features_roundtrip(spark):
         assert abs(sum(r.features) - 1.0) < 1e-9  # normalized histogram
 
 
+def test_pandas_udf_cosine_matches_codegen_kernel(spark):
+    """The Arrow pandas_udf cosine and the JVM higher-order-function
+    cosine agree to 1e-12 on real embedding pairs (different
+    accumulation orders → not bit-identical by contract)."""
+    from vector_db_core_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_pandas,
+    )
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    a = e.where(F.col("vec_id") < 20).select(F.col("v").alias("va"))
+    b = e.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)).select(
+        F.col("v").alias("vb")
+    )
+    pairs = a.crossJoin(b)
+    rows = pairs.select(
+        cosine_similarity("va", "vb").alias("jvm"),
+        cosine_similarity_pandas("va", "vb").alias("arrow"),
+    ).collect()
+    assert len(rows) == 400
+    for r in rows:
+        assert abs(r.jvm - r.arrow) < 1e-12
+
+
 def test_multimodal_resize_rewrites_payload_and_metadata(spark):
     from vector_db_core_spark.functions.multimodal import resize_media, stub_resize
 

@@ -75,3 +75,38 @@ def hyperplane_bucket(v: Column | str, planes: int = 8) -> Column:
             )
         )
     return out
+
+
+def cosine_similarity_pandas(a: Column | str, b: Column | str) -> Column:
+    """Cosine via a vectorized ``pandas_udf`` — the Arrow-batched
+    alternative to the codegen ``cosine_similarity`` kernel.
+
+    Exists to cover the Python-kernel escape hatch (SURVEY.md §2.2
+    'pandas_udf surface'): same signature, same math, but each Arrow
+    batch crosses to Python and is reduced with NumPy. Benchmarked
+    slower than the JVM fold at this dimensionality — use it as the
+    template for kernels Catalyst genuinely can't express (learned
+    scoring, library calls), not as a default. Results match the
+    codegen kernel to the last ulp only when the accumulation order
+    agrees (NumPy pairwise-sums); tests assert 1e-12 agreement, and
+    oracle-checked queries keep using the deterministic JVM fold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them module-wide and PySpark's hint inference can't resolve the
+    # strings; an unannotated pandas_udf defaults to SCALAR, which is
+    # exactly what this is
+    @pandas_udf("double")
+    def _cos(xs, ys):
+        out = []
+        for x, y in zip(xs, ys):
+            xv = np.asarray(x, dtype=np.float64)
+            yv = np.asarray(y, dtype=np.float64)
+            out.append(float(xv @ yv / (np.linalg.norm(xv) * np.linalg.norm(yv))))
+        return pd.Series(out)
+
+    return _cos(_d(a), _d(b))

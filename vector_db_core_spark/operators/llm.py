@@ -779,6 +779,43 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_label_centroids",
+    oracle="""
+    WITH ex AS (SELECT label, CAST(g.i - 1 AS INT) AS dim,
+                       CAST(embedding[g.i] AS DOUBLE) AS x
+                FROM embeddings,
+                     UNNEST(generate_series(1, len(embedding))) AS g(i))
+    SELECT label, dim,
+           round(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM ex GROUP BY label, dim
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (class prototypes — the building
+    block of prototype classifiers, cluster seeding and drift checks).
+
+    posexplode fans each vector into (label, dim, x) rows map-side;
+    ONE partial/final aggregate by (label, dim) computes the mean —
+    the shuffle carries (n_labels x dim) aggregated rows, never
+    vectors. Sums accumulate in exact DECIMAL (order-independent);
+    the mean divides in IEEE double. The two engines round float→
+    decimal casts differently on exact ties (half-up vs half-even,
+    ~1 element in 20k), so the output rounds to 9 decimals — same
+    policy as agg_corr_covar_lineitem."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count("*"), 9
+        ).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
 @register("sim_ann_brp_lsh_topk")  # MLlib Euclidean LSH → rows-only check
 def sim_ann_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via MLlib ``BucketedRandomProjectionLSH`` (SURVEY §2.2) —

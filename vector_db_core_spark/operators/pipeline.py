@@ -124,6 +124,64 @@ def pipeline_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_corpus_curation",
+    oracle=r"""
+    WITH keep AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (
+               PARTITION BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM documents),
+    split AS (
+      SELECT CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+                  WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS split,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+      FROM keep WHERE rn = 1)
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+    FROM split GROUP BY split
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass — canonical dedup → content-hash
+    split → per-split size/quality accounting — one lazy plan, the
+    shape of a real corpus-preparation job.
+
+    Shuffle budget: ONE exchange on the canonical hash (the dedup
+    window; high-cardinality key, scales with distinct content), then
+    one tiny aggregated exchange for the 3-row split summary. Split
+    assignment and token counting ride the same pass as the window —
+    no extra scans. Composition is the point: every stage is the same
+    operator registered standalone (dedup_canonical_documents,
+    pipeline_train_val_test_split, text token stats), demonstrated
+    here chained without materialization barriers.
+    """
+    from vector_db_core_spark.functions.text import canonical_text, tokens
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    rn = F.row_number().over(
+        W.partitionBy(F.sha2(canonical_text("text"), 256)).orderBy("doc_id")
+    )
+    keep = docs.withColumn("rn", rn).where(F.col("rn") == 1)
+    nib = F.substring(F.md5("text"), 1, 1)
+    split = F.when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test")
+    n_tokens = F.size(tokens(F.col("text")))
+    return (
+        keep.select(split.alias("split"), n_tokens.alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("n_tokens") >= 40, 1).otherwise(0)).cast("bigint").alias("n_quality"),
+        )
+    )
+
+
+@register(
     "pipeline_normalize_text",
     oracle=r"""
     SELECT doc_id,
