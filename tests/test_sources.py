@@ -121,3 +121,57 @@ def test_concurrent_reads_shared_engine(spark, tmp_path):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(reader, range(0, 800, 100)))
     assert all(results)
+
+
+def test_write_any_roundtrips_all_formats(spark, tmp_path):
+    from vector_db_core_spark.sources import read_any, write_any
+
+    src = spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS grp", "CONCAT('v', id) AS name"
+    )
+    expect = sorted((r.id, r.grp, r.name) for r in src.collect())
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        write_any(src, p, fmt=fmt)
+        back = read_any(spark, p, fmt=fmt, schema="id BIGINT, grp INT, name STRING")
+        assert sorted((r.id, r.grp, r.name) for r in back.collect()) == expect, fmt
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A filter on the partition column must prune at the DIRECTORY
+    level (PartitionFilters in the scan), not post-scan."""
+    from vector_db_core_spark.sources import write_any
+
+    src = spark.range(0, 1000).selectExpr("id", "CAST(id % 5 AS INT) AS bucket")
+    p = str(tmp_path / "parts")
+    write_any(src, p, partition_by=["bucket"])
+    back = spark.read.parquet(p).where("bucket = 3")
+    assert back.count() == 200
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key/count must sort-merge join
+    with ZERO Exchange operators — the co-located fact-fact join."""
+    from vector_db_core_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bt_a", "k", n_buckets=8, path=str(tmp_path / "bt_a"))
+    write_bucketed(b, "bt_b", "k", n_buckets=8, path=str(tmp_path / "bt_b"))
+    # at test scale AQE would broadcast instead (both tables are tiny);
+    # disable it so the plan is the fact-fact SortMergeJoin this
+    # feature exists for at real scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "bt_a").join(read_bucketed(spark, "bt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing replaced the shuffle
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")

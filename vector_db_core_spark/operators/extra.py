@@ -675,6 +675,64 @@ def text_vocabulary_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_ntile_percentile_ranks",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
+           first_value(o_orderkey)
+             OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles, percent_rank, cume_dist,
+    and first_value with an explicit ROWS frame — the quantile-bucketing
+    pass a curation pipeline uses to, e.g., keep the top quality
+    quartile per source. o_orderkey tiebreak makes every rank
+    deterministic. Same caveat as any ranking window: partition count
+    is the priority cardinality here for demo symmetry with the oracle;
+    the scalable form keys on a high-card column (see
+    window_rank_dense_rank)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first_value("o_orderkey")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cheapest_so_far"),
+    )
+
+
+@register(
+    "scalar_edit_distance",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(lower(p_name), 'steel') AS INT) AS dist_steel
+    FROM part
+    WHERE levenshtein(lower(p_name), 'steel') <= 7
+    """,
+)
+def scalar_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance — fuzzy string matching (typo-tolerant
+    entity matching, OCR cleanup in document pipelines). Per-row
+    codegen'd dynamic program; cost is O(len_a x len_b) per row, so at
+    scale bound operand lengths (or pre-filter with cheap length/prefix
+    bands) before distancing — here the filter keeps the nearest
+    ~quartile only."""
+    p = _t(spark, sf_dir, "part")
+    d = F.levenshtein(F.lower("p_name"), F.lit("steel"))
+    return p.select(
+        "p_partkey", "p_name", d.cast("int").alias("dist_steel")
+    ).where(d <= 7)
+
+
+@register(
     "window_tumbling_event_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,

@@ -4,7 +4,8 @@ from vector_db_core_spark.sources.loaders import (
     load_all,
     load_table,
     read_any,
+    write_any,
     register_views,
 )
 
-__all__ = ["TABLES", "init_session", "load_table", "load_all", "read_any", "register_views"]
+__all__ = ["TABLES", "init_session", "load_table", "load_all", "read_any", "write_any", "register_views"]

@@ -102,3 +102,30 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, 
     if fmt == "csv":
         options.setdefault("header", "true")
     return reader.options(**options).format(fmt).load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] | list[str] = (),
+    **options,
+) -> None:
+    """Generic sink: parquet (default), csv, json, orc — the write
+    side of ``read_any``.
+
+    ``partition_by`` lays the dataset out as one directory per value
+    (hive-style): readers that filter on a partition column scan ONLY
+    the matching directories (partition pruning — the coarsest and
+    cheapest pruning level, above row-group stats). Partition by
+    bounded-cardinality columns only; a high-cardinality partition key
+    produces millions of tiny files and kills the listing phase at
+    100 TB scale.
+    """
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).options(**options).save(path)
