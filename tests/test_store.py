@@ -143,3 +143,86 @@ def test_push_single(spark, tmp_path):
     store.push({"my_number1": 1, "my_string1": "a", "my_number2": 10, "my_boolean1": True, "my_string2": None})
     assert store.count() == 1
     assert store.pull_row(0).my_string2 is None
+
+
+def test_concurrent_reads_multithreaded(spark, tmp_path):
+    """The reference's multi-thread random-read pattern
+    (cache_performance_test.rs:306-366 — Arc-shared engine, N OS
+    threads): one store, 8 Python threads issuing random point and
+    range reads concurrently. Spark sessions are thread-safe for
+    concurrent actions; every read must see the full committed batch."""
+    import concurrent.futures
+    import random
+
+    from vector_db_core_spark.store import OrdinalStore
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT, b STRING")
+    store.pushx([{"a": i, "b": f"v{i}"} for i in range(2000)])
+    rng = random.Random(42)
+    idxs = [rng.randrange(2000) for _ in range(24)]
+
+    def point_read(i):
+        r = store.pull_row(i)
+        return (i, r.a, r.b)
+
+    def range_read(i):
+        lo = min(i, 1990)
+        rows = store.pullx(lo, 10).collect()
+        return (lo, [r.a for r in rows])
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        points = list(ex.map(point_read, idxs))
+        ranges = list(ex.map(range_read, idxs[:8]))
+    for i, a, b in points:
+        assert a == i and b == f"v{i}"
+    for lo, vals in ranges:
+        assert vals == list(range(lo, lo + 10))
+
+
+def test_two_phase_append_read_append_read(spark, tmp_path):
+    """The reference's two-phase extend/getx cycle
+    (cache_engine_performance_test.rs:227-264): append, read back,
+    append again, read across the batch boundary — ordinals continue
+    and both batches are visible with correct values."""
+    from vector_db_core_spark.store import OrdinalStore
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT")
+    assert store.pushx([{"a": i} for i in range(500)]) == 0
+    assert [r.a for r in store.pullx(490, 10).collect()] == list(range(490, 500))
+    assert store.pushx([{"a": 500 + i} for i in range(500)]) == 500
+    assert store.count() == 1000
+    # read spanning the two physical batches
+    got = [r.a for r in store.pullx(495, 10).collect()]
+    assert got == list(range(495, 505))
+    assert store.pull_row(999).a == 999
+
+
+def test_dense_rowid_property_random_shapes(spark):
+    """Property test (hypothesis): for ANY batch size, partitioning and
+    start offset, with_dense_rowid yields exactly [start, start+n) with
+    no gaps or duplicates — the ordinal invariant the whole store rests
+    on. The reference has no property tests (SURVEY §5); the invariant
+    here is load-bearing enough to warrant one."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=3000),
+        parts=st.integers(min_value=1, max_value=40),
+        start=st.sampled_from([0, 1, 1000, 2**33]),
+    )
+    def check(n, parts, start):
+        df = spark.range(0, n, 1, parts).select(F.col("id").alias("payload"))
+        out = with_dense_rowid(df, start=start)
+        if n == 0:
+            assert out.count() == 0
+            return
+        stats = out.agg(
+            F.count("*").alias("c"),
+            F.countDistinct("rowid").alias("d"),
+            F.min("rowid").alias("lo"),
+            F.max("rowid").alias("hi"),
+        ).collect()[0]
+        assert (stats.c, stats.d, stats.lo, stats.hi) == (n, n, start, start + n - 1)
+
+    check()
