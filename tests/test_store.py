@@ -226,3 +226,32 @@ def test_dense_rowid_property_random_shapes(spark):
         assert (stats.c, stats.d, stats.lo, stats.hi) == (n, n, start, start + n - 1)
 
     check()
+
+
+def test_compact_collapses_files_and_preserves_rowids(spark, tmp_path):
+    """20 tiny appends → many files; compact(2) → 2 range-partitioned
+    files with identical data, continuing pruning, and a working
+    subsequent append."""
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT")
+    for b in range(20):
+        store.pushx([{"a": b * 50 + i} for i in range(50)])
+    before = store.stats()
+    assert len(before) >= 20
+    assert store.compact(n_files=2) == 1000
+    after = store.stats()
+    assert len(after) == 2
+    # files cover contiguous, disjoint rowid ranges (pruning-friendly)
+    assert after[0].min_rowid == 0 and after[-1].max_rowid == 999
+    assert after[0].max_rowid + 1 == after[1].min_rowid
+    # data identical
+    rows = store.getall().select("rowid", "a").collect()
+    assert [r.rowid for r in rows] == list(range(1000))
+    assert all(r.rowid == r.a for r in rows)
+    # range predicate still reaches the scan
+    plan = store.pullx(500, 10)._jdf.queryExecution().explainString(
+        store.pullx(500, 10)._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "GreaterThanOrEqual(rowid,500)" in plan
+    # appends continue past compaction
+    assert store.pushx([{"a": 1000 + i} for i in range(10)]) == 1000
+    assert store.count() == 1010

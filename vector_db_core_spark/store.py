@@ -289,6 +289,75 @@ class OrdinalStore:
         except IndexError:
             return None
 
+    # -- maintenance --------------------------------------------------
+    def stats(self) -> list[Row]:
+        """Per-file layout stats: (file, n_rows, min_rowid, max_rowid).
+
+        The observability surface for the small-files problem: many
+        small appends → many small parquet files → listing + open
+        overhead dominates reads at scale. One metadata-cheap scan
+        (rowid column only) grouped by ``input_file_name``; feed the
+        result into a ``compact()`` decision.
+        """
+        return (
+            self._df()
+            .select(F.input_file_name().alias("file"), F.col(ROWID))
+            .groupBy("file")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min(ROWID).alias("min_rowid"),
+                F.max(ROWID).alias("max_rowid"),
+            )
+            .orderBy("min_rowid")
+            .collect()
+        )
+
+    def compact(self, n_files: int = 0) -> int:
+        """Rewrite the store into ``n_files`` range-partitioned files
+        (default: one file per ~1M rows), preserving every rowid.
+
+        The maintenance pass any append-heavy store needs: ordinals and
+        data are unchanged, but the physical layout goes back to few
+        large files, each covering a CONTIGUOUS rowid range and sorted
+        within (``repartitionByRange(rowid)`` + sortWithinPartitions),
+        so row-group pruning for point/range reads is as tight as a
+        freshly bulk-written store. Offline operation — concurrent
+        readers of the same path may see a partial swap (same
+        single-writer contract as ``pushx``); a crash mid-swap leaves
+        the complete old or complete new directory plus a leftover to
+        clean, never a mix.
+
+        Returns the row count (sanity-checked before the swap).
+        """
+        import shutil
+
+        n = self.count()
+        if n == 0:
+            return 0
+        if n_files <= 0:
+            n_files = max(1, n // 1_000_000)
+        new_path = self.path.rstrip("/") + ".compacting"
+        shutil.rmtree(new_path, ignore_errors=True)
+        (
+            self._df()
+            .repartitionByRange(n_files, F.col(ROWID))
+            .sortWithinPartitions(ROWID)
+            .write.mode("overwrite")
+            .parquet(new_path)
+        )
+        rewritten = self.spark.read.parquet(new_path).count()
+        if rewritten != n:
+            shutil.rmtree(new_path, ignore_errors=True)
+            raise RuntimeError(f"compact wrote {rewritten} rows, expected {n}; aborted")
+        old_path = self.path.rstrip("/") + ".old"
+        shutil.rmtree(old_path, ignore_errors=True)
+        os.replace(self.path, old_path)
+        os.replace(new_path, self.path)
+        shutil.rmtree(old_path, ignore_errors=True)
+        self._write_meta(n)
+        self._reconciled = True
+        return n
+
     def getall(self, ordered: bool = True) -> DataFrame:
         """Full scan (vector_engine.rs:47-53).
 
