@@ -675,6 +675,48 @@ def text_vocabulary_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_gap_filled_daily_revenue",
+    oracle="""
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          COUNT(*) AS n_orders,
+                          CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+                   FROM orders GROUP BY 1),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+    SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders, COALESCE(d.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a complete daily revenue series with
+    zero rows for days that had no orders (downstream resampling /
+    charting / forecasting all assume a dense spine).
+
+    The date spine is generated from the data's own min/max with
+    ``sequence`` — a one-row aggregate exploded to ~n_days rows, so
+    the spine side is broadcast-trivially-small at ANY fact scale and
+    the left join adds no fact shuffle beyond the daily aggregate
+    (which moves only aggregated rows)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue")
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+@register(
     "window_ntile_percentile_ranks",
     oracle="""
     SELECT o_orderkey,

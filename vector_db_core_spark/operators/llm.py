@@ -861,6 +861,86 @@ def sim_ann_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+                 FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+    freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)
+    SELECT doc_id,
+           round(CAST(SUM(CAST(ln(c / (SELECT n FROM tot)) AS DECIMAL(27,15))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob
+    FROM tok JOIN freq USING (token)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-style quality
+    filter (docs whose tokens are improbable under the corpus unigram
+    distribution are boilerplate/garbage candidates; the cheap stand-in
+    for model-based perplexity filtering).
+
+    Self-training plan: one pass builds the token frequency table
+    (aggregated rows only in the shuffle), the corpus total rides along
+    as a broadcast one-row aggregate, and scoring joins tokens to the
+    frequency table (high-cardinality equi-join AQE handles). Per-token
+    ``ln`` values are cast to DECIMAL before summing so the per-doc sum
+    is order-independent; round(6) absorbs the engines' last-ulp ``ln``
+    and cast-tie differences (same policy as text_tfidf_top_terms).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    total = tok.agg(F.count("*").cast("double").alias("_n"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    return (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lp", F.log(F.col("c") / F.col("_n")).cast("decimal(27,15)"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"))
+    )
+
+
+@register(
+    "dedup_decontaminate_benchmark",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+    bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
+    corpus AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5)
+    SELECT DISTINCT doc_id AS contaminated_doc_id
+    FROM corpus WHERE shingle IN (SELECT shingle FROM bench)
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    3-gram shingle with a held-out evaluation set (docs 0-4 stand in
+    for the benchmark) — the standard pre-training hygiene pass that
+    keeps eval answers out of the training corpus.
+
+    The benchmark side is tiny by nature (eval sets are thousands of
+    documents, not billions), so its distinct shingles BROADCAST and
+    the contamination test is a map-side left-semi join against the
+    exploded corpus shingles: no corpus shuffle at all — this plan
+    runs unchanged at 100 TB.
+    """
+    sh = _shingle_sets(_t(spark, sf_dir, "documents"))
+    bench = (
+        sh.where(F.col("doc_id") < 5)
+        .select(F.explode("s").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.where(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode("s").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left_semi")
+        .select(F.col("doc_id").alias("contaminated_doc_id"))
+        .distinct()
+    )
+
+
 # ------------------------------------------------------------------- multimodal
 @register(
     "multimodal_binary_metadata",
