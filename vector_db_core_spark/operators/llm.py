@@ -862,6 +862,76 @@ def sim_ann_brp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_connected_clusters",
+    oracle=f"""
+    WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src
+    """,
+)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS: connected components over the verified near-dup
+    pairs, labeling every clustered document with the min doc_id of its
+    component — the step that turns pairwise matches into "keep one
+    representative per group" decisions (pairs alone can't: near-dup is
+    not transitive, components are).
+
+    Iterative min-label propagation — the canonical Spark shape for an
+    algorithm SQL can't express in one pass: each round is one
+    (edges ⋈ labels) + min-aggregate, labels persist between rounds
+    (lineage cut), and the loop stops when a one-row count says no
+    label changed. Rounds needed = component diameter (tiny for dedup
+    graphs: duplicates cluster tightly); each round shuffles only
+    (node, label) pairs, never documents. The DuckDB oracle computes
+    the same fixpoint with a recursive CTE.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(20):  # >= diameter of any real dedup component
+            nbr = (
+                edges.join(labels, edges.doc_b == labels.node)
+                .groupBy("doc_a")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, labels.node == nbr.doc_a, "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+        )
+    finally:
+        edges.unpersist()
+
+
+@register(
     "text_unigram_logprob",
     oracle=r"""
     WITH tok AS (SELECT doc_id,
