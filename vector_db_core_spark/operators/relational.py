@@ -357,6 +357,8 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event time: previous/next value and the
+    delta to it — one window, one shuffle on the high-card user key."""
     w = W.partitionBy("user_id").orderBy("event_id")
     v = F.col("value")
     return _t(spark, sf_dir, "events").select(
@@ -422,6 +424,8 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers appearing in both order populations
+    — plans as a left-semi join under a distinct aggregate."""
     a = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000).select("c_custkey")
     b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return a.intersect(b)
@@ -436,6 +440,8 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers in one population but not the other —
+    plans as a left-anti join under a distinct aggregate."""
     a = _t(spark, sf_dir, "customer").select("c_custkey")
     b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return a.subtract(b)  # EXCEPT (distinct) semantics
@@ -447,6 +453,8 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT c_mktsegment FROM customer",
 )
 def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct on a projected column — partial-aggregated before the
+    shuffle, so the exchange carries one row per segment per partition."""
     return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
 
@@ -465,6 +473,8 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand-total aggregate panel: count/min/max/countDistinct and
+    exact-decimal sum/avg in ONE pass over lineitem (no per-metric scans)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),
@@ -503,6 +513,8 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations in one
+    pass; rows expand BEFORE the shuffle but only aggregated rows move."""
     return (
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -527,6 +539,8 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function panel (concat/substring/upper/lower/trim/lpad/
+    length/regexp_extract/replace/split) — per-row codegen, no shuffle."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -584,6 +598,8 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function panel (abs/round/floor/ceil/sqrt/exp/ln/pow/mod/sign)
+    with exact-decimal casts where engines round differently."""
     e = _t(spark, sf_dir, "events")
     v = F.col("value")
     return e.select(
@@ -628,6 +644,8 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def case_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-expression bucketing of order totals into named bands + one
+    aggregate per band — the searched-CASE surface in a grouped plan."""
     o = _t(spark, sf_dir, "orders")
     bucket = (
         F.when(F.col("o_totalprice") < 100000, "small")
