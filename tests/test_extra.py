@@ -67,3 +67,20 @@ def test_schema_reflection_mirrors_macro(spark):
     rep = {r["name"]: r for r in schema_report(load_table(spark, SF_ORACLE, "documents"))}
     assert rep["text"]["dynamic_size"] and rep["text"]["type"] == "string"
     assert not rep["doc_id"]["dynamic_size"]
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """The sketch percentiles must sit within 1% relative of the exact
+    sort-based answers per group."""
+    approx = {
+        r.o_orderpriority: (r.p25, r.median_price, r.p95)
+        for r in QUERIES["agg_approx_percentile"](spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r.o_orderpriority: (r.p25, r.median_price, r.p95)
+        for r in QUERIES["agg_percentile_price_quartiles"](spark, SF_ORACLE).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(float(a) - float(e)) / float(e) < 0.01, (k, a, e)

@@ -543,6 +543,22 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile")  # t-digest sketches differ per engine → rows-only
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` — the sketch twin of the exact percentile
+    query (agg_percentile_price_quartiles): one streaming pass,
+    mergeable map-side state of bounded size, no sort — the form that
+    scales to 100 TB. accuracy=10000 ⇒ rank error <= 1/10000.
+    Sketch internals are engine-specific (no value oracle);
+    tests/test_extra.py bounds the error against the exact values."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", 0.25, 10000).alias("p25"),
+        F.approx_percentile("o_totalprice", 0.5, 10000).alias("median_price"),
+        F.approx_percentile("o_totalprice", 0.95, 10000).alias("p95"),
+    )
+
+
 @register(
     "agg_corr_covar_lineitem",
     oracle="""
