@@ -83,11 +83,33 @@ def minhash_signatures_df(
     family, whose shared ``argmin(h2)`` correlates the signature slots
     and breaks the min-wise independence MinHash needs (observed as
     missed true near-duplicates).
+
+    CAVEAT (measured 6x): exploding a shingle array that is itself an
+    interpreted higher-order EXPRESSION re-evaluates that expression
+    inside the Generate per emitted row. Callers with expression-built
+    shingles should feed pre-hashed rows to
+    ``minhash_signatures_from_hashes`` instead (see
+    operators/llm._shingle_hashes for the window-lead construction).
     """
     ex = df.select(id_col, F.explode(shingles_col).alias("_sh")).select(
         id_col, F.xxhash64("_sh").alias("_b")
     )
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("_b"))).alias(f"_s{i}") for i in range(num_hashes)]
+    return minhash_signatures_from_hashes(ex, id_col, "_b", num_hashes)
+
+
+def minhash_signatures_from_hashes(
+    ex, id_col: str = "doc_id", hash_col: str = "_b", num_hashes: int = 64
+):
+    """Signature aggregate over pre-hashed shingles ``(id, hash)``.
+
+    Duplicate shingle rows are harmless by construction: min over a
+    multiset equals min over its set, so positional (non-distinct)
+    shingle streams produce identical signatures to distinct sets —
+    which is what lets the fast window-lead shingle path skip a
+    dedup shuffle entirely.
+    """
+    h = F.col(hash_col)
+    aggs = [F.min(F.xxhash64(F.lit(i), h)).alias(f"_s{i}") for i in range(num_hashes)]
     wide = ex.groupBy(id_col).agg(*aggs)
     return wide.select(id_col, F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"))
 
@@ -128,8 +150,18 @@ def simhash64_df(df, id_col: str = "doc_id", terms_col: str = "s"):
     ex = df.select(id_col, F.explode(terms_col).alias("_t")).select(
         id_col, F.xxhash64("_t").alias("_h")
     )
+    return simhash64_from_hashes(ex, id_col, "_h")
+
+
+def simhash64_from_hashes(ex, id_col: str = "doc_id", hash_col: str = "_h"):
+    """SimHash aggregate over pre-hashed terms ``(id, hash)``.
+
+    Unlike MinHash, the ±1 SUM is duplicate-sensitive — callers
+    feeding positional shingle streams must ``distinct()`` the
+    (id, hash) rows first to keep set semantics.
+    """
     aggs = [
-        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{j}")
+        F.sum(F.shiftright(F.col(hash_col), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{j}")
         for j in range(64)
     ]
     wide = ex.groupBy(id_col).agg(*aggs)

@@ -38,9 +38,9 @@ from pyspark.sql import functions as F
 from vector_db_core_spark.functions.text import (
     canonical_text,
     lsh_band_keys,
-    minhash_signatures_df,
+    minhash_signatures_from_hashes,
     shingles_of_tokens,
-    simhash64_df,
+    simhash64_from_hashes,
     tokens,
 )
 from vector_db_core_spark.functions.vectors import (
@@ -109,6 +109,43 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     return toksdf.select(
         "doc_id", F.array_distinct(shingles_of_tokens(F.col("_toks"), 3)).alias("s")
     )
+
+
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, _b: long) — xxhash64 of every 3-gram shingle, one row
+    per POSITION (duplicates retained; hash universe identical to
+    ``xxhash64`` of the ``_shingle_sets`` strings).
+
+    The fast signature input. Exploding ``_shingle_sets``'s
+    expression-built array re-evaluates the interpreted shingle lambda
+    inside the Generate per emitted row (measured ~6x the whole
+    signature cost at sf0.1). This path explodes the codegen'd
+    ``split`` instead and rebuilds each shingle from its two
+    lead() neighbors — one narrow (doc_id, pos, token) shuffle for the
+    window, after which hashing is pure codegen. Duplicates are fine
+    for MinHash (min over multiset == min over set); SimHash callers
+    must ``.distinct()`` first.
+    """
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok"))
+        .where(F.col("tok") != "")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    tri = toks.withColumn("t1", F.lead("tok", 1).over(w)).withColumn(
+        "t2", F.lead("tok", 2).over(w)
+    )
+    long_docs = tri.where(F.col("t2").isNotNull()).select(
+        "doc_id", F.xxhash64(F.concat_ws(" ", "tok", "t1", "t2")).alias("_b")
+    )
+    # <3-token documents: single whole-text shingle (same rule as
+    # shingles_of_tokens); the filter is codegen'd so this branch costs
+    # one cheap scan even when it matches nothing
+    short_docs = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .where(F.size("_toks") < 3)
+        .select("doc_id", F.xxhash64(F.array_join("_toks", " ")).alias("_b"))
+    )
+    return long_docs.unionByName(short_docs)
 
 
 def _jaccard(sa, sb) -> F.Column:
@@ -220,10 +257,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup detection — the 100 TB scale path.
 
     Pipeline (shuffle budget in brackets):
-      1. shingle sets + 64-slot MinHash signatures — per-row map work
-         [no shuffle];
+      1. shingle hashes via the window-lead path (_shingle_hashes)
+         [one narrow (doc_id, pos, token) shuffle] → 64-slot MinHash
+         signatures [aggregated rows only];
       2. 16 bands x 4 rows → band keys; explode to (doc_id, band, key)
-         [shuffle of docs x 16 TINY rows, the only data movement];
+         [shuffle of docs x 16 TINY rows];
       3. self-join on (band, key) → candidate pairs, distinct
          [shuffle of candidates only];
       4. exact Jaccard verification on candidates — re-join the two
@@ -236,7 +274,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     sh = _shingle_sets(docs)
-    sig = minhash_signatures_df(sh, "doc_id", "s", num_hashes=64)
+    sig = minhash_signatures_from_hashes(_shingle_hashes(docs), "doc_id", "_b", num_hashes=64)
     bands = sig.select(
         "doc_id",
         F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
@@ -273,7 +311,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no xxhash64.
     """
     docs = _t(spark, sf_dir, "documents")
-    fp = simhash64_df(_shingle_sets(docs), "doc_id", "s")
+    fp = simhash64_from_hashes(_shingle_hashes(docs).distinct(), "doc_id", "_b")
     chunks = fp.select(
         "doc_id",
         "simhash",
