@@ -38,3 +38,25 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", [
+    "q1_pricing_summary",        # exact-decimal sums
+    "agg_stddev_variance",       # decimal moments
+    "sim_label_centroids",       # decimal vector means
+    "text_unigram_logprob",      # decimal-cast ln sums
+])
+def test_results_partition_independent(name, spark):
+    """The exact-arithmetic policy's real claim: identical results at
+    ANY parallelism. Run each decimal-accumulation query at 3 and 32
+    shuffle partitions and require bit-identical rows."""
+    q = _pairs()[1]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(str, q[name](spark, SF_ORACLE).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = sorted(map(str, q[name](spark, SF_ORACLE).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b

@@ -255,3 +255,19 @@ def test_compact_collapses_files_and_preserves_rowids(spark, tmp_path):
     # appends continue past compaction
     assert store.pushx([{"a": 1000 + i} for i in range(10)]) == 1000
     assert store.count() == 1010
+
+
+def test_schema_evolution_added_column(spark, tmp_path):
+    """A later batch may add a nullable column; reads merge schemas and
+    old rows surface NULL — the [EXT] capability the reference's
+    compile-time schemas rule out."""
+    store = OrdinalStore(spark, str(tmp_path / "s"))
+    store.pushx(spark.createDataFrame([(i,) for i in range(50)], "a INT"))
+    store.pushx(spark.createDataFrame([(50 + i, f"x{i}") for i in range(50)], "a INT, b STRING"))
+    rows = store.getall().collect()
+    assert len(rows) == 100
+    assert set(rows[0].asDict()) == {"a", "rowid", "b"}
+    by_id = {r.rowid: r for r in rows}
+    assert by_id[10].b is None          # old rows: NULL for the new column
+    assert by_id[60].b == "x10"         # new rows carry it
+    assert store.pull_row(99).a == 99   # ordinals unaffected

@@ -207,8 +207,12 @@ class OrdinalStore:
     def _df(self) -> DataFrame:
         # the stored dataset carries payload + rowid; parquet footers
         # are authoritative (self.schema describes only the payload and
-        # is used when coercing python rows in pushx)
-        return self.spark.read.parquet(self.path)
+        # is used when coercing python rows in pushx). mergeSchema
+        # reconciles batches appended with evolved (column-added)
+        # schemas — see ``pushx`` docstring; cost is one footer read
+        # per file at planning time, so large stores should compact()
+        # periodically anyway.
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def pushx(self, batch: DataFrame | Sequence[Row] | Iterable[dict]) -> int:
         """Bulk append; returns the first ordinal assigned.
@@ -219,6 +223,13 @@ class OrdinalStore:
         shuffle-free, the batch is sorted within partitions by rowid so
         row-group stats stay pruning-friendly, and one atomic
         parquet append commits it.
+
+        Schema evolution [EXT — the reference's schemas are fixed at
+        compile time, dynamic-vector-macro]: a batch may ADD nullable
+        columns relative to earlier batches; reads merge footers
+        (``mergeSchema``) and older rows surface NULL for the new
+        columns. Dropping or retyping columns is not supported —
+        parquet would resolve them inconsistently.
         """
         if not isinstance(batch, DataFrame):
             batch = self.spark.createDataFrame(list(batch), schema=self.schema)
