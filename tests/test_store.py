@@ -271,3 +271,17 @@ def test_schema_evolution_added_column(spark, tmp_path):
     assert by_id[10].b is None          # old rows: NULL for the new column
     assert by_id[60].b == "x10"         # new rows carry it
     assert store.pull_row(99).a == 99   # ordinals unaffected
+
+
+def test_pushx_deterministic_source_flag(spark, tmp_path):
+    """deterministic_source=True (no safety persist) still yields dense
+    ordinals for a file/range-style input, and composes with appends."""
+    store = OrdinalStore(spark, str(tmp_path / "s"))
+    batch = spark.range(0, 5000, 1, 16).selectExpr("CAST(id AS INT) AS a")
+    assert store.pushx(batch, deterministic_source=True) == 0
+    assert store.pushx(batch, deterministic_source=True) == 5000
+    stats = store.getall(ordered=False).agg(
+        F.count("*").alias("n"), F.countDistinct("rowid").alias("d"),
+        F.min("rowid").alias("lo"), F.max("rowid").alias("hi"),
+    ).collect()[0]
+    assert (stats.n, stats.d, stats.lo, stats.hi) == (10000, 10000, 0, 9999)

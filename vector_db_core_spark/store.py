@@ -214,7 +214,11 @@ class OrdinalStore:
         # periodically anyway.
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
-    def pushx(self, batch: DataFrame | Sequence[Row] | Iterable[dict]) -> int:
+    def pushx(
+        self,
+        batch: DataFrame | Sequence[Row] | Iterable[dict],
+        deterministic_source: bool = False,
+    ) -> int:
         """Bulk append; returns the first ordinal assigned.
 
         The Spark analog of `save_bulk`'s reserve-ordinals → one blob
@@ -230,6 +234,14 @@ class OrdinalStore:
         (``mergeSchema``) and older rows surface NULL for the new
         columns. Dropping or retyping columns is not supported —
         parquet would resolve them inconsistently.
+
+        ``deterministic_source=True`` skips the safety persist of the
+        tagged batch (one full materialization) — correct ONLY when
+        re-evaluating the input reproduces the same rows in the same
+        partitions (file scans, ``range``, createDataFrame; NOT
+        anything downstream of shuffles, ``rand``, or sampling).
+        Misuse silently corrupts the ordinal invariant — when unsure,
+        leave the default.
         """
         if not isinstance(batch, DataFrame):
             batch = self.spark.createDataFrame(list(batch), schema=self.schema)
@@ -239,14 +251,15 @@ class OrdinalStore:
         # (shuffles, sampled/rand inputs) — without this, drift between
         # the two evaluations could assign non-dense or duplicate
         # ordinals silently.
-        tagged = batch.withColumn("_mid", F.monotonically_increasing_id()).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        tagged = batch.withColumn("_mid", F.monotonically_increasing_id())
+        if not deterministic_source:
+            tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             out, written = _dense_rowid_frame(tagged, start)
             out.sortWithinPartitions(ROWID).write.mode("append").parquet(self.path)
         finally:
-            tagged.unpersist()
+            if not deterministic_source:
+                tagged.unpersist()
         self._write_meta(start + written)
         self._reconciled = True
         return start
