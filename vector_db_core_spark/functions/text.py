@@ -114,6 +114,27 @@ def minhash_signatures_from_hashes(
     return wide.select(id_col, F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_sig_of_set(hash_set: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature COLUMN from an ``array<long>`` of distinct
+    shingle hashes: slot ``i`` = ``min over set of xxhash64(i, h)``.
+
+    The projection twin of ``minhash_signatures_from_hashes`` for
+    callers that already aggregated the shingle-hash set (e.g. because
+    verification needs it anyway): one nested ``transform`` instead of
+    ``num_hashes`` separate min-aggregates. Same hash family, same
+    signatures — but the generated code is one short expression, where
+    the 64-aggregate form compiles a huge codegen stage (measured 10x
+    the whole query's runtime in JIT/janino compile alone at small SF).
+    Trade-off: the mins are computed post-shuffle from the full set, so
+    callers that DON'T need the set downstream should prefer the
+    aggregate form (its shuffle carries 64 longs instead of the set).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(hash_set, lambda h: F.xxhash64(i, h))),
+    )
+
+
 def lsh_band_keys(signature: Column, bands: int = 16, rows: int = 4) -> Column:
     """Banded LSH keys: array of ``(band, key)`` structs.
 

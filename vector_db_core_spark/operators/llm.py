@@ -34,11 +34,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from vector_db_core_spark.functions.text import (
     canonical_text,
     lsh_band_keys,
-    minhash_signatures_from_hashes,
+    minhash_sig_of_set,
     shingles_of_tokens,
     simhash64_from_hashes,
     tokens,
@@ -258,14 +259,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline (shuffle budget in brackets):
       1. shingle hashes via the window-lead path (_shingle_hashes)
-         [one narrow (doc_id, pos, token) shuffle] → 64-slot MinHash
-         signatures [aggregated rows only];
+         [one narrow (doc_id, pos, token) shuffle], then ONE aggregate
+         collects the distinct shingle-hash set and the 64-slot MinHash
+         signature derives from it in a single projection
+         (minhash_sig_of_set) [aggregated rows only] — materialized
+         once (persist) for all four downstream consumers (both band
+         join sides, both verify sides) instead of re-running the
+         corpus scan per consumer;
       2. 16 bands x 4 rows → band keys; explode to (doc_id, band, key)
          [shuffle of docs x 16 TINY rows];
       3. self-join on (band, key) → candidate pairs, distinct
          [shuffle of candidates only];
       4. exact Jaccard verification on candidates — re-join the two
-         shingle sets, filter >= 0.5 [candidate-sized].
+         shingle-hash sets, filter >= 0.5 [candidate-sized; Jaccard
+         over 64-bit shingle hashes equals Jaccard over the string
+         shingles up to a ~2^-64 per-pair collision, and long-array
+         intersection beats string-array intersection].
     Detection probability at j=0.9 is 1-(1-0.9^4)^16 ≈ 1-4e-8, and
     verification removes all false positives, so the output equals the
     exact all-pairs answer (same oracle) without the O(n²) join.
@@ -273,9 +282,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reruns and the driver see identical results.
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = _shingle_sets(docs)
-    sig = minhash_signatures_from_hashes(_shingle_hashes(docs), "doc_id", "_b", num_hashes=64)
-    bands = sig.select(
+    hashes = _shingle_hashes(docs)
+    # One aggregate produces the shingle-hash set; the 64 signature
+    # slots derive from it as a single short expression
+    # (minhash_sig_of_set — the 64-separate-aggregates form spends 10x
+    # the query's runtime compiling its huge codegen stage). Persisted
+    # because FOUR consumers read it (two band-join sides, two verify
+    # sides) — the signature table a production LSH job would
+    # materialize; column pruning would otherwise specialize each
+    # consumer's plan and defeat exchange reuse. CacheManager keys on
+    # the logical plan, so repeated calls (e.g. the
+    # connected-components query on top of this one) share one cache
+    # entry rather than leaking.
+    grouped = (
+        hashes.groupBy("doc_id")
+        .agg(F.collect_set("_b").alias("hs"))
+        .withColumn("sig", minhash_sig_of_set(F.col("hs"), num_hashes=64))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = grouped.select(
         "doc_id",
         F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -286,8 +311,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    sa = grouped.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
+    sb = grouped.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
