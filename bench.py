@@ -8,6 +8,17 @@ reference-defined store workloads (BASELINE.md §A):
       (reproducing /root/reference/tests/tests/sample_data_test.rs:79-98)
   W2  contiguous ordinal range read of the same 1,000,000 records
       (sample_data_test.rs:99-107)
+  W4  1,000 random point reads over the hottest 10% of the keyspace,
+      uncached vs LRU-cached (cache_performance_test.rs:151-198,
+      258-303) — expressed Spark-first as ONE batched lookup join
+      (broadcast of the 1,000 probe keys), against cold parquet and
+      against a hot_table-pinned frame; a driver loop of 1,000
+      single-row jobs would measure scheduler overhead, not the engine
+  W7  1,000 one-by-one pushes through the write-behind buffer, then
+      the flush and a full ordinal-range readback
+      (cache_engine_performance_test.rs:115-159) — the workload the
+      IngestBuffer exists for: accepts are O(1) driver-side appends,
+      the flush is one distributed job
 
 Headline queries exclude the all-pairs O(n²) correctness baselines
 (`dedup_ngram_jaccard_pairs`, `sim_embedding_near_pairs`) — at bench
@@ -93,9 +104,98 @@ def bench_store(spark) -> dict[str, float]:
         store.pullx(0, STORE_ROWS).write.mode("overwrite").format("noop").save()
         w2 = time.perf_counter() - t0
         assert store.count() == STORE_ROWS
-        return {"w1_append_1m_sec": round(w1, 3), "w2_range_read_1m_sec": round(w2, 3)}
+
+        w4 = bench_point_reads(spark, store)
+        w7 = bench_buffer(spark, os.path.join(tmp, "s7"))
+        return {
+            "w1_append_1m_sec": round(w1, 3),
+            "w2_range_read_1m_sec": round(w2, 3),
+            **w4,
+            **w7,
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_point_reads(spark, store) -> dict[str, float]:
+    """W4: 10 turns x 1,000 point reads over the hottest 10% of
+    ordinals (the reference's COUNT/TURNS shape), each turn batched
+    into one broadcast lookup join with the probe bounds pushed down —
+    uncached parquet (row-group pruning) vs hot_table (in-memory
+    columnar with batch-stats pruning). Reported per turn. On a warm
+    local NVMe the two are close — the cache's real margin appears
+    when the backing scan is remote object storage."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vector_db_core_spark.cache import hot_table
+    from vector_db_core_spark.store import ROWID
+
+    rng = random.Random(42)
+    base = store.getall(ordered=False)
+
+    def probe(df) -> float:
+        t0 = time.perf_counter()
+        for _ in range(10):
+            keys = [
+                (rng.randrange(int(STORE_ROWS * 0.9), STORE_ROWS),) for _ in range(1_000)
+            ]
+            lo, hi = min(k for (k,) in keys), max(k for (k,) in keys)
+            kdf = spark.createDataFrame(keys, f"{ROWID} BIGINT")
+            df.where(F.col(ROWID).between(lo, hi)).join(
+                F.broadcast(kdf), ROWID
+            ).write.mode("overwrite").format("noop").save()
+        return (time.perf_counter() - t0) / 10
+
+    uncached = probe(base)
+    with hot_table(base, warm=True) as hot:
+        cached = probe(hot)
+    return {
+        "w4_point_reads_1k_uncached_sec": round(uncached, 3),
+        "w4_point_reads_1k_cached_sec": round(cached, 3),
+    }
+
+
+def bench_buffer(spark, path: str) -> dict[str, float]:
+    """W7: 1,000 one-by-one pushes absorbed by the write-behind buffer,
+    one flush, then the full readback."""
+    from vector_db_core_spark.store import OrdinalStore
+    from vector_db_core_spark.streaming.ingest import IngestBuffer
+
+    schema = (
+        "my_number1 INT, my_string1 STRING, my_number2 INT, "
+        "my_boolean1 BOOLEAN, my_string2 STRING"
+    )
+    store = OrdinalStore(spark, path, schema=schema)
+    buf = IngestBuffer(store, threshold=500_000)
+
+    t0 = time.perf_counter()
+    for i in range(1_000):
+        buf.push(
+            {
+                "my_number1": i,
+                "my_string1": f"Hello, World! 你好世界 {i}",
+                "my_number2": i * 10,
+                "my_boolean1": i % 2 == 0,
+                "my_string2": f"This is another longer string. {i}",
+            }
+        )
+    accept = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    buf.close()
+    flush = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    store.pullx(0, 1_000).write.mode("overwrite").format("noop").save()
+    read = time.perf_counter() - t0
+    assert store.count() == 1_000
+    return {
+        "w7_push_1k_accept_sec": round(accept, 3),
+        "w7_flush_sec": round(flush, 3),
+        "w7_readback_1k_sec": round(read, 3),
+    }
 
 
 def main() -> None:
