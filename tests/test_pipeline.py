@@ -77,3 +77,37 @@ def test_normalize_masks_articles_and_collapses_space(spark):
         assert "  " not in r.clean_text
         toks = r.clean_text.split(" ")
         assert "a" not in toks and "the" not in toks
+
+
+def test_shuffle_shards_dense_positions_and_stability(spark):
+    rows = QUERIES["pipeline_shuffle_shards"](spark, SF_ORACLE).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard_id < 32
+        by_shard.setdefault(r.shard_id, []).append(r.pos_in_shard)
+    # every shard's positions are dense 1..n (a loader can stream them)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # the assignment is a pure function of content: repartitioning the
+    # input must not move any document
+    again = {
+        (r.doc_id): (r.shard_id, r.pos_in_shard)
+        for r in QUERIES["pipeline_shuffle_shards"](spark, SF_ORACLE).collect()
+    }
+    for r in rows:
+        assert again[r.doc_id] == (r.shard_id, r.pos_in_shard)
+
+
+def test_stratified_sample_rates_per_language(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    total = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept: dict[str, int] = {}
+    for r in QUERIES["pipeline_stratified_sample"](spark, SF_ORACLE).collect():
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    # en sampled at ~50%, everything else at ~25% (md5 nibble threshold;
+    # slack for small strata)
+    assert 0.35 < kept.get("en", 0) / total["en"] < 0.65
+    for lang, n in total.items():
+        if lang == "en":
+            continue
+        assert 0.08 < kept.get(lang, 0) / n < 0.45, lang

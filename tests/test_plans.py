@@ -116,6 +116,7 @@ def test_pipeline_ops_are_map_only(spark):
         "pipeline_source_mixture",
         "pipeline_chunk_tokens",
         "pipeline_normalize_text",
+        "pipeline_stratified_sample",
     ):
         plan = _plan(QUERIES[name](spark, SF_ORACLE))
         assert "Exchange" not in plan, name

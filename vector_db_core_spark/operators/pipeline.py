@@ -204,3 +204,73 @@ def pipeline_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", r"\b(a|the)\b", "<ART>"), r"\s+", " "
     )
     return _docs(spark, sf_dir).select("doc_id", clean.alias("clean_text"))
+
+
+@register(
+    "pipeline_shuffle_shards",
+    oracle="""
+    WITH k AS (SELECT doc_id, md5(text) AS h FROM documents),
+    s AS (SELECT doc_id, h,
+                 CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                       + instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 32
+                      AS INT) AS shard_id
+          FROM k)
+    SELECT doc_id, shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+                AS INT) AS pos_in_shard
+    FROM s
+    """,
+)
+def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every document
+    gets (shard_id, pos_in_shard) — the step that turns a curated corpus
+    into the randomly-ordered shard files a training loader reads.
+
+    Shard = first byte of ``md5(content)`` mod 32; order within a shard
+    = the full digest. Content-keyed, so the "shuffle" is reproducible
+    across reruns and engines and stable under source reordering —
+    unlike ``orderBy(rand())``, which changes with partitioning and
+    retries. At 100 TB the plan is one hash-partition exchange on
+    shard_id + a per-shard sort (each shard sorts independently in one
+    task's memory budget; 32 → thousands of shards at scale keeps every
+    sort small), then each shard writes out as one file —
+    ``repartition(shard).sortWithinPartitions`` in write form.
+    """
+    h = F.md5("text")
+    keyed = _docs(spark, sf_dir).select("doc_id", h.alias("h"))
+    shard = F.expr(
+        "CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16"
+        " + instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 32 AS INT)"
+    )
+    from pyspark.sql import Window as W
+
+    sharded = keyed.withColumn("shard_id", shard)
+    pos = F.row_number().over(W.partitionBy("shard_id").orderBy("h", "doc_id"))
+    return sharded.select("doc_id", "shard_id", pos.alias("pos_in_shard"))
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+          < CASE WHEN lang = 'en' THEN 8 ELSE 4 END
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates: keep ~50% of English
+    documents and ~25% of every other language — the rebalancing step
+    of data-mixture tuning (downsample an over-represented stratum).
+
+    The deterministic twin of ``df.stat.sampleBy``: membership is a
+    threshold on the first ``md5(content)`` nibble, so the sample is
+    exactly reproducible across engines, reruns, and repartitioning
+    (``sampleBy``'s Bernoulli draw is seed- AND partitioning-
+    dependent), and duplicated content is sampled consistently. Pure
+    map work — the filter evaluates inside the scan, no shuffle, and
+    at 100 TB composes into any pass over the corpus for free.
+    """
+    nibble = F.expr("instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1")
+    rate16 = F.when(F.col("lang") == "en", 8).otherwise(4)
+    return _docs(spark, sf_dir).where(nibble < rate16).select("doc_id", "lang")
