@@ -285,3 +285,33 @@ def test_pushx_deterministic_source_flag(spark, tmp_path):
         F.min("rowid").alias("lo"), F.max("rowid").alias("hi"),
     ).collect()[0]
     assert (stats.n, stats.d, stats.lo, stats.hi) == (10000, 10000, 0, 9999)
+
+
+def test_concurrent_writers_serialize(spark, tmp_path):
+    """Two threads appending through one instance must produce dense,
+    unique ordinals (the reference serializes writers on a mutex;
+    without the write lock the interleaved count/write/meta steps
+    would assign overlapping rowids)."""
+    import threading
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT")
+    batches = [[{"a": t * 1000 + i} for i in range(500)] for t in range(4)]
+    errs: list[Exception] = []
+
+    def writer(rows):
+        try:
+            store.pushx(rows)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    stats = store.getall(ordered=False).agg(
+        F.count("*").alias("n"), F.countDistinct("rowid").alias("d"),
+        F.min("rowid").alias("lo"), F.max("rowid").alias("hi"),
+    ).collect()[0]
+    assert (stats.n, stats.d, stats.lo, stats.hi) == (2000, 2000, 0, 1999)

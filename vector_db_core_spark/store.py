@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -132,6 +133,11 @@ class OrdinalStore:
         # first count(), refreshed after every write through this
         # instance); crash repair still happens on reopen
         self._reconciled = False
+        # in-process writer serialization, matching the reference's
+        # Mutex<WritableCache> — two threads appending through the same
+        # instance must not interleave count()/write/meta. Cross-process
+        # writers remain unguarded in BOTH engines (documented).
+        self._write_lock = threading.Lock()
 
     # -- length header ------------------------------------------------
     def _read_meta(self) -> int | None:
@@ -245,24 +251,25 @@ class OrdinalStore:
         """
         if not isinstance(batch, DataFrame):
             batch = self.spark.createDataFrame(list(batch), schema=self.schema)
-        start = self.count()
-        # Persist the tagged frame so the counts action and the write
-        # see the SAME partitioning even for non-deterministic sources
-        # (shuffles, sampled/rand inputs) — without this, drift between
-        # the two evaluations could assign non-dense or duplicate
-        # ordinals silently.
-        tagged = batch.withColumn("_mid", F.monotonically_increasing_id())
-        if not deterministic_source:
-            tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            out, written = _dense_rowid_frame(tagged, start)
-            out.sortWithinPartitions(ROWID).write.mode("append").parquet(self.path)
-        finally:
+        with self._write_lock:
+            start = self.count()
+            # Persist the tagged frame so the counts action and the write
+            # see the SAME partitioning even for non-deterministic sources
+            # (shuffles, sampled/rand inputs) — without this, drift between
+            # the two evaluations could assign non-dense or duplicate
+            # ordinals silently.
+            tagged = batch.withColumn("_mid", F.monotonically_increasing_id())
             if not deterministic_source:
-                tagged.unpersist()
-        self._write_meta(start + written)
-        self._reconciled = True
-        return start
+                tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                out, written = _dense_rowid_frame(tagged, start)
+                out.sortWithinPartitions(ROWID).write.mode("append").parquet(self.path)
+            finally:
+                if not deterministic_source:
+                    tagged.unpersist()
+            self._write_meta(start + written)
+            self._reconciled = True
+            return start
 
     def push(self, row: Row | dict) -> int:
         """Append one record (degenerate pushx — vector_engine.rs:79-81)."""
@@ -355,32 +362,33 @@ class OrdinalStore:
         """
         import shutil
 
-        n = self.count()
-        if n == 0:
-            return 0
-        if n_files <= 0:
-            n_files = max(1, n // 1_000_000)
-        new_path = self.path.rstrip("/") + ".compacting"
-        shutil.rmtree(new_path, ignore_errors=True)
-        (
-            self._df()
-            .repartitionByRange(n_files, F.col(ROWID))
-            .sortWithinPartitions(ROWID)
-            .write.mode("overwrite")
-            .parquet(new_path)
-        )
-        rewritten = self.spark.read.parquet(new_path).count()
-        if rewritten != n:
+        with self._write_lock:
+            n = self.count()
+            if n == 0:
+                return 0
+            if n_files <= 0:
+                n_files = max(1, n // 1_000_000)
+            new_path = self.path.rstrip("/") + ".compacting"
             shutil.rmtree(new_path, ignore_errors=True)
-            raise RuntimeError(f"compact wrote {rewritten} rows, expected {n}; aborted")
-        old_path = self.path.rstrip("/") + ".old"
-        shutil.rmtree(old_path, ignore_errors=True)
-        os.replace(self.path, old_path)
-        os.replace(new_path, self.path)
-        shutil.rmtree(old_path, ignore_errors=True)
-        self._write_meta(n)
-        self._reconciled = True
-        return n
+            (
+                self._df()
+                .repartitionByRange(n_files, F.col(ROWID))
+                .sortWithinPartitions(ROWID)
+                .write.mode("overwrite")
+                .parquet(new_path)
+            )
+            rewritten = self.spark.read.parquet(new_path).count()
+            if rewritten != n:
+                shutil.rmtree(new_path, ignore_errors=True)
+                raise RuntimeError(f"compact wrote {rewritten} rows, expected {n}; aborted")
+            old_path = self.path.rstrip("/") + ".old"
+            shutil.rmtree(old_path, ignore_errors=True)
+            os.replace(self.path, old_path)
+            os.replace(new_path, self.path)
+            shutil.rmtree(old_path, ignore_errors=True)
+            self._write_meta(n)
+            self._reconciled = True
+            return n
 
     def getall(self, ordered: bool = True) -> DataFrame:
         """Full scan (vector_engine.rs:47-53).
