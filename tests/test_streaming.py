@@ -185,3 +185,36 @@ def test_dedup_within_watermark_drops_duplicates(spark, tmp_path):
     out = spark.table("dedup_out").collect()
     assert len(out) == 200  # each event_id exactly once
     assert len({r.event_id for r in out}) == 200
+
+
+def test_c1_stacked_buffer_cache_composition(spark, tmp_path):
+    """C1 (SURVEY §2.1): the reference stacks ReadableCache ∘
+    WritableCache ∘ engine as independent decorators
+    (cache_engine_performance_test.rs:163-223). The Spark composition
+    is the same two orthogonal wrappers over one OrdinalStore:
+    IngestBuffer on the write side, hot_table pinning on the read side
+    — a pinned reader keeps serving while the buffer accepts and
+    flushes, and the union view stacks ON TOP of the committed data
+    the pinned frame was built from."""
+    from vector_db_core_spark.cache import hot_table
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema=SCHEMA)
+    buf = IngestBuffer(store, threshold=10_000)
+    store.pushx([{"my_number1": i, "my_string1": f"c{i}", "my_number2": i} for i in range(100)])
+    with hot_table(store.getall(ordered=False), warm=True) as hot:
+        # repeated point reads off the pinned frame (R1 over the stack)
+        for k in (3, 97, 41):
+            assert hot.where(F.col("my_number1") == k).collect()[0].my_string1 == f"c{k}"
+        # writes keep flowing through the buffer meanwhile (W1 side)
+        buf.pushx([{"my_number1": 100 + i, "my_string1": f"p{i}", "my_number2": 0} for i in range(20)])
+        assert buf.lens() == (20, 100, 120)
+        # the union view composes: committed + pending, ordinals dense
+        view = buf.read()
+        assert view.count() == 120
+        assert [r.rowid for r in view.orderBy("rowid").collect()] == list(range(120))
+        # flush-through: drain the buffer, the stacked read sees it all
+        buf.close()
+        assert store.count() == 120
+    # after release, the store itself still serves (cache was a pin,
+    # not a copy)
+    assert store.pull_row(119).my_string1 == "p19"
