@@ -816,3 +816,115 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+@register(
+    "join_cross_dense_spine",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus, COALESCE(o.n, 0) AS n_orders
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    LEFT JOIN (
+      SELECT n_regionkey, o_orderstatus, COUNT(*) AS n
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey, o_orderstatus
+    ) o ON o.n_regionkey = r.r_regionkey AND o.o_orderstatus = s.o_orderstatus
+    """,
+)
+def join_cross_dense_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN building a dense (region x status) spine, zero-filled
+    from a sparse aggregate — the missing-combination report every
+    dashboard needs (and the categorical twin of time-series gap fill).
+
+    The cartesian product is ONLY between two bounded-cardinality sides
+    (5 regions x |statuses|) — the legitimate cross-join use; the
+    SF-scaled orders table is aggregated FIRST (map-side combine, one
+    shuffle of aggregated rows) and left-joined to the spine, so no
+    fact row ever enters a cartesian."""
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    statuses = orders.select("o_orderstatus").distinct()
+    spine = region.select("r_regionkey", "r_name").crossJoin(statuses)
+    sparse = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(
+            sparse,
+            (spine.r_regionkey == sparse.n_regionkey)
+            & (spine.o_orderstatus == sparse.o_orderstatus),
+            "left",
+        )
+        .select(
+            "r_name",
+            spine.o_orderstatus.alias("o_orderstatus"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "scalar_conditional_functions",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+           LEAST(c_acctbal, 5000.0) AS bal_capped,
+           GREATEST(c_acctbal, 0.0) AS bal_floored,
+           CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END AS bal_missing,
+           IFNULL(NULLIF(c_name, ''), 'unknown') AS name_or_unknown
+    FROM customer
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling scalar panel — coalesce, nullif,
+    least/greatest (the branch-free min/max of a row's values), and
+    ifnull — the null-hygiene surface every ETL projection uses.
+    Pure per-row codegen, no shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_capped"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floored"),
+        F.when(F.col("c_acctbal").isNull(), 1).otherwise(0).alias("bal_missing"),
+        F.ifnull(F.nullif("c_name", F.lit("")), F.lit("unknown")).alias("name_or_unknown"),
+    )
+
+
+@register(
+    "agg_collect_sorted_sets",
+    oracle="""
+    SELECT c_custkey,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def agg_collect_sorted_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregation: the distinct order statuses per
+    customer as a SORTED array — ``collect_set`` alone returns
+    arbitrary order (partitioning-dependent), so ``sort_array`` on top
+    is what makes the result deterministic and engine-comparable; the
+    pattern behind per-entity tag lists and feature-set assembly.
+    Set sizes are bounded by the value domain (3 statuses), so state
+    per group is small at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.count("*").alias("n_orders"),
+        )
+    )
