@@ -928,3 +928,150 @@ def agg_collect_sorted_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@register(
+    "scalar_bitwise_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS key_and,
+           CAST(o_orderkey | 1024 AS BIGINT) AS key_or,
+           CAST(xor(o_orderkey, 255) AS BIGINT) AS key_xor,
+           CAST(o_orderkey << 3 AS BIGINT) AS key_shl,
+           CAST(o_orderkey >> 2 AS BIGINT) AS key_shr,
+           CAST(bit_count(o_orderkey) AS INT) AS key_bits
+    FROM orders
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar panel (AND/OR/XOR/shifts/popcount) — the bit
+    surface behind bucket assignment, bloom probes, and flag packing
+    (the engine's own SimHash fingerprints are built from exactly
+    these primitives). Per-row codegen, no shuffle; the reference's
+    byte-level encoders (tools/dynamic-vector/src/traits.rs:13-83)
+    are serialization, not query functions — this is the [EXT] query
+    form."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").cast("bigint").alias("key_and"),
+        F.expr("o_orderkey | 1024").cast("bigint").alias("key_or"),
+        F.expr("o_orderkey ^ 255").cast("bigint").alias("key_xor"),
+        F.shiftleft("o_orderkey", 3).cast("bigint").alias("key_shl"),
+        F.shiftright("o_orderkey", 2).cast("bigint").alias("key_shr"),
+        F.bit_count("o_orderkey").cast("int").alias("key_bits"),
+    )
+
+
+@register(
+    "agg_argminmax_orders",
+    oracle="""
+    SELECT o_custkey,
+           min_by(o_orderstatus, o_orderkey) AS first_status,
+           max_by(o_orderpriority, o_orderkey) AS last_priority,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates: the status of each customer's FIRST
+    order and the priority of the LAST one via ``min_by``/``max_by``
+    — one pass, no self-join, no window. The ordering key
+    (o_orderkey) is unique per group, which is what makes the result
+    deterministic (ties under min_by are engine-defined). Map-side
+    combinable: partial state is one (key, value) pair per group, so
+    the shuffle carries one row per group per partition at any
+    scale."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        F.min("o_orderkey").cast("bigint").alias("first_key"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_histogram_price_bins",
+    oracle="""
+    SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 50000.0) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k-wide bins) — the
+    distribution profile every data-quality dashboard starts with.
+    Binning is a per-row floor in codegen (decimal→double widening is
+    the same IEEE value in both engines, so bin edges agree exactly);
+    the aggregate keyspace is the ~12 bins, so the shuffle moves one
+    partial row per bin per partition regardless of input size —
+    histograms are free at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice").cast("double") / 50000.0).cast("int")
+    return o.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "window_zscore_outliers",
+    oracle="""
+    WITH x AS (
+      SELECT l_suppkey, CAST(l_extendedprice * 100 AS BIGINT) AS c
+      FROM lineitem),
+    w AS (
+      SELECT l_suppkey, c,
+             COUNT(*) OVER (PARTITION BY l_suppkey) AS n,
+             SUM(c)  OVER (PARTITION BY l_suppkey) AS s,
+             SUM(c*c) OVER (PARTITION BY l_suppkey) AS s2
+      FROM x)
+    SELECT l_suppkey,
+           CAST(MAX(n) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN CAST(n*c - s AS HUGEINT) * CAST(n*c - s AS HUGEINT)
+                          > 4 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+                                 - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM w GROUP BY l_suppkey
+    """,
+)
+def window_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier counting beyond 2 population std-devs —
+    WITHOUT ever computing a float std-dev: the predicate
+    ``(x-mean)² > 4·variance`` is cleared of divisions and square
+    roots into ``(n·x − Σx)² > 4·(n·Σx² − (Σx)²)``, evaluated in
+    exact integer cents (DECIMAL(38,0) on the Spark side, HUGEINT in
+    the oracle). Exactness is the point: float moments differ by
+    summation order across partitions, so the SAME query could flag
+    different rows run-to-run; integer moments make the answer
+    partition-independent. One shuffle on the high-card supplier key
+    (window + re-aggregate share it); moments are map-side
+    combinable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    w = W.partitionBy("l_suppkey")
+    d = (
+        li.withColumn("n", F.count("*").over(w))
+        .withColumn("s", F.sum("c").over(w))
+        .withColumn("s2", F.sum(F.col("c") * F.col("c")).over(w))
+    )
+    diff = (F.col("n") * F.col("c") - F.col("s")).cast("decimal(38,0)")
+    lhs = diff * diff
+    rhs = 4 * (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    return (
+        d.withColumn("is_out", F.when(lhs > rhs, 1).otherwise(0))
+        .groupBy("l_suppkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_items"),
+            F.sum("is_out").cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -1134,3 +1134,101 @@ def multimodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame
             l2_norm(F.col("v")).alias("emb_norm"),
         )
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    g AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS max_tok_freq,
+           round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS rep_ratio
+    FROM g GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the quality filter that
+    catches boilerplate, keyword-stuffed spam, and decoding loops
+    (pages that repeat one token hundreds of times): per document the
+    token count, distinct-token count, the hottest token's frequency,
+    and the repeated-mass ratio ``1 − distinct/total``.
+
+    Two aggregations keyed by (doc_id, token) then doc_id — both
+    high-cardinality, both map-side combinable, so the explode's fan-
+    out collapses before the shuffle. The ratio divides two exact
+    integers (identical IEEE result in both engines); round(6) is
+    cosmetic. At 100 TB this rides the same explode as vocabulary/
+    TF-IDF building — one corpus pass for the whole signal family."""
+    from vector_db_core_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    per_tok = docs.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("max_tok_freq"),
+        F.round(
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "sim_quantize_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, vd,
+             list_aggregate(list_transform(vd, x -> abs(x)), 'max') AS scale
+      FROM v)
+    SELECT vec_id,
+           CAST(len(vd) AS INT) AS n_dims,
+           scale,
+           CASE WHEN scale > 0
+                THEN list_transform(vd, x -> CAST(floor(x * CAST(127 AS DOUBLE) / scale) AS INT))
+                ELSE list_transform(vd, x -> 0) END AS q_int8
+    FROM m
+    """,
+)
+def sim_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4×
+    compression every large-scale ANN index applies before storage
+    (scale = max|x| per vector, q = floor(x·127/scale)). Pure per-row
+    ``transform``/``array_max`` higher-order functions — no UDF, no
+    shuffle; at 100 TB this is a free column in the embedding-ingest
+    pass, and the quantized array feeds the IVF/LSH index builds.
+
+    Determinism: float32→double widening is exact, and both engines
+    then evaluate the same IEEE expression tree — floor boundaries
+    cannot disagree. Zero vectors quantize to zeros (guarded against
+    the 0/0 scale)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vd")
+    )
+    scale = F.array_max(F.transform("vd", lambda x: F.abs(x)))
+    m = e.withColumn("scale", scale)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            "vd", lambda x: F.floor(x * F.lit(127.0) / F.col("scale")).cast("int")
+        ),
+    ).otherwise(F.transform("vd", lambda x: F.lit(0)))
+    return m.select(
+        "vec_id",
+        F.size("vd").alias("n_dims"),
+        "scale",
+        q.alias("q_int8"),
+    )

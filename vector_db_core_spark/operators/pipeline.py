@@ -274,3 +274,68 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     nibble = F.expr("instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1")
     rate16 = F.when(F.col("lang") == "en", 8).otherwise(4)
     return _docs(spark, sf_dir).where(nibble < rate16).select("doc_id", "lang")
+
+
+SEQ_TOKENS = 200
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 8
+                  AS INT) AS shard_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                  AS BIGINT) AS n
+      FROM documents),
+    o AS (
+      SELECT doc_id, shard_id, n,
+             COALESCE(SUM(n) OVER (PARTITION BY shard_id ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t)
+    SELECT doc_id, shard_id,
+           CAST(off // {SEQ_TOKENS} AS INT) AS seq_id,
+           CAST(off % {SEQ_TOKENS} AS INT) AS offset_in_seq,
+           CAST(n AS INT) AS n_tokens
+    FROM o
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay documents end-to-end into fixed
+    {SEQ_TOKENS}-token training sequences, emitting each document's
+    (shard_id, seq_id, offset_in_seq) — the step that turns a curated
+    corpus into the dense, padding-free sequences a training loader
+    consumes (offset-based packing: a document crossing a boundary
+    continues into the next sequence; upstream chunking bounds every
+    piece below the window).
+
+    The global-cumulative-sum trap is deliberately avoided: packing a
+    corpus with ONE running sum is a single-partition window — a scale
+    killer. Instead documents are first sharded by content hash (mod 8
+    here; thousands at 100 TB), and the running offset is computed PER
+    SHARD — one hash exchange, then every shard's prefix sum runs in
+    its own task, exactly how shard files are written in practice.
+    Within-shard order is doc_id (any stable key works), so results
+    are reproducible across engines, reruns, and repartitioning."""
+    from pyspark.sql import Window as W
+
+    shard = F.expr(
+        "CAST((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) % 8 AS INT)"
+    )
+    from vector_db_core_spark.functions.text import tokens
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        shard.alias("shard_id"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n"),
+    )
+    w = W.partitionBy("shard_id").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    o = t.withColumn("off", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return o.select(
+        "doc_id",
+        "shard_id",
+        F.expr(f"CAST((off DIV {SEQ_TOKENS}) AS INT)").alias("seq_id"),
+        (F.col("off") % SEQ_TOKENS).cast("int").alias("offset_in_seq"),
+        F.col("n").cast("int").alias("n_tokens"),
+    )
