@@ -1232,3 +1232,112 @@ def sim_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         q.alias("q_int8"),
     )
+
+
+@register(
+    "text_boilerplate_phrases",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+      FROM t, UNNEST(generate_series(1, len(w) - 4)) AS u(i))
+    SELECT gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+)
+def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-phrase detection — the C4/RefinedWeb cleaning step
+    that finds word 5-grams shared by many distinct documents
+    (navigation chrome, cookie banners, license footers) so a later
+    pass can strip or down-weight them. Emits every phrase in >= 3
+    documents with its document frequency and occurrence count.
+
+    The tokens array is materialized BEFORE the shingle transform
+    (higher-order functions do no CSE — an inline tokenizer would
+    re-split per emitted gram), then one explode feeds a single
+    (gram)-keyed aggregate: count and distinct-doc count share the
+    shuffle, map-side combined. The HAVING threshold cuts the long
+    unique-gram tail before any further join. Same explode family as
+    vocabulary/TF-IDF/decontamination — at 100 TB they share one
+    corpus pass."""
+    from vector_db_core_spark.functions.text import tokens
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    grams = F.when(
+        F.size("w") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 4),
+            lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 3)
+    )
+
+
+@register(
+    "text_bigram_lm",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      FROM documents),
+    g AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+    c AS (SELECT w1, w2, COUNT(*) AS c FROM g GROUP BY w1, w2)
+    SELECT w1, w2,
+           CAST(c AS BIGINT) AS n,
+           round(CAST(c AS DOUBLE)
+                 / CAST(SUM(c) OVER (PARTITION BY w1) AS DOUBLE), 6) AS cond_p
+    FROM c
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: corpus-wide (w1, w2) counts and the
+    conditional probability P(w2 | w1) — the next step up from the
+    unigram model (text_unigram_logprob) and the classic cheap scorer
+    for fluency filtering and domain classification.
+
+    One explode fans each document into its adjacent token pairs;
+    counts aggregate on the high-cardinality (w1, w2) key (map-side
+    combined — the heavy lifting), then the normalizing sum runs as a
+    window over the ALREADY-aggregated bigram table partitioned by w1
+    — vocabulary-sized input, so the second shuffle is tiny at any
+    corpus size. The probability divides two exact integers: identical
+    IEEE doubles in both engines, round(6) cosmetic."""
+    from vector_db_core_spark.functions.text import tokens
+
+    t = _t(spark, sf_dir, "documents").select(tokens(F.col("text")).alias("w"))
+    pairs = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.element_at("w", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    g = t.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c = g.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    wsum = F.sum("c").over(W.partitionBy("w1"))
+    return c.select(
+        "w1",
+        "w2",
+        F.col("c").cast("bigint").alias("n"),
+        F.round(F.col("c").cast("double") / wsum.cast("double"), 6).alias("cond_p"),
+    )
