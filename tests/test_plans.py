@@ -145,3 +145,25 @@ def test_q6_all_predicates_pushed_to_scan(spark):
         assert frag in pushed, frag
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_returnflag" not in read_schema  # unreferenced columns pruned
+
+
+def test_zscore_outliers_single_shuffle(spark):
+    """The exact-moment outlier count's window and its re-aggregate
+    both key on l_suppkey, so the whole query must run on ONE
+    exchange — a second one would mean the groupBy failed to reuse
+    the window's partitioning."""
+    import re
+
+    plan = _plan(QUERIES["window_zscore_outliers"](spark, SF_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Sequence packing must never run a global (single-partition)
+    prefix sum: exactly one hash exchange on shard_id, and no
+    SinglePartition window anywhere."""
+    import re
+
+    plan = _plan(QUERIES["pipeline_pack_sequences"](spark, SF_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SinglePartition" not in plan
