@@ -218,3 +218,53 @@ def test_c1_stacked_buffer_cache_composition(spark, tmp_path):
     # after release, the store itself still serves (cache was a pin,
     # not a copy)
     assert store.pull_row(119).my_string1 == "p19"
+
+
+def test_pushx_txn_skips_replayed_epoch(spark, tmp_path):
+    """Idempotent epoch commit: re-running pushx with an already-
+    committed (stream_id, epoch) is a no-op (-1), a NEWER epoch
+    appends, and the epoch mark survives a reopen (it lives in the
+    same atomic _meta.json rename as the length header)."""
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT")
+    rows = [{"a": i} for i in range(10)]
+    assert store.pushx(rows, txn=("ck", 0)) == 0
+    assert store.count() == 10
+    # replay of epoch 0 → skipped, nothing appended
+    assert store.pushx(rows, txn=("ck", 0)) == -1
+    assert store.count() == 10
+    # an older epoch replaying late is also skipped
+    assert store.pushx(rows, txn=("ck", -5)) == -1
+    # next epoch appends with continuing ordinals
+    assert store.pushx(rows, txn=("ck", 1)) == 10
+    assert store.count() == 20
+    # independent stream ids don't interfere
+    assert store.pushx(rows, txn=("other", 0)) == 20
+    # reopen: marks persisted
+    reopened = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT")
+    assert reopened.last_committed_epoch("ck") == 1
+    assert reopened.last_committed_epoch("other") == 0
+    assert reopened.pushx(rows, txn=("ck", 1)) == -1
+    assert reopened.count() == 30
+
+
+def test_stream_restart_does_not_duplicate(spark, tmp_path):
+    """W1 restart: running the availableNow stream twice over the same
+    landing dir + checkpoint appends each file exactly once, and a
+    simulated replay of the last epoch (as after a crash between
+    checkpoint write and foreachBatch commit) is skipped."""
+    landing, total = _write_landing_files(tmp_path, n_files=2)
+    store = OrdinalStore(spark, str(tmp_path / "store"), schema=SCHEMA)
+    ck = str(tmp_path / "ck")
+    q = stream_append_to_store(spark, landing, store, SCHEMA, ck)
+    q.awaitTermination(120)
+    assert store.count() == total
+    # restart over the same checkpoint: no new files, no duplicates
+    q2 = stream_append_to_store(spark, landing, store, SCHEMA, ck)
+    q2.awaitTermination(120)
+    assert store.count() == total
+    # crash-replay simulation: the sink re-offers the last epoch
+    last = store.last_committed_epoch(ck)
+    assert last >= 0
+    replay = spark.read.schema(SCHEMA).json(landing)
+    assert store.pushx(replay, txn=(ck, last)) == -1
+    assert store.count() == total

@@ -140,14 +140,20 @@ class OrdinalStore:
         self._write_lock = threading.Lock()
 
     # -- length header ------------------------------------------------
-    def _read_meta(self) -> int | None:
+    def _read_meta_dict(self) -> dict | None:
         try:
             with open(self._meta_path) as f:
-                return int(json.load(f)["length"])
-        except (OSError, ValueError, KeyError):
+                meta = json.load(f)
+            int(meta["length"])
+            return meta
+        except (OSError, ValueError, KeyError, TypeError):
             return None
 
-    def _write_meta(self, length: int) -> None:
+    def _read_meta(self) -> int | None:
+        meta = self._read_meta_dict()
+        return None if meta is None else int(meta["length"])
+
+    def _write_meta(self, length: int, txn: tuple[str, int] | None = None) -> None:
         """Atomic header update: temp file + rename in the same dir.
 
         A crash can no longer leave a half-written header; a crash
@@ -155,12 +161,25 @@ class OrdinalStore:
         (too-small) length, which ``count()`` repairs by reconciling
         against the parquet footers (taking the max) — so committed
         rows are never hidden and ordinals are never reused.
+
+        ``txn=(stream_id, epoch)`` records a streaming commit in the
+        SAME atomic rename as the length, so "rows visible" and "epoch
+        marked done" can never disagree after a clean write — the
+        idempotence handshake ``pushx`` uses to skip replayed
+        micro-batches. Existing stream marks are carried forward.
         """
         os.makedirs(self.path, exist_ok=True)
+        meta = self._read_meta_dict() or {}
+        streams = dict(meta.get("streams") or {})
+        if txn is not None:
+            streams[txn[0]] = int(txn[1])
+        payload: dict = {"length": length}
+        if streams:
+            payload["streams"] = streams
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_meta.", suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump({"length": length}, f)
+                json.dump(payload, f)
             os.replace(tmp, self._meta_path)
         except BaseException:
             try:
@@ -168,6 +187,12 @@ class OrdinalStore:
             except OSError:
                 pass
             raise
+
+    def last_committed_epoch(self, stream_id: str) -> int:
+        """Highest epoch committed by ``pushx(..., txn=(stream_id, e))``;
+        -1 if none. The streaming sink's replay detector."""
+        meta = self._read_meta_dict() or {}
+        return int((meta.get("streams") or {}).get(stream_id, -1))
 
     def _footer_count(self) -> int | None:
         """Row count from parquet footers (metadata-only job); None if
@@ -224,6 +249,7 @@ class OrdinalStore:
         self,
         batch: DataFrame | Sequence[Row] | Iterable[dict],
         deterministic_source: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Bulk append; returns the first ordinal assigned.
 
@@ -248,10 +274,25 @@ class OrdinalStore:
         anything downstream of shuffles, ``rand``, or sampling).
         Misuse silently corrupts the ordinal invariant — when unsure,
         leave the default.
+
+        ``txn=(stream_id, epoch)`` makes the append idempotent per
+        stream: if ``epoch`` <= the last epoch recorded for
+        ``stream_id`` the call is a no-op returning -1, and on success
+        the epoch commits in the SAME atomic meta rename as the length
+        header. This is how the streaming sink survives micro-batch
+        replays after a restart without duplicating rows (the pattern
+        Spark's docs prescribe for ``foreachBatch`` exactly-once: an
+        epoch-keyed idempotent sink). The remaining window is a crash
+        BETWEEN the parquet commit and the meta rename — a replay then
+        re-appends that one batch (at-least-once for exactly that
+        batch; the reference under the same crash instead LOSES its
+        whole buffer, writable_cache.rs has no WAL).
         """
         if not isinstance(batch, DataFrame):
             batch = self.spark.createDataFrame(list(batch), schema=self.schema)
         with self._write_lock:
+            if txn is not None and txn[1] <= self.last_committed_epoch(txn[0]):
+                return -1
             start = self.count()
             # Persist the tagged frame so the counts action and the write
             # see the SAME partitioning even for non-deterministic sources
@@ -267,7 +308,7 @@ class OrdinalStore:
             finally:
                 if not deterministic_source:
                     tagged.unpersist()
-            self._write_meta(start + written)
+            self._write_meta(start + written, txn=txn)
             self._reconciled = True
             return start
 

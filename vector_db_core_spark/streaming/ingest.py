@@ -24,12 +24,16 @@ Spark mapping (SURVEY.md §2 rows W1-W3, §4):
   reference's routing rule ``idx < db.len ? disk : buffer``).
 * **W3 ingest metrics** → ``StreamingQuery.lastProgress`` passthrough.
 
-Failure semantics, documented honestly: ``foreachBatch`` into a
-non-idempotent parquet append is at-least-once across crashes (a batch
-replay would re-append with fresh ordinals). The reference under the
-same crash *loses* the buffered rows entirely (no WAL, no fsync —
-file_access_service.rs has neither). Both are "not exactly-once";
-ours errs to duplication, the reference's to loss.
+Failure semantics, documented honestly: the sink is idempotent by
+epoch (``pushx(..., txn=(stream_id, epoch))`` — replayed micro-batches
+are skipped, the epoch mark committing atomically with the length
+header), which is the ``foreachBatch`` exactly-once recipe from
+Spark's own docs. One crash window remains: dying BETWEEN the parquet
+commit and the meta rename re-appends that single batch on replay
+(at-least-once for exactly that batch). The reference under the same
+crash *loses* the buffered rows entirely (no WAL, no fsync —
+file_access_service.rs has neither); ours errs to bounded duplication,
+the reference's to loss.
 
 Scale: the stream never funnels through the driver — each micro-batch
 is a normal distributed write; state for windows/dedup is bounded by
@@ -58,6 +62,7 @@ def stream_append_to_store(
     available_now: bool = True,
     processing_time: str = "1 second",
     max_files_per_trigger: int | None = None,
+    idempotent: bool = True,
 ) -> StreamingQuery:
     """File-source → OrdinalStore append sink (the W1 analog).
 
@@ -66,6 +71,12 @@ def stream_append_to_store(
     boundary plays the reference's flush-threshold role
     (``maxFilesPerTrigger`` bounds batch size like MAX_WRCACHE_ITEMS
     bounds the buffer).
+
+    ``idempotent=True`` (default) passes ``(checkpoint_dir, epoch_id)``
+    as the pushx transaction key, so a micro-batch replayed after a
+    crash/restart is skipped instead of re-appended — the epoch commits
+    atomically with the store's length header. See ``pushx`` for the
+    one remaining at-least-once crash window.
     """
     reader = spark.readStream.schema(schema).format(fmt)
     if max_files_per_trigger is not None:
@@ -74,7 +85,7 @@ def stream_append_to_store(
 
     def flush(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.isEmpty():
-            store.pushx(batch_df)
+            store.pushx(batch_df, txn=(checkpoint_dir, epoch_id) if idempotent else None)
 
     writer = stream.writeStream.foreachBatch(flush).option("checkpointLocation", checkpoint_dir)
     if available_now:
