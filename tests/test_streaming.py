@@ -125,7 +125,7 @@ def _events_landing(spark, tmp_path, n_files=3):
     from vector_db_core_spark.sources import load_table
 
     events = load_table(spark, SF_ORACLE, "events").select(
-        "event_id", "ts", "event_type", "value"
+        "event_id", "ts", "event_type", "value", "user_id"
     )
     landing = str(tmp_path / "events_landing")
     events.repartition(n_files).write.mode("overwrite").parquet(landing)
@@ -268,3 +268,61 @@ def test_stream_restart_does_not_duplicate(spark, tmp_path):
     replay = spark.read.schema(SCHEMA).json(landing)
     assert store.pushx(replay, txn=(ck, last)) == -1
     assert store.count() == total
+
+
+def test_session_window_stream_replays_batch(spark, tmp_path):
+    """Watermarked session-window aggregate over a TIME-ORDERED closed
+    stream == the same sessionization computed in batch: with in-order
+    arrival nothing is watermark-late, so merging/extending session
+    state across micro-batches must converge exactly (out-of-order
+    arrival beyond the watermark is allowed to differ — that is the
+    watermark contract, tested by the tumbling/dedup cases)."""
+    import os
+    import time
+
+    from vector_db_core_spark.sources import load_table
+    from vector_db_core_spark.streaming import session_event_counts
+
+    events = load_table(spark, SF_ORACLE, "events").select(
+        "event_id", "ts", "event_type", "value", "user_id"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    landing = str(tmp_path / "sess_landing")
+    for i in range(3):
+        a = lo + span * i
+        b = hi if i == 2 else lo + span * (i + 1)
+        part = events.where(
+            (F.col("ts") >= a) & (F.col("ts") <= b if i == 2 else F.col("ts") < b)
+        )
+        part.coalesce(1).write.mode("append").parquet(landing)
+        # file source orders by modification time: make arrival == event order
+        t = time.time() - 300 + i * 60
+        for f in os.listdir(landing):
+            fp = os.path.join(landing, f)
+            if f.endswith(".parquet") and os.path.getmtime(fp) > t:
+                os.utime(fp, (t, t))
+    schema = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE, user_id BIGINT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    agg = session_event_counts(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.total_value)
+        for r in spark.table("sess_counts").collect()
+    }
+    expect = {
+        (r.session_start, r.session_end, r.user_id): (r.n_events, r.total_value)
+        for r in session_event_counts(events, gap="30 minutes", watermark=None).collect()
+    }
+    assert got == expect and len(got) > 0

@@ -223,3 +223,40 @@ def dedup_within_watermark(
     an unbounded 100 TB stream (plain dropDuplicates state grows
     forever)."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation (variable-length windows closed by a
+    ``gap`` of inactivity per ``key``) — identical code path for a
+    batch frame and a stream, like ``windowed_event_counts``. On a
+    stream the watermark is what makes sessions FINAL: a session can
+    only be emitted once no in-horizon event can extend or merge it,
+    and its state is reclaimed afterwards — unbounded session state is
+    the classic 100 TB streaming failure mode.
+
+    The batch twin (same groupBy) is oracle-checked as
+    ``window_session_user_activity``; the streaming replay-equality
+    test closes the loop the DuckDB oracle can't."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+            "total_value",
+        )
+    )
