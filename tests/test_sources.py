@@ -175,3 +175,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_load_media_dir_binary_ingest(spark, tmp_path):
+    """binaryFile multimodal ingest: payload bytes round-trip as an
+    opaque binary column with typed metadata, the glob prunes at
+    listing time, and the stubbed feature extractor runs over the
+    ingested payloads (Arrow-batched plumbing end to end)."""
+    import os
+
+    from vector_db_core_spark.functions.multimodal import extract_features
+    from vector_db_core_spark.sources import load_media_dir
+
+    media = tmp_path / "media" / "nested"
+    os.makedirs(media)
+    payloads = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+    for fname, data in payloads.items():
+        (media / fname).write_bytes(data)
+    (media / "ignore.txt").write_text("not media")
+
+    df = load_media_dir(spark, str(tmp_path / "media"), glob="*.bin")
+    rows = {os.path.basename(r.media_uri): r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for fname, data in payloads.items():
+        assert bytes(rows[fname].payload) == data
+        assert rows[fname].n_bytes == len(data)
+    # metadata-only filter must not break (no content read needed)
+    assert df.where(df.n_bytes > 12).count() == 2
+    # feature extraction over the ingested payloads
+    feats = extract_features(df, payload_col="payload").collect()
+    assert len(feats) == 5 and all(len(f.features) > 0 for f in feats)

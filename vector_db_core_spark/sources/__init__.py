@@ -3,9 +3,10 @@ from vector_db_core_spark.sources.loaders import (
     init_session,
     load_all,
     load_table,
+    load_media_dir,
     read_any,
     write_any,
     register_views,
 )
 
-__all__ = ["TABLES", "init_session", "load_table", "load_all", "read_any", "write_any", "register_views"]
+__all__ = ["TABLES", "init_session", "load_table", "load_all", "read_any", "write_any", "register_views", "load_media_dir"]

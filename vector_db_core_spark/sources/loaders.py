@@ -129,3 +129,42 @@ def write_any(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.format(fmt).options(**options).save(path)
+
+
+def load_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Raw media ingestion: a directory of image/audio/video files as
+    one DataFrame of opaque ``binary`` payloads with typed metadata —
+    the multimodal ingest entry (north-star "multimodal columns").
+
+    Built on Spark's ``binaryFile`` source, so the listing and the
+    byte reads are fully distributed (one task per file batch, no
+    driver loop) and ``pathGlobFilter`` prunes non-matching files at
+    LISTING time, before a single payload byte is read. Emits
+    ``path / modification_time / length / content`` renamed into the
+    engine's media-table shape; feed it to
+    ``functions.multimodal.extract_features`` / ``resize_media`` for
+    the Arrow-batched processing stage.
+
+    Scale note: the binary payload rides the DataFrame as a normal
+    column — filters on metadata (length, path, mtime) run WITHOUT
+    touching content bytes; at 100 TB keep per-file sizes in the
+    MB-not-GB range (one row must fit an Arrow batch slot) and
+    shard directories so no single listing exceeds the driver's
+    file-index budget.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path).select(
+        F.col("path").alias("media_uri"),
+        F.col("modificationTime").alias("modified_at"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )
