@@ -315,3 +315,39 @@ def test_concurrent_writers_serialize(spark, tmp_path):
         F.min("rowid").alias("lo"), F.max("rowid").alias("hi"),
     ).collect()[0]
     assert (stats.n, stats.d, stats.lo, stats.hi) == (2000, 2000, 0, 1999)
+
+
+def test_cross_process_writer_lock_blocks(spark, tmp_path):
+    """A second OS process holding the store's writer flock delays
+    pushx until it releases — cross-process writer serialization the
+    reference's in-process Mutex cannot provide."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT")
+    store.pushx([{"a": 1}])  # creates the store dir + lock file
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl, os, sys, time\n"
+                f"fd = os.open({os.path.join(str(tmp_path / 's'), '_writer.lock')!r},"
+                " os.O_CREAT | os.O_RDWR)\n"
+                "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+                "print('locked', flush=True)\n"
+                "time.sleep(4)\n"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert holder.stdout.readline().strip() == "locked"
+    t0 = time.monotonic()
+    store.pushx([{"a": 2}])
+    elapsed = time.monotonic() - t0
+    holder.wait(timeout=30)
+    assert elapsed >= 2.5, f"pushx did not wait for the flock ({elapsed:.1f}s)"
+    assert store.count() == 2

@@ -48,6 +48,7 @@ header before data lands and so can expose phantom ordinals
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -136,8 +137,36 @@ class OrdinalStore:
         # in-process writer serialization, matching the reference's
         # Mutex<WritableCache> — two threads appending through the same
         # instance must not interleave count()/write/meta. Cross-process
-        # writers remain unguarded in BOTH engines (documented).
+        # writers are additionally serialized by an advisory flock
+        # (_process_write_lock), which the reference does not have.
         self._write_lock = threading.Lock()
+
+    @contextlib.contextmanager
+    def _process_write_lock(self):
+        """Cross-process writer exclusion: blocking ``flock`` on a
+        sidecar ``_writer.lock`` in the store directory — one writer
+        per store across OS processes, a guarantee the reference lacks
+        (its Mutex is in-process only). Advisory and local-FS only; on
+        platforms/object stores without flock semantics this degrades
+        to the in-process mutex alone (documented limitation — an
+        object-store deployment should funnel writers through one
+        ingest job anyway)."""
+        try:
+            import fcntl
+
+            os.makedirs(self.path, exist_ok=True)
+            fd = os.open(os.path.join(self.path, "_writer.lock"), os.O_CREAT | os.O_RDWR)
+        except (ImportError, OSError):
+            yield
+            return
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+            finally:
+                os.close(fd)
 
     # -- length header ------------------------------------------------
     def _read_meta_dict(self) -> dict | None:
@@ -202,7 +231,16 @@ class OrdinalStore:
         try:
             return self._df().count()
         except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            # missing dir, or a dir holding only sidecars (_meta.json /
+            # _writer.lock) with no parquet yet — both mean length 0;
+            # any other failure propagates (never silently restart
+            # ordinals at 0 over existing data)
+            s = str(exc)
+            if (
+                "PATH_NOT_FOUND" in s
+                or "Path does not exist" in s
+                or "UNABLE_TO_INFER_SCHEMA" in s
+            ):
                 return None
             raise
 
@@ -290,7 +328,7 @@ class OrdinalStore:
         """
         if not isinstance(batch, DataFrame):
             batch = self.spark.createDataFrame(list(batch), schema=self.schema)
-        with self._write_lock:
+        with self._write_lock, self._process_write_lock():
             if txn is not None and txn[1] <= self.last_committed_epoch(txn[0]):
                 return -1
             start = self.count()
@@ -403,7 +441,7 @@ class OrdinalStore:
         """
         import shutil
 
-        with self._write_lock:
+        with self._write_lock, self._process_write_lock():
             n = self.count()
             if n == 0:
                 return 0
