@@ -167,3 +167,25 @@ def test_pack_sequences_single_shard_shuffle(spark):
     plan = _plan(QUERIES["pipeline_pack_sequences"](spark, SF_ORACLE))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "SinglePartition" not in plan
+
+
+def test_funnel_stages_share_user_key_no_nl_join(spark):
+    """The funnel's three stage aggregates and two joins all key on
+    user_id: every exchange must be a user_id hash partitioning (one
+    partitioning reused down the plan) and nothing may degrade to a
+    nested-loop/cartesian join — the shapes that would die at 100 TB."""
+    plan = _plan(QUERIES["funnel_view_click_purchase"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "user_id" in ln, ln
+
+
+def test_boolean_filtered_agg_partials(spark):
+    """count_if/bool_and/bool_or must plan as a two-phase hash
+    aggregate (map-side partial_* before the exchange) so the shuffle
+    carries one tiny row per group per partition."""
+    plan = _plan(QUERIES["agg_boolean_filtered"](spark, SF_ORACLE))
+    assert "HashAggregate" in plan
+    assert "partial_" in plan

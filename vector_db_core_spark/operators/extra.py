@@ -1075,3 +1075,86 @@ def window_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_out").cast("bigint").alias("n_outliers"),
         )
     )
+
+
+# ------------------------------------------------------------- event funnel
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id, v.t_view),
+    p AS (SELECT e.user_id, c.t_view, c.t_click, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id, c.t_view, c.t_click)
+    SELECT user_id, t_view, t_click, t_purchase FROM p
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence (funnel) detection: for each user the earliest
+    view -> first click after it -> first purchase after that — the
+    MATCH_RECOGNIZE-style sequence query every product-analytics
+    engine ships, built from stage-wise min-aggregates instead of a
+    per-user sort. Every stage joins and aggregates on the SAME
+    user_id key, so at 100 TB the three shuffles hash-partition
+    identically (exchange reuse) and each stage's output shrinks to
+    <= one row per user before the next join — no per-user event
+    arrays, no window over the raw 100 TB event log, and AQE turns
+    the later stage joins into broadcasts as the funnel narrows."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )
+
+
+# ------------------------------------------------- boolean/filtered aggregates
+@register(
+    "agg_boolean_filtered",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           bool_and(o_totalprice > 1000) AS all_above_floor,
+           bool_and(o_orderstatus IN ('F','O','P')) AS statuses_valid
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered and boolean aggregates — count_if / bool_or (ANY) /
+    bool_and (EVERY), the predicate-summary family data-quality
+    checks are written in (\"does every row satisfy the invariant?\",
+    \"how many violate it?\"). All are plain hash aggregates with
+    map-side partial combine: booleans fold to one byte per group per
+    partition, so at 100 TB the shuffle carries a few bytes per
+    (group x partition) regardless of row count."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_floor"),
+        F.bool_and(F.col("o_orderstatus").isin("F", "O", "P")).alias("statuses_valid"),
+    )
