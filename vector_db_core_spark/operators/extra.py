@@ -1158,3 +1158,47 @@ def agg_boolean_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_floor"),
         F.bool_and(F.col("o_orderstatus").isin("F", "O", "P")).alias("statuses_valid"),
     )
+
+
+# --------------------------------------------------------------- cohort grid
+@register(
+    "cohort_daily_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                 CAST(ts AS DATE) - f.cohort_day AS days_since
+          FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort_day, CAST(days_since AS INT) AS days_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM a GROUP BY cohort_day, days_since
+    """,
+)
+def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users bucketed by first-activity day,
+    counted as active N days later — the retention matrix behind every
+    growth dashboard (and, in a training-data setting, the freshness
+    profile of a crawl: how much of day-X's source set still emits
+    documents at day X+N). Stage 1 reduces the event log to one
+    (user, cohort_day) row per user; the join back keys on user_id —
+    the same partitioning the aggregate just produced, so the two
+    stages share one shuffle at any scale. The distinct collapses a
+    user's many same-day events BEFORE the cohort count, keyed on
+    (user, cohort, day) — high-cardinality, evenly spread; the final
+    count is a plain two-phase aggregate over the tiny cohort grid."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", F.col("cohort_day")).alias("days_since"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "days_since").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )
