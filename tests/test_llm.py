@@ -257,3 +257,33 @@ def test_multimodal_custom_decoder_plugs_in(spark):
     out = extract_features(media, decoder=lambda b: [float(len(b)), float(b[0])]).collect()
     for r in out:
         assert r.features == [float(len(bytes(r.payload))), float(bytes(r.payload)[0])]
+
+
+def test_group_pca_matches_numpy_and_is_partition_independent(spark):
+    """The applyInPandas PCA must reproduce a driver-side numpy SVD on
+    the sorted raw data exactly (vec_id sort fixes reduction order),
+    for every label, and the unit-norm/variance invariants must hold."""
+    import numpy as np
+
+    rows = {r.label: r for r in QUERIES["sim_group_pca_top_component"](spark, SF_ORACLE).collect()}
+    raw = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert len(rows) == raw["label"].nunique()
+    for label, r in rows.items():
+        sub = raw[raw.label == label]
+        X = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+        Xc = X - X.mean(axis=0)
+        _, s, vt = np.linalg.svd(Xc, full_matrices=False)
+        v = vt[0]
+        if v[np.abs(v).argmax()] < 0:
+            v = -v
+        assert r.n_vectors == len(sub)
+        assert abs(r.explained_ratio - round(float(s[0] ** 2 / (s**2).sum()), 6)) < 1e-9
+        assert np.allclose(np.array(r.component), np.round(v, 6), atol=1e-9)
+        # top component is unit-norm and beats every coordinate axis
+        assert abs(np.linalg.norm(r.component) - 1.0) < 1e-4
+        proj_var = float(np.var(Xc @ np.array(r.component)))
+        assert proj_var >= Xc.var(axis=0).max() * 0.999

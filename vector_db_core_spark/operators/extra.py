@@ -1202,3 +1202,38 @@ def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_day", "days_since").agg(
         F.count("*").cast("bigint").alias("n_active")
     )
+
+
+# ------------------------------------------------------------ trend regression
+@register(
+    "agg_linear_regression",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(value, (epoch(ts) - 1704067200.0) / 86400.0), 6)
+             AS slope_per_day,
+           round(regr_intercept(value, (epoch(ts) - 1704067200.0) / 86400.0), 6)
+             AS intercept,
+           round(regr_r2(value, (epoch(ts) - 1704067200.0) / 86400.0), 6) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: slope / intercept / R² of event
+    value over time via the SQL-standard ``regr_*`` aggregates — the
+    drift detector behind metric monitoring (is 'error' value creeping
+    up?). Single-pass co-moment accumulation, map-side mergeable — the
+    same shuffle profile as a plain count at any scale. The x axis is
+    re-based to days since 2024-01-01 BEFORE accumulation: raw epoch
+    seconds (~1.7e9) would put the variance 11 orders of magnitude
+    below the mean² and the engines' different accumulation orders
+    would surface as catastrophic-cancellation noise; re-basing makes
+    round(6) stable (same policy as corr/covar)."""
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("ts").cast("double") - F.lit(1704067200.0)) / 86400.0
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        F.count("*").alias("n"),
+    )

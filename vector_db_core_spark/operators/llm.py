@@ -1341,3 +1341,56 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("n"),
         F.round(F.col("c").cast("double") / wsum.cast("double"), 6).alias("cond_p"),
     )
+
+
+# ------------------------------------------------------- grouped-map PCA
+@register("sim_group_pca_top_component")
+def sim_group_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top principal component of the embedding cloud — the
+    per-group spectral step (eigendecomposition) that no SQL surface
+    expresses, hence the engine's one *grouped-map* ``applyInPandas``
+    operator (SURVEY §2.2's UDF/UDAF row; the elementwise twin is the
+    pandas_udf cosine kernel in functions/vectors.py). Used for
+    per-cluster embedding compression and drift inspection (how
+    anisotropic is each label's cloud?).
+
+    Scale: one shuffle on the label key; each group streams to a
+    worker as Arrow batches and the O(n·d²) covariance work runs in
+    numpy there — nothing funnels through the driver. Skew guard at
+    100 TB: a label owning most rows serializes into one task — cap
+    group size by pre-sampling or switch to treeAggregate-style
+    d×d co-moment aggregation (F.aggregate over outer-product arrays)
+    when groups exceed worker memory. Determinism: rows are sorted by
+    vec_id inside the group (float reduction order fixed), computation
+    in float64, sign fixed by making the largest-|loading| entry
+    positive; no oracle (DuckDB has no eigensolver) — driver records
+    the rows-only check, tests/test_llm.py re-derives the axis with
+    numpy from the raw parquet and asserts equality."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    out_schema = (
+        "label INT, n_vectors INT, explained_ratio DOUBLE, component ARRAY<DOUBLE>"
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Xc = X - X.mean(axis=0)
+        _, s, vt = np.linalg.svd(Xc, full_matrices=False)
+        v = vt[0]
+        j = int(np.abs(v).argmax())
+        if v[j] < 0:
+            v = -v
+        total = float((s**2).sum())
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "explained_ratio": [round(float(s[0] ** 2 / total), 6) if total else 0.0],
+                "component": [[round(float(c), 6) for c in v]],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(fit, schema=out_schema)
