@@ -1237,3 +1237,89 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
         F.count("*").alias("n"),
     )
+
+
+# ------------------------------------------------------------- EWMA smoothing
+@register(
+    "timeseries_ewma_daily_value",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    r AS (
+      SELECT event_type, day, v,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS i
+      FROM d)
+    SELECT event_type, day, round(v, 6) AS daily_value,
+           round(pow(0.7, i) * SUM(v * 0.3 * pow(0.7, -i))
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS ewma
+    FROM r
+    """,
+)
+def timeseries_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.3) of daily event
+    value per type — the smoothing pass behind anomaly thresholds and
+    trend dashboards. The recursive definition ewma_i = α·v_i +
+    (1−α)·ewma_{i−1} (seeded at 0) is not a SQL aggregate; it
+    factorizes into window-expressible form as (1−α)^i · Σ_{j≤i}
+    v_j·α·(1−α)^{−j} — one running sum, one pow per row. The rescaling
+    term (1−α)^{−j} grows exponentially, so this form is for series
+    re-based to bounded length: here the heavy 100 TB work is the
+    daily pre-aggregation (map-side combined, one shuffle); the EWMA
+    window then runs over the tiny (type × day) series — at 0.7^{-365}
+    ≈ 1e56 a year still fits a double's range (max ~1.8e308), and
+    longer horizons chunk the series and re-base the exponent per
+    chunk. Both engines evaluate the identical IEEE expression over
+    the identically-ordered frame, so round(6) agrees."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        dsum("value", "v")
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    i = F.row_number().over(wo).cast("double")
+    run = F.sum(F.col("v") * 0.3 * F.pow(0.7, -i)).over(
+        wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        F.round("v", 6).alias("daily_value"),
+        F.round(F.pow(0.7, i) * run, 6).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------- salted aggregation
+@register(
+    "agg_salted_returnflag_totals",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted two-phase aggregate AS a checked query: count +
+    exact-decimal quantity sum over l_returnflag — a 3-key group that
+    is skewed-by-construction (every reducer key is hot). Phase 1
+    groups by (key, salt) so each hot key spreads over 16 reducers;
+    phase 2 re-aggregates the 16 tiny partials per key. The oracle is
+    the PLAIN GROUP BY — proving the salted plan computes the
+    identical answer (decomposable aggregates commute with salting),
+    which is the whole point of the rewrite. See functions/skew.py
+    for when this matters vs Spark's own partial aggregation."""
+    from vector_db_core_spark.functions.exact import dec
+    from vector_db_core_spark.functions.skew import salted_counts_sums
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_counts_sums(
+        li, ["l_returnflag"], {"l_quantity": dec("l_quantity")}, n_salts=16
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_l_quantity").cast("double").alias("sum_qty"),
+    )
