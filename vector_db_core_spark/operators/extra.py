@@ -1323,3 +1323,64 @@ def agg_salted_returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("sum_l_quantity").cast("double").alias("sum_qty"),
     )
+
+
+# ------------------------------------------------------------- column profile
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS col,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice) FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — null count + distinct cardinality per column
+    in ONE scan, then unpivoted to the long (col, n_nulls, n_distinct)
+    report every data-quality / schema-drift monitor starts from.
+    Multiple exact countDistincts in one agg make Spark plan an Expand
+    (rows × #columns before the shuffle) — acceptable here and
+    oracle-comparable; the 100 TB profile swaps them for
+    approx_count_distinct (HLL sketches: one pass, no Expand, fixed
+    state — same plan as agg_approx_count_distinct) since profiling
+    tolerates ~2% cardinality error."""
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate", "o_totalprice"]
+    o = _t(spark, sf_dir, "orders")
+    wide = o.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
+                F.countDistinct(c).alias(f"dist_{c}"),
+            )
+        ]
+    )
+    long = wide.unpivot(
+        [],
+        [f"nulls_{c}" for c in cols] + [f"dist_{c}" for c in cols],
+        "key",
+        "val",
+    )
+    kind = F.when(F.col("key").startswith("nulls_"), "n_nulls").otherwise("n_distinct")
+    col = F.regexp_replace("key", "^(nulls_|dist_)", "")
+    return (
+        long.select(col.alias("col"), kind.alias("kind"), "val")
+        .groupBy("col")
+        .pivot("kind", ["n_nulls", "n_distinct"])
+        .agg(F.first("val"))
+        .select("col", F.col("n_nulls").cast("bigint"), F.col("n_distinct").cast("bigint"))
+    )
