@@ -326,3 +326,48 @@ def test_session_window_stream_replays_batch(spark, tmp_path):
         for r in session_event_counts(events, gap="30 minutes", watermark=None).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_interval_join_stream_replays_batch(spark, tmp_path):
+    """Stream-stream interval join (purchases within 6h of a click,
+    same user) over the closed stream == the same join in batch. The
+    watermark + range condition bound the state store; availableNow
+    drains the landing files as micro-batches."""
+    from vector_db_core_spark.streaming import interval_join_followups
+
+    events, landing = _events_landing(spark, tmp_path)
+    schema = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE, user_id BIGINT"
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    sl, sr = split(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+    # the landing files are round-robin partitioned, so every file
+    # spans the full 30-day fixture range: a short watermark would
+    # (correctly!) drop most of files 2-3 as late after the first
+    # micro-batch advances it. Equality with batch needs a horizon
+    # covering the whole closed stream; the short-watermark eviction
+    # behavior is the documented semantics, not what's tested here.
+    joined = interval_join_followups(sl, sr, within="6 hours", watermark="40 days")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.first_ts, r.followup_ts) for r in spark.table("ij").collect()
+    )
+    bl, br = split(events)
+    expect = sorted(
+        (r.user_id, r.first_ts, r.followup_ts)
+        for r in interval_join_followups(bl, br, within="6 hours").collect()
+    )
+    assert got == expect and len(got) > 100

@@ -2,6 +2,7 @@ from vector_db_core_spark.streaming.ingest import (
     IngestBuffer,
     dedup_within_watermark,
     ingest_metrics,
+    interval_join_followups,
     session_event_counts,
     stream_append_to_store,
     windowed_event_counts,
@@ -13,6 +14,7 @@ __all__ = [
     "IngestBuffer",
     "dedup_within_watermark",
     "ingest_metrics",
+    "interval_join_followups",
     "session_event_counts",
     "stream_append_to_store",
     "windowed_event_counts",

@@ -260,3 +260,46 @@ def session_event_counts(
             "total_value",
         )
     )
+
+
+def interval_join_followups(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each right-side event paired with
+    every left-side event of the same ``key`` it followed within
+    ``within`` (e.g. purchases after clicks — the attribution join).
+    Works identically on batch frames (watermarks are no-ops) and on
+    two streams, where the pair (watermark, time-range predicate) is
+    what BOUNDS the join state: Spark keeps a left row only until
+    left_ts + within falls behind the right watermark, then evicts it
+    — without the range condition, stream-stream join state grows
+    forever and dies at 100 TB. Both sides shuffle once on the key;
+    the interval condition is evaluated inside the keyed state store,
+    never as a cross product."""
+    l = left.select(
+        F.col(key).alias("l_key"), F.col(left_ts).alias("l_ts")
+    )
+    r = right.select(
+        F.col(key).alias("r_key"), F.col(right_ts).alias("r_ts")
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+        "inner",
+    ).select(
+        F.col("l_key").alias(key),
+        F.col("l_ts").alias("first_ts"),
+        F.col("r_ts").alias("followup_ts"),
+    )
