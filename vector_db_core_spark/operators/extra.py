@@ -1384,3 +1384,96 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("val"))
         .select("col", F.col("n_nulls").cast("bigint"), F.col("n_distinct").cast("bigint"))
     )
+
+
+# ----------------------------------------------------------- co-occurrence
+@register(
+    "assoc_part_pairs_in_orders",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sized AS (SELECT l_orderkey FROM b GROUP BY l_orderkey
+              HAVING COUNT(*) BETWEEN 2 AND 20),
+    p AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                       AND a.l_partkey < c.l_partkey
+      JOIN sized s ON a.l_orderkey = s.l_orderkey)
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM p GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+    """,
+)
+def assoc_part_pairs_in_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining: the top part pairs appearing in the same
+    order — the association/recommendation primitive ("bought
+    together"). The self-join fans each k-item basket into k·(k−1)/2
+    pairs, so the basket-size cap (2..20) is NOT an optimization
+    garnish — it is what bounds the quadratic blowup at 100 TB (one
+    pathological 10⁵-item basket would emit 5·10⁹ pairs); real
+    pipelines cap or sample big baskets exactly like this. Dedup
+    before the join (distinct) keeps quantity-split line items from
+    inflating counts; the pair aggregate is map-side combinable and
+    the top-25 is TakeOrderedAndProject with a deterministic
+    tiebreak."""
+    b = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        b.groupBy("l_orderkey")
+        .agg(F.count("*").alias("k"))
+        .where(F.col("k").between(2, 20))
+        .select("l_orderkey")
+    )
+    a = b.withColumnRenamed("l_partkey", "part_a")
+    c = b.withColumnRenamed("l_partkey", "part_b")
+    pairs = (
+        a.join(sized, "l_orderkey")
+        .join(c, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+# ----------------------------------------------------------- inverted index
+@register(
+    "text_inverted_index",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+               FROM documents),
+    e AS (SELECT DISTINCT doc_id, UNNEST(w) AS token FROM t)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           list_sort(list(doc_id))[1:20] AS postings_head
+    FROM e GROUP BY token HAVING COUNT(*) >= 5
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency + the head of
+    the sorted posting list — the structure behind keyword search and
+    the df side of TF-IDF. Per-document distinct BEFORE the explode
+    (array_distinct, map-side) so a token repeated in one document
+    contributes one posting; the groupBy keys on the high-cardinality
+    token (even shuffle); postings are sorted for determinism and
+    CAPPED at 20 here purely to keep the oracle row bounded — a real
+    index writes the full list per token, and at 100 TB you shard the
+    index by token-hash range (the groupBy partitioning IS that
+    sharding) and spill long postings to their own segment files. The
+    df >= 5 floor drops the hapax tail (half the vocabulary, useless
+    for retrieval)."""
+    from vector_db_core_spark.functions.text import tokens
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    return (
+        t.groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings_head"),
+        )
+        .where(F.col("df") >= 5)
+    )
