@@ -1406,31 +1406,36 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def assoc_part_pairs_in_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence mining: the top part pairs appearing in the same
     order — the association/recommendation primitive ("bought
-    together"). The self-join fans each k-item basket into k·(k−1)/2
-    pairs, so the basket-size cap (2..20) is NOT an optimization
-    garnish — it is what bounds the quadratic blowup at 100 TB (one
-    pathological 10⁵-item basket would emit 5·10⁹ pairs); real
-    pipelines cap or sample big baskets exactly like this. Dedup
-    before the join (distinct) keeps quantity-split line items from
-    inflating counts; the pair aggregate is map-side combinable and
-    the top-25 is TakeOrderedAndProject with a deterministic
-    tiebreak."""
-    b = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    sized = (
-        b.groupBy("l_orderkey")
-        .agg(F.count("*").alias("k"))
-        .where(F.col("k").between(2, 20))
-        .select("l_orderkey")
+    together"). Not the textbook self-join: the basket is assembled
+    ONCE per order (collect_set — distinct parts, bounded state), the
+    size cap (2..20) is applied to the array, and the k·(k−1)/2 pairs
+    are generated inside codegen by an indexed transform over the
+    sorted array — so the whole query is TWO shuffles (orderkey
+    basket-build, pair count) and zero joins, vs the self-join's four
+    exchanges over the raw line items. The cap is not an optimization
+    garnish: it bounds the quadratic per-basket fanout at 100 TB (one
+    pathological 10⁵-item basket would emit 5·10⁹ pairs); sorting the
+    array makes part_a < part_b by construction. Top-25 is
+    TakeOrderedAndProject with a deterministic tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts").between(2, 20))
     )
-    a = b.withColumnRenamed("l_partkey", "part_a")
-    c = b.withColumnRenamed("l_partkey", "part_b")
-    pairs = (
-        a.join(sized, "l_orderkey")
-        .join(c, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
+    pair_arrays = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice("parts", i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     return (
-        pairs.groupBy("part_a", "part_b")
+        baskets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(25)
