@@ -21,6 +21,14 @@ def _plan(df) -> str:
     )
 
 
+def _plan_simple(df) -> str:
+    """One-line-per-operator tree (exchange keys inline — formatted
+    mode splits them into detail blocks, so key assertions grep this)."""
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
 def test_ordinal_range_predicate_pushed_down(spark, tmp_path):
     """pullx's rowid BETWEEN must reach the parquet scan (the analog of
     the reference's O(1) offset arithmetic — row-group pruning)."""
@@ -174,12 +182,13 @@ def test_funnel_stages_share_user_key_no_nl_join(spark):
     user_id: every exchange must be a user_id hash partitioning (one
     partitioning reused down the plan) and nothing may degrade to a
     nested-loop/cartesian join — the shapes that would die at 100 TB."""
-    plan = _plan(QUERIES["funnel_view_click_purchase"](spark, SF_ORACLE))
+    plan = _plan_simple(QUERIES["funnel_view_click_purchase"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    for ln in plan.splitlines():
-        if "Exchange hashpartitioning" in ln:
-            assert "user_id" in ln, ln
+    keyed = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert keyed, "expected at least one hash exchange"
+    for ln in keyed:
+        assert "user_id" in ln, ln
 
 
 def test_boolean_filtered_agg_partials(spark):
@@ -189,3 +198,43 @@ def test_boolean_filtered_agg_partials(spark):
     plan = _plan(QUERIES["agg_boolean_filtered"](spark, SF_ORACLE))
     assert "HashAggregate" in plan
     assert "partial_" in plan
+
+
+def test_assoc_pairs_join_free_two_shuffles(spark):
+    """The co-occurrence rewrite's contract: pair generation happens
+    inside codegen from the basket array — no join operator anywhere,
+    top-k via TakeOrderedAndProject, and only the basket-build and
+    pair-count hash exchanges (plus take-ordered's singlePartition)."""
+    plan = _plan_simple(QUERIES["assoc_part_pairs_in_orders"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert 1 <= len(hash_exchanges) <= 2, hash_exchanges
+
+
+def test_inverted_index_single_token_shuffle(spark):
+    """Inverted-index build: per-doc distinct happens map-side
+    (array_distinct before explode), so the ONLY hash exchange keys on
+    the token — the index sharding."""
+    plan = _plan_simple(QUERIES["text_inverted_index"](spark, SF_ORACLE))
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert len(hash_exchanges) == 1 and "token" in hash_exchanges[0], hash_exchanges
+
+
+def test_ewma_window_runs_over_aggregated_series(spark):
+    """EWMA: the window must consume the daily AGGREGATE (tiny), never
+    the raw event rows — i.e. the plan is agg-then-window, with the
+    window keyed on event_type."""
+    df = QUERIES["timeseries_ewma_daily_value"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Window" in plan and "HashAggregate" in plan
+    # the aggregate appears below the window in the tree: the Window
+    # operator's child chain must contain the HashAggregate
+    win_idx = plan.index("Window")
+    assert "HashAggregate" in plan[win_idx:] or plan.index("HashAggregate") < win_idx
