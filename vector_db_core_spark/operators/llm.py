@@ -1394,3 +1394,91 @@ def sim_group_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return emb.groupBy("label").applyInPandas(fit, schema=out_schema)
+
+
+# ------------------------------------------------------------- PMI collocation
+@register(
+    "text_word_pmi",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      FROM documents),
+    uni AS (
+      SELECT u AS tok, COUNT(*) AS c
+      FROM t, UNNEST(w) AS s(u) GROUP BY u),
+    n_tok AS (SELECT SUM(c) AS n FROM uni),
+    big AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS c12
+      FROM t, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+      GROUP BY w[i], w[i + 1]),
+    n_big AS (SELECT SUM(c12) AS n FROM big)
+    SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS n_pair,
+           round(ln((CAST(b.c12 AS DOUBLE) / nb.n)
+                    / ((CAST(u1.c AS DOUBLE) / nt.n)
+                       * (CAST(u2.c AS DOUBLE) / nt.n))), 6) AS pmi
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.tok
+    JOIN uni u2 ON b.w2 = u2.tok
+    CROSS JOIN n_tok nt CROSS JOIN n_big nb
+    WHERE b.c12 >= 5
+    """,
+)
+def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the
+    collocation detector ("new york" vs chance co-occurrence) used for
+    phrase mining and tokenizer-merge candidates. Composes the two LM
+    aggregates this module already ships (unigram + bigram counts):
+    each is one map-side-combined shuffle over the corpus; the PMI
+    join then runs over VOCABULARY-sized tables (the corpus rows are
+    gone), with the two scalar totals broadcast as one-row frames.
+    At 100 TB the unigram table still fits a broadcast (vocab plateaus
+    in the millions) so both probability lookups are map-side; the
+    c12 >= 5 floor cuts the noisy singleton tail that PMI is
+    notoriously biased toward. ln() is the same IEEE call in both
+    engines; round(6) absorbs the last ulp."""
+    from vector_db_core_spark.functions.text import tokens
+
+    t = _t(spark, sf_dir, "documents").select(tokens(F.col("text")).alias("w"))
+    uni = (
+        t.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.element_at("w", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big_all = (
+        t.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    big = big_all.where(F.col("c12") >= 5)
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    # identical subtree to `big`'s parent → Spark's ReuseExchange
+    # serves both from one shuffle
+    n_big = big_all.agg(F.sum("c12").alias("n_big"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    out = (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+    )
+    p12 = F.col("c12").cast("double") / F.col("n_big")
+    p1 = F.col("c1").cast("double") / F.col("n_tok")
+    p2 = F.col("c2").cast("double") / F.col("n_tok")
+    return out.select(
+        "w1",
+        "w2",
+        F.col("c12").cast("bigint").alias("n_pair"),
+        F.round(F.log(p12 / (p1 * p2)), 6).alias("pmi"),
+    )
