@@ -58,6 +58,10 @@ HEADLINE = [
     "text_stats_documents",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
+    "funnel_view_click_purchase",
+    "cohort_daily_retention",
+    "assoc_part_pairs_in_orders",
+    "text_inverted_index",
 ]
 
 STORE_ROWS = 1_000_000
