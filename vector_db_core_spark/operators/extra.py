@@ -1482,3 +1482,45 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 5)
     )
+
+
+# --------------------------------------------------------------- fuzzy join
+@register(
+    "join_fuzzy_part_names",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    b AS (SELECT p_name, split_part(p_name, ' ', -1) AS noun FROM n)
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist
+    FROM b a JOIN b c ON a.noun = c.noun AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 3
+    """,
+)
+def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join — the entity-resolution /
+    record-linkage primitive: distinct part names paired when within
+    Levenshtein 3, BANDED on a blocking key (the trailing noun) so the
+    O(len²)-per-pair distance only runs inside bands. Blocking is the
+    entire scale story: an unblocked fuzzy join is all-pairs n² at any
+    engine; with a key that bounds band size (vocabulary-sized here;
+    phonetic codes / q-gram prefixes in general) the join is an
+    ordinary equi-shuffle whose quadratic work is per-band and
+    bounded. The name dedup (distinct) runs BEFORE the join — band
+    membership is per unique string, not per row. The a < b predicate
+    halves the symmetric pairs and removes self-matches."""
+    n = _t(spark, sf_dir, "part").select("p_name").distinct()
+    b = n.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("noun")
+    )
+    a = b.select(F.col("p_name").alias("name_a"), "noun")
+    c = b.select(F.col("p_name").alias("name_b"), "noun")
+    return (
+        a.join(c, "noun")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(F.levenshtein("name_a", "name_b") <= 3)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+    )
