@@ -600,14 +600,17 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined), document frequency (same explode, distinct
     docs per term — at corpus scale a bounded-vocabulary aggregate),
     and a smoothed idf ``ln((N+1)/(df+1))`` identical in both engines.
-    The df side is vocabulary-sized → broadcast join onto tf; N is a
-    scalar cross join. Ranking is deterministic (tfidf desc, term)."""
+    The df side is vocabulary-sized — small relative to the corpus but
+    unbounded (Heaps' law), so it carries NO broadcast hint: AQE
+    broadcasts it at runtime when its actual size allows and falls
+    back to a shuffle join when it doesn't. N is a scalar cross join.
+    Ranking is deterministic (tfidf desc, term)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # tiny metadata count; a literal in the plan
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    scored = tf.join(dfreq, "term").select(
         "doc_id",
         "term",
         (
@@ -1431,8 +1434,9 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     each is one map-side-combined shuffle over the corpus; the PMI
     join then runs over VOCABULARY-sized tables (the corpus rows are
     gone), with the two scalar totals broadcast as one-row frames.
-    At 100 TB the unigram table still fits a broadcast (vocab plateaus
-    in the millions) so both probability lookups are map-side; the
+    The unigram lookups carry no broadcast hint — vocabulary grows
+    sublinearly (Heaps' law) but without a hard bound, so AQE decides
+    at runtime whether each lookup broadcasts or shuffles; the
     c12 >= 5 floor cuts the noisy singleton tail that PMI is
     notoriously biased toward. ln() is the same IEEE call in both
     engines; round(6) absorbs the last ulp."""
@@ -1468,8 +1472,8 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
     out = (
-        big.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        big.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(n_big))
     )
