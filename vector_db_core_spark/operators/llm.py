@@ -471,9 +471,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT source) AS n_sources,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
-           SUM(CAST(len(toks) AS BIGINT)) AS total_tokens
+           CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS total_tokens
     FROM t GROUP BY lang
     """,
 )

@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: All driver-provided tables (TESTDATA.md).
 TABLES = (
@@ -42,12 +43,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-#: reader rejects outright (PARQUET_TYPE_ILLEGAL). We read them as the
-#: raw nanos long (legacy conf) and rebuild a microsecond timestamp with
-#: integer `div` truncation — the same ns→µs truncation DuckDB applies,
-#: so oracle comparisons stay bit-identical.
-_NANOS_TS_COLS = {"events": ("ts",)}
+#: timestamp columns whose parquet physical type has varied across
+#: fixture vintages: TIMESTAMP(NANOS) (read back as a raw nanos long
+#: under the legacy conf, because the vectorized reader rejects nanos
+#: outright) or plain TIMESTAMP(MICROS) (read natively). The loader
+#: normalizes BOTH vintages to a microsecond TimestampType column, so
+#: downstream operators and the DuckDB oracle see identical values
+#: regardless of which fixture generation wrote the file.
+_TS_COLS = {"events": ("ts",)}
 
 
 def init_session(spark: SparkSession) -> SparkSession:
@@ -71,10 +74,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     init_session(spark)
-    nanos_cols = _NANOS_TS_COLS.get(name, ())
     df = spark.read.parquet(table_path(sf_dir, name))
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in _TS_COLS.get(name, ()):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            # nanos-as-long vintage: truncate ns → µs (same truncation
+            # DuckDB applies, so oracle comparisons stay bit-identical).
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # native TIMESTAMP(MICROS, isAdjustedToUTC=false) vintage:
+            # session tz is UTC, so NTZ→TZ is a pure type relabel with
+            # identical wall-clock values.
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
