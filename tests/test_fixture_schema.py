@@ -1,0 +1,88 @@
+"""Fixture-schema drift guard.
+
+The driver regenerates /root/testdata between rounds and has already
+changed a physical parquet type once (events.ts: TIMESTAMP(NANOS) →
+TIMESTAMP(MICROS), round 1 → round 2), which silently broke every
+downstream consumer. This test pins the POST-LOAD logical schema of
+every table at every scale factor, so the next regeneration fails as
+one named assertion here instead of dozens of opaque plan-time errors.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from vector_db_core_spark.sources import TABLES, load_table
+
+SF_DIRS = [
+    d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    if os.path.isdir(d)
+]
+
+# Post-load dtypes the engine's operators rely on. Only the
+# load-bearing columns are pinned (the loader normalizes these);
+# incidental columns are checked for presence, not type.
+EXPECTED = {
+    "events": {
+        "event_id": T.LongType(),
+        "ts": T.TimestampType(),  # loader normalizes both fixture vintages
+        "user_id": T.LongType(),
+        "event_type": T.StringType(),
+        "props": T.StringType(),
+    },
+    "embeddings": {
+        "vec_id": T.LongType(),
+        "embedding": T.ArrayType(T.FloatType(), True),
+        "label": None,  # integral; exact width is vintage-dependent
+    },
+    "documents": {
+        "doc_id": T.LongType(),
+        "text": T.StringType(),
+        "lang": T.StringType(),
+        "source": T.StringType(),
+        "n_chars": None,  # integral; exact width is vintage-dependent
+    },
+    "lineitem": {
+        "l_orderkey": T.LongType(),
+        "l_quantity": T.DoubleType(),
+        "l_extendedprice": T.DoubleType(),
+        # stored as naive timestamp[us]; DuckDB reads the same — both
+        # engines agree, so queries date-compare consistently.
+        "l_shipdate": T.TimestampNTZType(),
+    },
+    "orders": {"o_orderkey": T.LongType(), "o_orderdate": T.TimestampNTZType()},
+    "customer": {"c_custkey": T.LongType()},
+    "supplier": {"s_suppkey": T.LongType()},
+    "part": {"p_partkey": T.LongType()},
+    "nation": {"n_nationkey": None, "n_regionkey": None},  # integral key; width varies
+    "region": {"r_regionkey": None},
+}
+
+INTEGRAL = (T.IntegerType, T.LongType, T.ShortType)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("table", sorted(EXPECTED))
+def test_fixture_schema_pinned(spark, sf_dir, table):
+    df = load_table(spark, sf_dir, table)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for col, want in EXPECTED[table].items():
+        assert col in fields, f"{sf_dir}/{table}: column {col!r} missing (drift!)"
+        got = fields[col]
+        if want is None:
+            continue
+        assert got == want, (
+            f"{sf_dir}/{table}.{col}: loaded dtype {got} != pinned {want} — "
+            "the driver regenerated fixtures with a new physical type; "
+            "update sources/loaders.py normalization, not just this test"
+        )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_all_tables_loadable_nonempty(spark, sf_dir):
+    for t in TABLES:
+        n = load_table(spark, sf_dir, t).limit(1).count()
+        assert n == 1, f"{sf_dir}/{t} is empty or unreadable"

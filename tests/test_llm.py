@@ -287,3 +287,88 @@ def test_group_pca_matches_numpy_and_is_partition_independent(spark):
         assert abs(np.linalg.norm(r.component) - 1.0) < 1e-4
         proj_var = float(np.var(Xc @ np.array(r.component)))
         assert proj_var >= Xc.var(axis=0).max() * 0.999
+
+
+def test_all_pairs_baselines_are_capped(spark):
+    """The O(n^2) correctness baselines must refuse large inputs and
+    point at their banded/bucketed scale twins."""
+    import pytest
+
+    from vector_db_core_spark.operators import llm
+
+    big = spark.range(llm.ALL_PAIRS_ROW_CAP + 1)
+    with pytest.raises(ValueError, match="dedup_minhash_lsh_pairs"):
+        llm._assert_all_pairs_scale(big, "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh_pairs")
+    # at-or-under the cap passes through unchanged
+    small = spark.range(10)
+    assert llm._assert_all_pairs_scale(small, "x", "y") is small
+
+
+# ------------------------------------------------------- real image decode
+def _ppm(w, h, rgb):
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + bytes(rgb)
+
+
+def _bmp24(w, h, rows_rgb):
+    """Minimal bottom-up 24-bit BI_RGB BMP from row-major RGB tuples."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        raster += line + b"\x00" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + info + raster
+
+
+def test_decode_image_netpbm_and_bmp():
+    from vector_db_core_spark.functions.multimodal import decode_image
+
+    px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]  # 2x2 RGB
+    img = decode_image(_ppm(2, 2, px))
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert list(img["pixels"]) == px
+
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    img = decode_image(_bmp24(2, 2, rows))
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert list(img["pixels"]) == px  # same pixels as the PPM
+
+    gray = b"P5\n2 1\n255\n" + bytes([0, 255])
+    img = decode_image(gray)
+    assert (img["width"], img["height"], img["channels"]) == (2, 1, 1)
+
+
+def test_decode_image_unsupported_is_declared():
+    import pytest
+
+    from vector_db_core_spark.functions.multimodal import (
+        UnsupportedMediaError,
+        decode_image,
+        features_or_stub,
+        stub_features,
+    )
+
+    jpegish = b"\xff\xd8\xff\xe0 not actually decodable here"
+    with pytest.raises(UnsupportedMediaError, match="magic"):
+        decode_image(jpegish)
+    # the total featurizer falls back to byte features instead of dying
+    assert features_or_stub(jpegish) == stub_features(jpegish)
+
+
+def test_image_features_in_spark_pipeline(spark):
+    """Real pixel features flow through the same mapInPandas plumbing."""
+    from vector_db_core_spark.functions.multimodal import image_features
+
+    red = _ppm(2, 2, [255, 0, 0] * 4)
+    blue = _ppm(2, 2, [0, 0, 255] * 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(red)), (2, bytearray(blue))], "media_id BIGINT, payload BINARY"
+    )
+    out = {r.media_id: r.features for r in extract_features(df, decoder=image_features).collect()}
+    assert out[1][0] == 1.0 and out[1][1] == 0.0  # all-red: R mean 1
+    assert out[2][2] == 1.0 and out[2][0] == 0.0  # all-blue: B mean 1
+    # luminance hist sums to 1
+    assert abs(sum(out[1][3:]) - 1.0) < 1e-12

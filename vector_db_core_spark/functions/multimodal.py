@@ -7,13 +7,16 @@ operators/llm.py); decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` — the ONE place this engine uses Python in a data
 path, because media codecs don't exist as Catalyst expressions.
 
-The actual codecs (pillow / librosa / av) are NOT installed in this
-environment, so ``decode_image`` raises ``NotImplementedError`` and
-the pipeline defaults to ``stub_features`` — a deterministic,
-dependency-free featurizer over the raw bytes. Everything around the
-decoder (schema handling, Arrow batch iteration, partition-preserving
-execution) is real and tested; swapping in a real decoder is a
-one-argument change.
+Decoder capability ladder (``decode_image``):
+  1. pillow, if importable (not shipped in this container) — any format;
+  2. the built-in pure-python decoder — netpbm P5/P6 and uncompressed
+     24/32-bit BI_RGB BMP, real pixel decodes with no dependencies;
+  3. anything else raises ``UnsupportedMediaError`` (a declared,
+     documented condition — see the class docstring), and feature
+     pipelines that must stay total use ``stub_features`` instead.
+Everything around the decoder (schema handling, Arrow batch iteration,
+partition-preserving execution) is format-agnostic; swapping in a
+richer decoder is a one-argument change.
 
 Scale notes: ``mapInPandas`` streams Arrow batches executor-side — no
 collect, no shuffle; partitioning and column pruning of the input
@@ -48,18 +51,161 @@ FEATURES_COL = "features"
 FEATURE_DIM = 8
 
 
-def decode_image(payload: bytes) -> "pd.DataFrame":
-    """Real image decode — requires an imaging library.
+class UnsupportedMediaError(NotImplementedError):
+    """Raised when no available decoder understands a payload.
 
-    Deliberately stubbed: this container has no pillow/opencv. The
-    mapInPandas plumbing around it is real; plug a decoder in via
-    ``extract_features(..., decoder=...)``.
+    DECLARED unsupported surface: compressed formats (JPEG/PNG/WebP,
+    audio, video containers) require a codec library; when none is
+    importable the engine refuses loudly rather than fake a decode.
+    Pipelines that must stay total over mixed corpora should use
+    ``stub_features`` (deterministic byte featurizer) or pass their
+    own decoder to ``extract_features(..., decoder=...)``.
     """
-    raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. pillow), "
-        "which is not available in this environment; pass a custom "
-        "decoder to extract_features()"
-    )
+
+
+def _pil_image_module():
+    """Capability check: pillow if importable, else None."""
+    try:  # pragma: no cover - not installed in this container
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_netpbm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-python netpbm decode: P5 (gray) / P6 (RGB), 8-bit.
+
+    Returns (width, height, n_channels, raster bytes).
+    """
+    # header: magic, whitespace/comment-separated width height maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then the raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise UnsupportedMediaError(f"netpbm maxval {maxval} != 255 unsupported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    raster = payload[pos : pos + w * h * ch]
+    if len(raster) != w * h * ch:
+        raise UnsupportedMediaError("truncated netpbm raster")
+    return w, h, ch, raster
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-python BMP decode: uncompressed (BI_RGB) 24/32-bit.
+
+    Returns (width, height, 3, raster bytes) — raster is row-major
+    top-to-bottom RGB (BMP stores bottom-up BGR; both are flipped).
+    """
+    import struct  # noqa: PLC0415
+
+    if len(payload) < 54:
+        raise UnsupportedMediaError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise UnsupportedMediaError(
+            f"BMP variant unsupported (header={hdr_size}, bpp={bpp}, "
+            f"compression={compression}); only uncompressed 24/32-bit BI_RGB"
+        )
+    h, bottom_up = abs(h_raw), h_raw > 0
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3  # rows pad to 4-byte boundaries
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src_row = (h - 1 - row) if bottom_up else row
+        base = data_off + src_row * stride
+        for col in range(w):
+            b, g, r = payload[base + col * nbytes : base + col * nbytes + 3]
+            dst = (row * w + col) * 3
+            out[dst : dst + 3] = (r, g, b)
+    return w, h, 3, bytes(out)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload to pixels — real decode, no fakes.
+
+    Returns ``{"width", "height", "channels", "pixels"}`` (pixels =
+    row-major 8-bit raster bytes, RGB or gray). Uses pillow when
+    importable; otherwise the built-in pure-python netpbm/BMP decoder.
+    Raises :class:`UnsupportedMediaError` for formats neither path
+    can handle — a declared condition, not a TODO.
+    """
+    if payload is None or len(payload) < 2:
+        raise UnsupportedMediaError("empty payload")
+    pil = _pil_image_module()
+    if pil is not None:  # pragma: no cover - pillow absent here
+        import io  # noqa: PLC0415
+
+        img = pil.open(io.BytesIO(bytes(payload)))
+        img = img.convert("RGB")
+        return {
+            "width": img.width,
+            "height": img.height,
+            "channels": 3,
+            "pixels": img.tobytes(),
+        }
+    magic = bytes(payload[:2])
+    if magic in (b"P5", b"P6"):
+        w, h, ch, raster = _decode_netpbm(bytes(payload))
+    elif magic == b"BM":
+        w, h, ch, raster = _decode_bmp(bytes(payload))
+    else:
+        raise UnsupportedMediaError(
+            f"no decoder for payload with magic {magic!r}: pillow is not "
+            "installed and the pure-python fallback handles netpbm P5/P6 "
+            "and uncompressed 24/32-bit BMP only"
+        )
+    return {"width": w, "height": h, "channels": ch, "pixels": raster}
+
+
+def image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Pixel-space featurizer over a REAL decode: per-channel means
+    (3 slots) + a luminance histogram over the remaining slots, all
+    normalized to [0, 1]. Deterministic: same payload → same features
+    on any worker. Raises :class:`UnsupportedMediaError` for payloads
+    ``decode_image`` can't handle — compose with ``stub_features`` via
+    ``features_or_stub`` when totality matters more than pixels.
+    """
+    img = decode_image(payload)
+    w, h, ch, px = img["width"], img["height"], img["channels"], img["pixels"]
+    n = w * h
+    sums = [0] * 3
+    hist_bins = max(1, dim - 3)
+    hist = [0] * hist_bins
+    for i in range(n):
+        if ch == 3:
+            r, g, b = px[3 * i], px[3 * i + 1], px[3 * i + 2]
+        else:
+            r = g = b = px[i]
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        lum = (r + g + b) // 3
+        hist[min(lum * hist_bins // 256, hist_bins - 1)] += 1
+    feats = [s / (255.0 * n) for s in sums] + [c / float(n) for c in hist]
+    return feats[:dim] + [0.0] * (dim - len(feats))
+
+
+def features_or_stub(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Total featurizer: real pixel features when the payload decodes,
+    deterministic byte features otherwise. The right default for mixed
+    corpora where a refusal per undecodable row would kill the job."""
+    try:
+        return image_features(payload, dim)
+    except UnsupportedMediaError:
+        return stub_features(payload, dim)
 
 
 def stub_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:

@@ -95,6 +95,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: Hard ceiling for the deliberately-quadratic correctness baselines.
+#: 50k rows → ~1.25e9 candidate pairs, the outer edge of what a
+#: correctness run should ever attempt; production scale must use the
+#: banded/bucketed twin instead.
+ALL_PAIRS_ROW_CAP = 50_000
+
+
+def _assert_all_pairs_scale(df: DataFrame, query: str, scale_twin: str) -> DataFrame:
+    """Refuse to build an O(n²) all-pairs plan over a large input.
+
+    These baselines exist to DEFINE ground truth for their LSH/bucketed
+    twins at correctness scale; silently running one at 100 TB would be
+    a ~1e16-pair cartesian. The count() here is a cheap metadata-ish
+    scan at correctness scale (<=50k rows) and is the price of making
+    the footgun impossible.
+    """
+    n = df.count()
+    if n > ALL_PAIRS_ROW_CAP:
+        raise ValueError(
+            f"{query} is an exact all-pairs O(n^2) correctness baseline and is "
+            f"capped at {ALL_PAIRS_ROW_CAP} input rows (got {n}). At scale, run "
+            f"the equivalent banded/bucketed operator {scale_twin!r} instead."
+        )
+    return df
+
+
 def _shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, s: array<string>) — distinct 3-gram shingle sets.
 
@@ -240,7 +266,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_lsh_pairs``, which produces the same verified
     pairs without the quadratic join.
     """
-    sh = _shingle_sets(_t(spark, sf_dir, "documents"))
+    sh = _assert_all_pairs_scale(
+        _shingle_sets(_t(spark, sf_dir, "documents")),
+        "dedup_ngram_jaccard_pairs",
+        "dedup_minhash_lsh_pairs",
+    )
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -732,9 +762,11 @@ def sim_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the correctness baseline for embedding-space dedup, run at
     correctness scale only (like ``dedup_ngram_jaccard_pairs``; the
     scale path is ``sim_ann_lsh_topk``'s bucketed candidates)."""
-    e = (
+    e = _assert_all_pairs_scale(
         _t(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "sim_embedding_near_pairs",
+        "sim_ann_lsh_topk",
     )
     a, b = e.alias("a"), e.alias("b")
     cs = cosine_similarity(F.col("a.v"), F.col("b.v"))
