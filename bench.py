@@ -78,6 +78,12 @@ def run_query(queries, name, spark) -> float:
     return time.perf_counter() - t0
 
 
+def _short_err(exc: BaseException) -> str:
+    """One-line error for the JSON payload (full trace goes to stderr)."""
+    first = str(exc).strip().splitlines()
+    return f"{type(exc).__name__}: {first[0][:300] if first else ''}"
+
+
 def sample_data_df(spark):
     """1M SampleData rows (FIXTURES.md §1) built JVM-side from range()."""
     from pyspark.sql import functions as F
@@ -211,28 +217,47 @@ def main() -> None:
     except ValueError:
         sf_val = None
 
-    spark = get_spark(app_name="vector_db_core_bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    import __spark_entry__ as entrymod
-
-    queries = entrymod.queries()
-
-    # session warm-up (JVM/codegen paths), untimed
-    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
-
+    # The JSON line must ALWAYS be emitted — a single failing query or
+    # workload records an error entry instead of killing the run
+    # (round-2 lesson: one plan-time error zeroed the entire bench).
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            log(f"bench: skipping unknown query {name}")
-            continue
-        secs = run_query(queries, name, spark)
-        per_query[name] = round(secs, 3)
-        log(f"bench: {name} {secs:.3f}s")
+    errors: dict[str, str] = {}
+    store_times: dict[str, float] = {}
+    try:
+        spark = get_spark(app_name="vector_db_core_bench")
+        spark.sparkContext.setLogLevel("ERROR")
 
-    store_times = bench_store(spark)
-    for k, v in store_times.items():
-        log(f"bench: {k} {v:.3f}s")
+        import __spark_entry__ as entrymod
+
+        queries = entrymod.queries()
+
+        # session warm-up (JVM/codegen paths), untimed
+        spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+        for name in HEADLINE:
+            if name not in queries:
+                errors[name] = "unknown query"
+                log(f"bench: skipping unknown query {name}")
+                continue
+            try:
+                secs = run_query(queries, name, spark)
+            except Exception as exc:  # noqa: BLE001 - record and continue
+                errors[name] = _short_err(exc)
+                log(f"bench: {name} FAILED: {exc}")
+                continue
+            per_query[name] = round(secs, 3)
+            log(f"bench: {name} {secs:.3f}s")
+
+        try:
+            store_times = bench_store(spark)
+            for k, v in store_times.items():
+                log(f"bench: {k} {v:.3f}s")
+        except Exception as exc:  # noqa: BLE001
+            errors["store_workloads"] = _short_err(exc)
+            log(f"bench: store workloads FAILED: {exc}")
+    except Exception as exc:  # noqa: BLE001 - even setup failures emit JSON
+        errors["setup"] = _short_err(exc)
+        log(f"bench: setup FAILED: {exc}")
 
     total = round(sum(per_query.values()), 3)
     out = {
@@ -244,8 +269,13 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(per_query),
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out), flush=True)
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001, S110
+        pass
 
 
 if __name__ == "__main__":

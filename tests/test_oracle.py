@@ -60,3 +60,23 @@ def test_results_partition_independent(name, spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_driver_window_is_first_50_and_spans_families():
+    """The driver hash-checks the first 50 registry entries; pin that
+    the curated window IS the iteration-order prefix and that every
+    family keyword appears in it."""
+    from vector_db_core_spark.operators import DRIVER_WINDOW, ORACLE, QUERIES
+
+    assert len(DRIVER_WINDOW) == 50
+    assert list(QUERIES)[:50] == list(DRIVER_WINDOW)
+    # oracle iteration order must agree (driver zips them independently)
+    oracled_prefix = [n for n in QUERIES if n in ORACLE][:10]
+    assert oracled_prefix == [n for n in ORACLE][:10]
+    families = ("ref_", "q1", "join_", "window_", "agg_", "scalar_",
+                "dedup_", "text_", "sim_", "multimodal_", "pipeline_",
+                "funnel", "timeseries_", "pivot", "subquery")
+    for fam in families:
+        assert any(n.startswith(fam) or fam in n for n in DRIVER_WINDOW), fam
+    # at most 8 rows-only entries in the window (rest must be oracled)
+    assert sum(1 for n in DRIVER_WINDOW if n not in ORACLE) <= 3
