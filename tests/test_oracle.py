@@ -75,7 +75,7 @@ def test_driver_window_is_first_50_and_spans_families():
     assert oracled_prefix == [n for n in ORACLE][:10]
     families = ("ref_", "q1", "join_", "window_", "agg_", "scalar_",
                 "dedup_", "text_", "sim_", "multimodal_", "pipeline_",
-                "funnel", "timeseries_", "pivot", "subquery")
+                "funnel", "timeseries_", "pivot", "subquery", "streaming_")
     for fam in families:
         assert any(n.startswith(fam) or fam in n for n in DRIVER_WINDOW), fam
     # at most 8 rows-only entries in the window (rest must be oracled)

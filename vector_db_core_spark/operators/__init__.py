@@ -16,6 +16,7 @@ from vector_db_core_spark.operators import relational  # noqa: F401
 from vector_db_core_spark.operators import llm  # noqa: F401
 from vector_db_core_spark.operators import extra  # noqa: F401
 from vector_db_core_spark.operators import pipeline  # noqa: F401
+from vector_db_core_spark.operators import streaming_queries  # noqa: F401
 
 from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
@@ -41,7 +42,6 @@ DRIVER_WINDOW = (
     "join_outer_order_counts",
     "group_topk_orders_per_customer",
     "window_running_total",
-    "window_lag_lead_delta",
     "set_union_active_custkeys",
     "agg_stats_lineitem",
     "rollup_returnflag_status",
@@ -65,7 +65,6 @@ DRIVER_WINDOW = (
     "multimodal_binary_metadata",
     "join_asof_error_after_click",
     "join_range_price_bands",
-    "join_full_outer_wealth_by_nation",
     "join_fuzzy_part_names",
     "join_cross_dense_spine",
     "window_session_user_activity",
@@ -75,6 +74,10 @@ DRIVER_WINDOW = (
     "agg_salted_returnflag_totals",
     "pivot_status_by_priority",
     "timeseries_ewma_daily_value",
+    # Structured Streaming replays (zero driver rows in round 2 —
+    # pytest-only); both carry full oracles via replay determinism
+    "streaming_tumbling_counts_replay",
+    "streaming_interval_join_replay",
     # data-pipeline ops (zero driver rows in round 2)
     "pipeline_train_val_test_split",
     "pipeline_source_mixture",

@@ -1,0 +1,131 @@
+"""Structured-Streaming queries surfaced to the driver's correctness gate.
+
+Round-2 state: the whole streaming surface (watermark windows, stateful
+dedup, interval joins, store sink) was pytest-only. These entries put
+streaming rows in the DRIVER's window too, by exploiting replayability:
+the events fixture is finite, so replaying it through a real
+``readStream`` → aggregation → sink pipeline (``availableNow`` trigger:
+process everything available, then stop) must produce EXACTLY the batch
+answer — which is ANSI-SQL-expressible, so the queries carry full
+DuckDB oracles instead of the weaker rows-only check.
+
+Sink/output-mode choices, and what they mean at 100 TB:
+  * the replay aggregations run in ``complete`` output to a memory
+    sink — correct here because the input is finite and the result is
+    windows×types (bounded, tiny); an unbounded production stream uses
+    append mode + watermark so state is evicted and results stream out
+    incrementally (that path is what ``streaming/ingest.py`` provides
+    and ``tests/test_streaming.py`` replay-checks);
+  * the stream-stream interval join runs in append mode (inner-join
+    matches emit as they form; the watermark + range predicate bound
+    the join state — the only shape that survives an unbounded stream).
+
+Reference parity: the reference has no streaming engine at all — its
+write-behind cache (``/root/reference/src/cache/writable_cache.rs``)
+is the closest analog and maps to ``streaming/ingest.py``'s store sink.
+This module is [EXT] surface.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_core_spark.operators.registry import register
+from vector_db_core_spark.sources import load_table
+from vector_db_core_spark.streaming.ingest import (
+    interval_join_followups,
+    windowed_event_counts,
+)
+
+#: one landing/checkpoint root per (sf_dir, query) so repeated driver
+#: calls in one session don't collide; contents are tiny (sf<=0.1).
+_REPLAY_ROOT = os.path.join(tempfile.gettempdir(), "vdbc_stream_replay")
+
+
+def _replay_events(spark: SparkSession, sf_dir: str, tag: str) -> tuple[DataFrame, str]:
+    """Stage the events fixture in a landing dir and open it as a
+    bounded file stream (the same shape as a production landing zone:
+    files arrive, the stream discovers them)."""
+    key = f"{tag}_{abs(hash(sf_dir)) % 10**8}"
+    root = os.path.join(_REPLAY_ROOT, key)
+    landing = os.path.join(root, "landing")
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(events.schema).parquet(landing)
+    return stream, root
+
+
+def _run_to_memory(
+    result: DataFrame, name: str, checkpoint_root: str, output_mode: str
+) -> None:
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_root, "ckpt", name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "streaming_tumbling_counts_replay",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time window counts computed BY THE STREAMING
+    ENGINE (incremental state, per-microbatch partial aggregation) over
+    a replay of the events fixture. Equals the batch/SQL answer because
+    event-time semantics are replay-deterministic — same windows, same
+    counts, any arrival order, any microbatch boundaries. Carries the
+    same oracle as the batch twin ``window_tumbling_event_counts``.
+    """
+    stream, root = _replay_events(spark, sf_dir, "tumble")
+    agg = windowed_event_counts(stream, window="6 hours", watermark=None).select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
+    _run_to_memory(agg, "stream_replay_tumbling", root, "complete")
+    return spark.table("stream_replay_tumbling")
+
+
+@register(
+    "streaming_interval_join_replay",
+    oracle="""
+    SELECT l.user_id,
+           l.ts AS first_ts,
+           r.ts AS followup_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '1 hour'
+    """,
+)
+def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases within 1h of a click,
+    per user) run as a REAL two-stream join: both sides are watermarked
+    streams, matches form inside the keyed state store, and the
+    watermark + range predicate evict left rows once no in-horizon
+    right row can match them — bounded state on an unbounded stream.
+    Inner-join matches emit in append mode as they form, so the finite
+    replay emits the complete answer and the plain-SQL oracle applies.
+    """
+    stream, root = _replay_events(spark, sf_dir, "ivjoin")
+    clicks = stream.where(F.col("event_type") == "click")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    joined = interval_join_followups(
+        clicks, purchases, key="user_id", within="1 hour", watermark="2 hours"
+    )
+    _run_to_memory(joined, "stream_replay_interval_join", root, "append")
+    return spark.table("stream_replay_interval_join")
