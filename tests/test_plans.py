@@ -125,9 +125,20 @@ def test_pipeline_ops_are_map_only(spark):
         "pipeline_chunk_tokens",
         "pipeline_normalize_text",
         "pipeline_stratified_sample",
+        "pipeline_pii_scrub",
     ):
         plan = _plan(QUERIES[name](spark, SF_ORACLE))
         assert "Exchange" not in plan, name
+
+
+def test_url_domain_stats_single_shuffle_with_partials(spark):
+    """Domain frequency table: map-side combine then ONE hash exchange
+    of (domain, partial) rows — never a shuffle of raw documents."""
+    import re
+
+    plan = _plan(QUERIES["pipeline_url_domain_stats"](spark, SF_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
 
 
 def test_pivot_two_phase_aggregate_shape(spark):

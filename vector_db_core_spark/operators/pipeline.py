@@ -339,3 +339,101 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("off") % SEQ_TOKENS).cast("int").alias("offset_in_seq"),
         F.col("n").cast("int").alias("n_tokens"),
     )
+
+
+@register(
+    "pipeline_pii_scrub",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS raw
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\+1-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+    FROM w
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — redact emails and phone numbers, counting each
+    redaction class per document (the audit trail a compliance pass
+    needs). The fixture contains no PII, so a deterministic email +
+    phone is first appended from doc_id (same concat on both engines),
+    making the scrub observably effective: every row reports >=1 of
+    each class and the masked text drops the injected values.
+
+    Two codegen'd replace-all ``regexp_replace`` passes + two
+    ``regexp_count``s, all RE2-safe patterns (no backtracking blowup
+    on adversarial documents) shared verbatim with the oracle. Pure
+    map work — at 100 TB this rides along any per-row pass for free.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+1-[0-9]{3}-[0-9]{4}"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone)).cast("int").alias("n_phones"),
+        scrub.alias("scrubbed"),
+    )
+
+
+@register(
+    "pipeline_url_domain_stats",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             text || ' see https://cdn' || CAST(doc_id % 50 AS VARCHAR) ||
+             '.example.org/item/' || doc_id AS raw
+      FROM documents)
+    SELECT lower(regexp_extract(raw, 'https?://([^/\s]+)', 1)) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM w
+    WHERE regexp_extract(raw, 'https?://([^/\s]+)', 1) <> ''
+    GROUP BY 1
+    """,
+)
+def pipeline_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL domain frequency table — the backbone of web-corpus curation
+    (domain allow/block lists, per-domain caps, boilerplate source
+    spotting). A deterministic URL is appended per document (the
+    fixture has none), then the domain is regexp-extracted and counted:
+    per-row extract [map-only] + one bounded-cardinality groupBy (one
+    shuffle of (domain, partial-count) rows after map-side combine).
+    At 100 TB the domain keyspace (~1e7) still fits one executor's
+    aggregation hash map comfortably.
+    """
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" see https://cdn"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.org/item/"),
+        F.col("doc_id"),
+    )
+    dom = F.lower(F.regexp_extract(raw, r"https?://([^/\s]+)", 1))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", dom.alias("domain"))
+        .where(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
