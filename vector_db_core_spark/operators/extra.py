@@ -699,7 +699,8 @@ def text_vocabulary_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM orders GROUP BY 1),
     b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
     spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
-    SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders, COALESCE(d.revenue, 0.0) AS revenue
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           COALESCE(d.n_orders, 0) AS n_orders, COALESCE(d.revenue, 0.0) AS revenue
     FROM spine s LEFT JOIN daily d USING (day)
     """,
 )
@@ -725,7 +726,9 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(spine)
         .join(daily, "day", "left")
         .select(
-            "day",
+            # TIMESTAMP on both engines so pandas dtypes agree
+            # (DATE materializes asymmetrically; see registry.py policy)
+            F.col("day").cast("timestamp_ntz").alias("day"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         )
@@ -1169,7 +1172,8 @@ def agg_boolean_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (SELECT DISTINCT e.user_id, f.cohort_day,
                  CAST(ts AS DATE) - f.cohort_day AS days_since
           FROM events e JOIN f ON e.user_id = f.user_id)
-    SELECT cohort_day, CAST(days_since AS INT) AS days_since,
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(days_since AS INT) AS days_since,
            CAST(COUNT(*) AS BIGINT) AS n_active
     FROM a GROUP BY cohort_day, days_since
     """,
@@ -1199,8 +1203,15 @@ def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return active.groupBy("cohort_day", "days_since").agg(
-        F.count("*").cast("bigint").alias("n_active")
+    return (
+        active.groupBy("cohort_day", "days_since")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        # TIMESTAMP on both engines so pandas dtypes agree (registry.py)
+        .select(
+            F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"),
+            "days_since",
+            "n_active",
+        )
     )
 
 
@@ -1251,7 +1262,7 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, day, v,
              CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS i
       FROM d)
-    SELECT event_type, day, round(v, 6) AS daily_value,
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, round(v, 6) AS daily_value,
            round(pow(0.7, i) * SUM(v * 0.3 * pow(0.7, -i))
                    OVER (PARTITION BY event_type ORDER BY day
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -1285,7 +1296,10 @@ def timeseries_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "event_type",
-        "day",
+        # DATE would pandas-materialize as object-dates on the Spark
+        # side but datetime64 on DuckDB's — normalize both to
+        # TIMESTAMP per the registry's CAST policy (registry.py)
+        F.col("day").cast("timestamp_ntz").alias("day"),
         F.round("v", 6).alias("daily_value"),
         F.round(F.pow(0.7, i) * run, 6).alias("ewma"),
     )
