@@ -1466,7 +1466,7 @@ def assoc_part_pairs_in_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (SELECT DISTINCT doc_id, UNNEST(w) AS token FROM t)
     SELECT token,
            CAST(COUNT(*) AS BIGINT) AS df,
-           list_sort(list(doc_id))[1:20] AS postings_head
+           array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
     FROM e GROUP BY token HAVING COUNT(*) >= 5
     """,
 )
@@ -1492,7 +1492,14 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("token")
         .agg(
             F.count("*").cast("bigint").alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings_head"),
+            # the posting head is emitted as a canonical CSV string:
+            # array columns pandas-materialize asymmetrically (python
+            # lists vs numpy arrays), which a value-hasher may not
+            # treat as equal — strings compare representation-free
+            # (registry.py normalization policy)
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+            ).alias("postings_head"),
         )
         .where(F.col("df") >= 5)
     )
