@@ -60,3 +60,16 @@ def test_pandas_dtypes_agree(name, spark, duck_smoke):
             "with equal values; add a normalizing CAST on both sides "
             "(registry.py policy)"
         )
+        if s == "object":
+            # same dtype is not enough for object columns: a python
+            # list cell vs a numpy array cell (or date vs Timestamp)
+            # still hashes asymmetrically — pin the cell type too
+            sv = sp[c].dropna()
+            dv = du[c].dropna()
+            if len(sv) and len(dv):
+                ts_, td = type(sv.iloc[0]).__name__, type(dv.iloc[0]).__name__
+                assert ts_ == td, (
+                    f"{name}.{c}: object cells differ in type: spark={ts_} "
+                    f"duck={td}; emit a canonical scalar (e.g. array_join "
+                    "to CSV) on both sides"
+                )

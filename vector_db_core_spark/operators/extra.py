@@ -60,10 +60,11 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents)
     SELECT doc_id,
            CAST(len(toks) AS INT) AS n_tokens,
-           toks[1:3] AS first3,
-           list_sort(list_distinct(toks)) AS vocab_sorted,
+           array_to_string(toks[1:3], ',') AS first3,
+           array_to_string(list_sort(list_distinct(toks)), ',') AS vocab_sorted,
            list_contains(toks, 'the') AS has_the,
-           list_transform(toks[1:5], x -> CAST(length(x) AS INT)) AS first5_lens,
+           array_to_string(list_transform(toks[1:5], x -> CAST(length(x) AS INT)), ',')
+             AS first5_lens,
            array_to_string(toks[1:3], '-') AS first3_joined
     FROM t
     """,
@@ -74,13 +75,18 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison order-insensitive where engines differ on distinct
     ordering."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("toks"))
+    # gate outputs render arrays as canonical CSV strings: python-list
+    # vs numpy-array cells hash asymmetrically in pandas (registry.py
+    # normalization policy); the array computation itself stays typed
     return docs.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
-        F.slice("toks", 1, 3).alias("first3"),
-        F.array_sort(F.array_distinct("toks")).alias("vocab_sorted"),
+        F.array_join(F.slice("toks", 1, 3), ",").alias("first3"),
+        F.array_join(F.array_sort(F.array_distinct("toks")), ",").alias("vocab_sorted"),
         F.array_contains("toks", "the").alias("has_the"),
-        F.transform(F.slice("toks", 1, 5), lambda x: F.length(x)).alias("first5_lens"),
+        F.array_join(
+            F.transform(F.slice("toks", 1, 5), lambda x: F.length(x).cast("string")), ","
+        ).alias("first5_lens"),
         F.array_join(F.slice("toks", 1, 3), "-").alias("first3_joined"),
     )
 
@@ -91,7 +97,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (SELECT doc_id, MAP {'lang': lang, 'source': source} AS meta FROM documents)
     SELECT doc_id,
-           list_sort(map_keys(meta)) AS meta_keys,
+           array_to_string(list_sort(map_keys(meta)), ',') AS meta_keys,
            element_at(meta, 'lang')[1] AS meta_lang,
            CAST(cardinality(meta) AS INT) AS n_entries
     FROM m
@@ -107,7 +113,8 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.array_sort(F.map_keys(meta)).alias("meta_keys"),
+        # CSV-joined for gate comparability (registry.py policy)
+        F.array_join(F.array_sort(F.map_keys(meta)), ",").alias("meta_keys"),
         F.element_at(meta, F.lit("lang")).alias("meta_lang"),
         F.size(meta).alias("n_entries"),
     )
@@ -907,7 +914,7 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_sets",
     oracle="""
     SELECT c_custkey,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey
@@ -927,7 +934,8 @@ def agg_collect_sorted_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey")
         .agg(
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            # CSV-joined for gate comparability (registry.py policy)
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
             F.count("*").alias("n_orders"),
         )
     )

@@ -1232,9 +1232,10 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(vd) AS INT) AS n_dims,
            scale,
-           CASE WHEN scale > 0
-                THEN list_transform(vd, x -> CAST(floor(x * CAST(127 AS DOUBLE) / scale) AS INT))
-                ELSE list_transform(vd, x -> 0) END AS q_int8
+           array_to_string(
+             CASE WHEN scale > 0
+                  THEN list_transform(vd, x -> CAST(floor(x * CAST(127 AS DOUBLE) / scale) AS INT))
+                  ELSE list_transform(vd, x -> 0) END, ',') AS q_int8
     FROM m
     """,
 )
@@ -1265,7 +1266,9 @@ def sim_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("vd").alias("n_dims"),
         "scale",
-        q.alias("q_int8"),
+        # CSV-joined for gate comparability (registry.py policy); the
+        # typed int8 array is what a real index build would keep
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_int8"),
     )
 
 
