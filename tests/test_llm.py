@@ -372,3 +372,16 @@ def test_image_features_in_spark_pipeline(spark):
     assert out[2][2] == 1.0 and out[2][0] == 0.0  # all-blue: B mean 1
     # luminance hist sums to 1
     assert abs(sum(out[1][3:]) - 1.0) < 1e-12
+
+
+def test_incremental_minhash_no_cartesian_and_cross_side_only(spark):
+    """Incremental dedup must (a) never plan a cartesian and (b) emit
+    only batch-vs-corpus pairs (doc_id%10==0 on exactly one side)."""
+    df = QUERIES["dedup_incremental_minhash"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    for r in rows:
+        assert r.batch_doc_id % 10 == 0
+        assert r.corpus_doc_id % 10 != 0

@@ -351,6 +351,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+    p AS (SELECT a.doc_id AS batch_doc_id, b.doc_id AS corpus_doc_id,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+    SELECT batch_doc_id, corpus_doc_id, jaccard FROM p WHERE jaccard >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) MinHash dedup — the shape a
+    CONTINUOUS-ingest pipeline actually runs. A full-corpus LSH pass
+    per arriving crawl re-pays the whole corpus every day; production
+    instead keeps the corpus signature/band table materialized and
+    joins only the NEW batch's bands against it, so per-ingest cost is
+    O(|batch| + matching buckets), independent of corpus size. Here
+    documents with ``doc_id % 10 == 0`` play the arriving batch and
+    the rest the standing corpus; both sides share ONE signature
+    build (the persisted table both daily jobs would read), and the
+    band join is restricted to batch x corpus — no corpus x corpus
+    candidate is ever generated or verified. Verification and the
+    detection-probability argument are identical to
+    ``dedup_minhash_lsh_pairs``, so the exact cross-side Jaccard
+    oracle applies.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+    grouped = (
+        _shingle_hashes(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("_b").alias("hs"))
+        .withColumn("sig", minhash_sig_of_set(F.col("hs"), num_hashes=64))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = grouped.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.where(is_batch).alias("x")
+        .join(bands.where(~is_batch).alias("y"), ["band", "key"])
+        .select(
+            F.col("x.doc_id").alias("batch_doc_id"),
+            F.col("y.doc_id").alias("corpus_doc_id"),
+        )
+        .distinct()
+    )
+    sa = grouped.select(F.col("doc_id").alias("batch_doc_id"), F.col("hs").alias("sa"))
+    sb = grouped.select(F.col("doc_id").alias("corpus_doc_id"), F.col("hs").alias("sb"))
+    return (
+        cand.join(sa, "batch_doc_id")
+        .join(sb, "corpus_doc_id")
+        .select(
+            "batch_doc_id",
+            "corpus_doc_id",
+            _jaccard(F.col("sa"), F.col("sb")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
 @register("dedup_simhash_pairs")  # xxhash64-based → no DuckDB oracle (rows-only)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, Hamming <= 12.
