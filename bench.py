@@ -62,6 +62,9 @@ HEADLINE = [
     "cohort_daily_retention",
     "assoc_part_pairs_in_orders",
     "text_inverted_index",
+    # round-3 additions: continuous-ingest dedup + compliance scrub
+    "dedup_incremental_minhash",
+    "pipeline_pii_scrub",
 ]
 
 STORE_ROWS = 1_000_000
