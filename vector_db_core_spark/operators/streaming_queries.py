@@ -29,6 +29,7 @@ This module is [EXT] surface.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +53,10 @@ def _replay_events(spark: SparkSession, sf_dir: str, tag: str) -> tuple[DataFram
     files arrive, the stream discovers them)."""
     key = f"{tag}_{abs(hash(sf_dir)) % 10**8}"
     root = os.path.join(_REPLAY_ROOT, key)
+    # a replay recomputes from scratch by design — stale checkpoints
+    # from a previous invocation must not be resumed (the memory sink
+    # is not fault-tolerant, so append-mode queries refuse to recover)
+    shutil.rmtree(root, ignore_errors=True)
     landing = os.path.join(root, "landing")
     events = load_table(spark, sf_dir, "events")
     events.write.mode("overwrite").parquet(landing)
@@ -62,15 +67,27 @@ def _replay_events(spark: SparkSession, sf_dir: str, tag: str) -> tuple[DataFram
 def _run_to_memory(
     result: DataFrame, name: str, checkpoint_root: str, output_mode: str
 ) -> None:
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", os.path.join(checkpoint_root, "ckpt", name))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = result.sparkSession
+    # The streaming state-store partition count is fixed by
+    # spark.sql.shuffle.partitions at first start; a vanilla session's
+    # 200 is pure task overhead for a correctness-scale replay. Scope a
+    # small count to this run and restore (a production stream sizes
+    # this to its own state volume and keeps it for the checkpoint's
+    # lifetime).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(checkpoint_root, "ckpt", name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
