@@ -1553,3 +1553,62 @@ def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
         )
     )
+
+
+@register(
+    "timeseries_locf_daily_value",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+      SELECT t.event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b, (SELECT DISTINCT event_type FROM daily) t)
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           s.event_type,
+           d.v IS NOT NULL AS observed,
+           last_value(d.v IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.day ROWS UNBOUNDED PRECEDING)
+             AS filled_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day AND s.event_type = d.event_type
+    """,
+)
+def timeseries_locf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF — last observation carried forward) of the
+    daily value series per event type over a dense day spine: the
+    gap-fill sibling every metrics/feature pipeline needs when a
+    missing day means "unchanged", not "zero" (prices, balances,
+    config states). Days before a type's first observation stay NULL —
+    LOCF never invents history.
+
+    Scale shape: the heavy work is the daily pre-aggregation
+    (map-side combined, one shuffle of aggregated rows); the spine is
+    types x days — broadcast-trivial at any fact scale — and the fill
+    itself is ONE window (`last` with ignorenulls) over the tiny
+    aggregated series, partitioned by event_type. No fact row enters
+    the window. The `observed` flag keeps real and carried values
+    distinguishable downstream.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        dsum("value", "v")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = bounds.select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))
+    spine = daily.select("event_type").distinct().crossJoin(F.broadcast(days))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "event_type",
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
