@@ -437,3 +437,51 @@ def pipeline_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
     )
+
+
+@register(
+    "pipeline_domain_cap_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             'cdn' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS domain,
+             md5(text) AS h
+      FROM documents),
+    r AS (SELECT doc_id, domain,
+                 ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn
+          FROM w)
+    SELECT doc_id, domain, CAST(rn AS INT) AS rank_in_domain
+    FROM r WHERE rn <= 5
+    """,
+)
+def pipeline_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — keep at most N documents per source
+    domain (deterministic content-hash order), the standard guard
+    against a handful of boilerplate-heavy domains dominating a web
+    corpus (C4/RefinedWeb-style curation). Selection order is
+    ``md5(content)`` with doc_id tiebreak — reproducible across
+    engines, reruns, and repartitioning, and independent of crawl
+    order (a rand() or arrival-order cap would silently reshuffle
+    under retries).
+
+    Scale shape: one window over a hash partition per domain — the
+    domain key is the natural shard (bounded per-domain row counts
+    after the cap); a pathological mega-domain is exactly the skew
+    case the cap exists to cut, and the rank computation touches only
+    (doc_id, domain, h) — never the payload. The domain here derives
+    from doc_id (the fixture has no URLs; same expression as
+    ``pipeline_url_domain_stats``).
+    """
+    from pyspark.sql import Window as W
+
+    domain = F.concat(
+        F.lit("cdn"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.org")
+    )
+    w = W.partitionBy("domain").orderBy("h", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", domain.alias("domain"), F.md5("text").alias("h"))
+        .withColumn("rank_in_domain", F.row_number().over(w).cast("int"))
+        .where(F.col("rank_in_domain") <= 5)
+        .select("doc_id", "domain", "rank_in_domain")
+    )
