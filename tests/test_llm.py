@@ -55,9 +55,17 @@ def test_simhash_pairs_deterministic_and_recall(spark):
 
 def test_ann_lsh_scores_exact_within_bucket(spark):
     """ANN approximates *candidate selection* only — every returned
-    cosine must equal the brute-force value for that pair."""
+    cosine must equal the brute-force value for that pair — and the
+    multi-table index (4 planes x 16 tables) must recall >= 0.8 of the
+    exact top-5 (measured 0.94 on the fixture; everything is seeded)."""
     ann = QUERIES["sim_ann_lsh_topk"](spark, SF_ORACLE).collect()
     assert ann, "ANN returned nothing"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_cosine_topk"](spark, SF_ORACLE).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in ann}
+    assert len(got & exact) / len(exact) >= 0.8
     emb = {
         r.vec_id: r.embedding
         for r in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
@@ -93,7 +101,7 @@ def test_mllib_minhash_agrees_with_exact(spark):
 
 def test_ann_ivf_scores_exact_and_better_recall(spark):
     """IVF returns true cosine values (selection-only approximation)
-    and with nprobe=2 over 16 cells should recall a decent share of
+    and with nprobe=4 over 16 cells should recall a decent share of
     the exact top-5."""
     ivf = QUERIES["sim_ann_ivf_topk"](spark, SF_ORACLE).collect()
     assert ivf
@@ -115,10 +123,10 @@ def test_ann_ivf_scores_exact_and_better_recall(spark):
         for r in QUERIES["sim_cosine_topk"](spark, SF_ORACLE).collect()
     }
     got = {(r.query_id, r.neighbor_id) for r in ivf}
-    # measured ~46% top-5 recall at nprobe=2/k=16 on the fixture
-    # (vs ~6% for 6-bit sign-LSH on the same near-orthogonal vectors);
-    # assert a conservative floor — everything is seeded/deterministic
-    assert len(got & exact) / len(exact) >= 0.3
+    # measured ~64% top-5 recall at nprobe=4/k=16 on the fixture —
+    # 64-dim weakly-clustered vectors cap coarse quantization; assert
+    # a conservative floor (everything is seeded/deterministic)
+    assert len(got & exact) / len(exact) >= 0.5
 
 
 def test_ann_brp_lsh_scores_exact_and_high_recall(spark):
@@ -339,6 +347,127 @@ def test_decode_image_netpbm_and_bmp():
     gray = b"P5\n2 1\n255\n" + bytes([0, 255])
     img = decode_image(gray)
     assert (img["width"], img["height"], img["channels"]) == (2, 1, 1)
+
+
+def _png(w, h, color_type, raster_rows, filters=None):
+    """Minimal PNG encoder for round-trip tests: 8-bit, non-interlaced.
+
+    ``raster_rows`` is a list of per-row byte sequences (unfiltered);
+    ``filters`` optionally assigns a filter type per row — the encoder
+    applies the real forward filter so the decoder's unfilter path for
+    that type is exercised.
+    """
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    bpp = nch  # 8-bit depth
+    filters = filters or [0] * h
+    prev = bytes(w * bpp)
+    stream = b""
+    for row, ftype in zip(raster_rows, filters):
+        row = bytes(row)
+        filtered = bytearray(len(row))
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                filtered[i] = row[i]
+            elif ftype == 1:
+                filtered[i] = (row[i] - a) & 0xFF
+            elif ftype == 2:
+                filtered[i] = (row[i] - b) & 0xFF
+            elif ftype == 3:
+                filtered[i] = (row[i] - (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filtered[i] = (row[i] - pred) & 0xFF
+        stream += bytes([ftype]) + bytes(filtered)
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_png_gray_and_rgb_all_filters():
+    from vector_db_core_spark.functions.multimodal import decode_image
+
+    # 2x2 RGB, one row filter None and one Sub
+    px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
+    rows = [px[:6], px[6:]]
+    img = decode_image(_png(2, 2, 2, rows, filters=[0, 1]))
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert list(img["pixels"]) == px
+
+    # 3x5 gray exercising every filter type 0..4
+    grows = [[10, 20, 30], [40, 50, 60], [7, 8, 9], [100, 110, 120], [1, 2, 3]]
+    img = decode_image(_png(3, 5, 0, grows, filters=[0, 1, 2, 3, 4]))
+    assert (img["width"], img["height"], img["channels"]) == (3, 5, 1)
+    assert list(img["pixels"]) == [b for row in grows for b in row]
+
+    # RGBA → alpha dropped, pixels match the RGB image
+    rgba_rows = [
+        [255, 0, 0, 9, 0, 255, 0, 9],
+        [0, 0, 255, 9, 10, 20, 30, 9],
+    ]
+    img = decode_image(_png(2, 2, 6, rgba_rows, filters=[2, 4]))
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert list(img["pixels"]) == px
+
+    # gray+alpha → alpha dropped
+    ga_rows = [[10, 9, 20, 9]]
+    img = decode_image(_png(2, 1, 4, ga_rows))
+    assert (img["width"], img["height"], img["channels"]) == (2, 1, 1)
+    assert list(img["pixels"]) == [10, 20]
+
+
+def test_decode_image_malformed_payloads_are_declared_not_crashes():
+    """A valid magic followed by garbage must raise UnsupportedMediaError
+    (never a raw ValueError/IndexError) so features_or_stub stays total
+    over corrupt rows in a mixed corpus."""
+    import pytest
+
+    from vector_db_core_spark.functions.multimodal import (
+        UnsupportedMediaError,
+        decode_image,
+        features_or_stub,
+        stub_features,
+    )
+
+    good_bmp = _bmp24(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]])
+    corrupt = [
+        good_bmp[:-5],  # truncated BMP raster → short unpack
+        b"P6\nnot numbers\n255\n\x00",  # corrupt netpbm header → int() fails
+        b"P6\n# comment never ends",  # netpbm comment without newline → .index fails
+        _png(2, 1, 0, [[1, 2]])[:-20],  # PNG truncated mid-IDAT
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 20,  # PNG sig, garbage chunks
+        good_bmp[:30],  # BMP shorter than its own header
+    ]
+    # bad zlib stream inside an otherwise well-formed PNG
+    whole = bytearray(_png(2, 1, 0, [[1, 2]]))
+    idat_at = bytes(whole).index(b"IDAT") + 4
+    whole[idat_at : idat_at + 4] = b"\xde\xad\xbe\xef"
+    corrupt.append(bytes(whole))
+
+    for payload in corrupt:
+        with pytest.raises(UnsupportedMediaError):
+            decode_image(payload)
+        assert features_or_stub(payload) == stub_features(payload)
 
 
 def test_decode_image_unsupported_is_declared():

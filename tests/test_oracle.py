@@ -78,5 +78,5 @@ def test_driver_window_is_first_50_and_spans_families():
                 "funnel", "timeseries_", "pivot", "subquery", "streaming_")
     for fam in families:
         assert any(n.startswith(fam) or fam in n for n in DRIVER_WINDOW), fam
-    # at most 8 rows-only entries in the window (rest must be oracled)
+    # at most 3 rows-only entries in the window (rest must be oracled)
     assert sum(1 for n in DRIVER_WINDOW if n not in ORACLE) <= 3

@@ -9,11 +9,17 @@ path, because media codecs don't exist as Catalyst expressions.
 
 Decoder capability ladder (``decode_image``):
   1. pillow, if importable (not shipped in this container) — any format;
-  2. the built-in pure-python decoder — netpbm P5/P6 and uncompressed
-     24/32-bit BI_RGB BMP, real pixel decodes with no dependencies;
+  2. the built-in pure-python decoder — netpbm P5/P6, uncompressed
+     24/32-bit BI_RGB BMP, and non-interlaced 8-bit PNG (gray / RGB /
+     with-alpha, all five scanline filters, stdlib ``zlib`` inflate) —
+     real pixel decodes with no dependencies;
   3. anything else raises ``UnsupportedMediaError`` (a declared,
      documented condition — see the class docstring), and feature
      pipelines that must stay total use ``stub_features`` instead.
+Malformed payloads (truncated rasters, corrupt headers, bad zlib
+streams) also surface as ``UnsupportedMediaError`` — never a raw
+ValueError/IndexError — so ``features_or_stub`` is genuinely total
+over arbitrary byte corpora.
 Everything around the decoder (schema handling, Arrow batch iteration,
 partition-preserving execution) is format-agnostic; swapping in a
 richer decoder is a one-argument change.
@@ -133,23 +139,130 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, bytes(out)
 
 
+#: PNG 8-byte signature (public spec, RFC 2083 §3.1).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(
+    raw: bytes, w: int, h: int, bpp: int
+) -> bytearray:  # bpp = bytes per pixel
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth).
+
+    ``raw`` is the inflated IDAT stream: ``h`` scanlines, each a filter
+    byte followed by ``w * bpp`` filtered bytes.
+    """
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise UnsupportedMediaError("truncated PNG pixel stream")
+    out = bytearray(h * stride)
+    for row in range(h):
+        ftype = raw[row * (stride + 1)]
+        line = raw[row * (stride + 1) + 1 : (row + 1) * (stride + 1)]
+        o = row * stride
+        p = o - stride  # previous (above) scanline start, valid when row > 0
+        if ftype == 0:  # None
+            out[o : o + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                out[o + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                up = out[p + i] if row > 0 else 0
+                out[o + i] = (line[i] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = out[o + i - bpp] if i >= bpp else 0
+                up = out[p + i] if row > 0 else 0
+                out[o + i] = (line[i] + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = out[o + i - bpp] if i >= bpp else 0
+                b = out[p + i] if row > 0 else 0
+                c = out[p + i - bpp] if (row > 0 and i >= bpp) else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[o + i] = (line[i] + pred) & 0xFF
+        else:
+            raise UnsupportedMediaError(f"PNG filter type {ftype} invalid")
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-python PNG decode: non-interlaced 8-bit gray (type 0),
+    RGB (2), gray+alpha (4), RGBA (6); alpha channels are dropped.
+
+    stdlib ``zlib`` inflates the concatenated IDAT chunks; the five
+    scanline filters are reversed in ``_png_unfilter``. Returns
+    (width, height, channels, raster) with channels in {1, 3}.
+    """
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if payload[:8] != _PNG_SIG:
+        raise UnsupportedMediaError("bad PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise UnsupportedMediaError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    n_in = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or n_in is None or comp != 0 or filt != 0 or interlace != 0:
+        raise UnsupportedMediaError(
+            f"PNG variant unsupported (depth={depth}, color={color}, "
+            f"interlace={interlace}); only non-interlaced 8-bit gray/RGB(A)"
+        )
+    if w == 0 or h == 0:
+        raise UnsupportedMediaError("PNG with zero dimension")
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, w, h, n_in)
+    if n_in in (2, 4):  # drop the alpha channel
+        keep = n_in - 1
+        px = bytearray(
+            px[i * n_in + c] for i in range(w * h) for c in range(keep)
+        )
+        n_in = keep
+    return w, h, n_in, bytes(px)
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to pixels — real decode, no fakes.
 
     Returns ``{"width", "height", "channels", "pixels"}`` (pixels =
     row-major 8-bit raster bytes, RGB or gray). Uses pillow when
-    importable; otherwise the built-in pure-python netpbm/BMP decoder.
-    Raises :class:`UnsupportedMediaError` for formats neither path
-    can handle — a declared condition, not a TODO.
+    importable; otherwise the built-in pure-python netpbm/BMP/PNG
+    decoder. Raises :class:`UnsupportedMediaError` for formats neither
+    path can handle AND for malformed payloads of a recognized format
+    (a valid magic followed by garbage must not leak a raw
+    ValueError/IndexError into a running job — one corrupt row in a
+    100 TB corpus must not kill the pipeline).
     """
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
     if payload is None or len(payload) < 2:
         raise UnsupportedMediaError("empty payload")
     pil = _pil_image_module()
     if pil is not None:  # pragma: no cover - pillow absent here
         import io  # noqa: PLC0415
 
-        img = pil.open(io.BytesIO(bytes(payload)))
-        img = img.convert("RGB")
+        try:
+            img = pil.open(io.BytesIO(bytes(payload)))
+            img = img.convert("RGB")
+        except Exception as exc:
+            raise UnsupportedMediaError(f"pillow decode failed: {exc}") from exc
         return {
             "width": img.width,
             "height": img.height,
@@ -157,16 +270,24 @@ def decode_image(payload: bytes) -> dict:
             "pixels": img.tobytes(),
         }
     magic = bytes(payload[:2])
-    if magic in (b"P5", b"P6"):
-        w, h, ch, raster = _decode_netpbm(bytes(payload))
-    elif magic == b"BM":
-        w, h, ch, raster = _decode_bmp(bytes(payload))
-    else:
-        raise UnsupportedMediaError(
-            f"no decoder for payload with magic {magic!r}: pillow is not "
-            "installed and the pure-python fallback handles netpbm P5/P6 "
-            "and uncompressed 24/32-bit BMP only"
-        )
+    try:
+        if magic in (b"P5", b"P6"):
+            w, h, ch, raster = _decode_netpbm(bytes(payload))
+        elif magic == b"BM":
+            w, h, ch, raster = _decode_bmp(bytes(payload))
+        elif bytes(payload[:8]) == _PNG_SIG:
+            w, h, ch, raster = _decode_png(bytes(payload))
+        else:
+            raise UnsupportedMediaError(
+                f"no decoder for payload with magic {magic!r}: pillow is not "
+                "installed and the pure-python fallback handles netpbm P5/P6, "
+                "uncompressed 24/32-bit BMP, and non-interlaced 8-bit PNG only"
+            )
+    except (ValueError, IndexError, struct.error, zlib.error) as exc:
+        # corrupt-but-recognized payload: truncated raster, bad header
+        # int, short struct, broken deflate stream — all declared
+        # conditions, not crashes.
+        raise UnsupportedMediaError(f"malformed {magic!r} payload: {exc}") from exc
     return {"width": w, "height": h, "channels": ch, "pixels": raster}
 
 

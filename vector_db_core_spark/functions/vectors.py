@@ -39,18 +39,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def hyperplane_bucket(v: Column | str, planes: int = 8) -> Column:
+def hyperplane_bucket(v: Column | str, planes: int = 8, table: int = 0) -> Column:
     """Sign-random-projection LSH bucket id in ``[0, 2^planes)``.
 
-    Plane ``p`` is a deterministic ±1 vector derived from
-    ``xxhash64(p, dim_index)`` parity — no stored projection matrix,
-    every executor recomputes it from nothing, so the bucketing is
-    reproducible across jobs and clusters. Bit ``p`` of the bucket is
-    the sign of ``v · plane_p``. Cosine-similar vectors land in the
-    same bucket with probability ``(1 - θ/π)^planes``, so candidate
-    search touches one bucket (plus optional neighbors) instead of the
-    whole corpus — the ANN scale path; exact cosine re-ranks within
-    the bucket.
+    Plane ``p`` of hash table ``table`` is a deterministic ±1 vector
+    derived from ``xxhash64(table * 1009 + p, dim_index)`` parity — no
+    stored projection matrix, every executor recomputes it from
+    nothing, so the bucketing is reproducible across jobs and
+    clusters. Bit ``p`` of the bucket is the sign of ``v · plane_p``.
+    Cosine-similar vectors land in the same bucket with probability
+    ``(1 - θ/π)^planes`` per table; multi-table search (distinct
+    ``table`` values, OR'd candidates) trades candidate volume for
+    recall ``1 - (1 - p^planes)^T`` — the standard LSH recall lever.
+    Exact cosine re-ranks within the candidate set.
     """
     vv = _d(v)
     out = F.lit(0).cast("long")
@@ -63,9 +64,16 @@ def hyperplane_bucket(v: Column | str, planes: int = 8) -> Column:
         ).cast("double")
 
     for p in range(planes):
-        # ±1 component for (plane p, dim i) from hash parity
+        # ±1 component for (plane p of this table, dim i) from hash
+        # parity; 1009 (prime > any sane plane count) keeps plane
+        # streams of different tables disjoint, and table=0 reproduces
+        # the single-table layout exactly.
         proj = F.aggregate(
-            F.zip_with(vv, F.sequence(F.lit(0), F.size(vv) - 1), _component(p)),
+            F.zip_with(
+                vv,
+                F.sequence(F.lit(0), F.size(vv) - 1),
+                _component(table * 1009 + p),
+            ),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )

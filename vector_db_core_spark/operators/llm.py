@@ -121,6 +121,40 @@ def _assert_all_pairs_scale(df: DataFrame, query: str, scale_twin: str) -> DataF
     return df
 
 
+#: memoized source-table row counts, keyed (sf_dir, table) — the guard
+#: below runs once per fixture per process instead of re-executing the
+#: (expensive, derived) shingle/tokenize job on every plan build.
+_SOURCE_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _guard_all_pairs_source(
+    spark: SparkSession, sf_dir: str, table: str, query: str, scale_twin: str
+) -> None:
+    """Scale-cap an all-pairs baseline on its SOURCE table's row count.
+
+    Both baselines are row-preserving upstream of the quadratic join
+    (one shingle-set / projection row per source row), so counting the
+    raw parquet table gives the same bound as counting the derived
+    frame — without executing the derived job once for the guard and
+    again for the query (the derived frame is not cached), and without
+    paying any job at all after the first call for a given fixture
+    (parquet count() is footer-metadata-only, but plan-building contexts
+    like tests/test_plans.py shouldn't trigger even that repeatedly).
+    """
+    key = (sf_dir, table)
+    n = _SOURCE_COUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, table).count()
+        _SOURCE_COUNT_CACHE[key] = n
+    if n > ALL_PAIRS_ROW_CAP:
+        raise ValueError(
+            f"{query} is an exact all-pairs O(n^2) correctness baseline and is "
+            f"capped at {ALL_PAIRS_ROW_CAP} input rows (got {n} in {table}). At "
+            f"scale, run the equivalent banded/bucketed operator {scale_twin!r} "
+            "instead."
+        )
+
+
 def _shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, s: array<string>) — distinct 3-gram shingle sets.
 
@@ -266,11 +300,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_lsh_pairs``, which produces the same verified
     pairs without the quadratic join.
     """
-    sh = _assert_all_pairs_scale(
-        _shingle_sets(_t(spark, sf_dir, "documents")),
-        "dedup_ngram_jaccard_pairs",
-        "dedup_minhash_lsh_pairs",
+    _guard_all_pairs_source(
+        spark, sf_dir, "documents", "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh_pairs"
     )
+    sh = _shingle_sets(_t(spark, sf_dir, "documents"))
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -826,11 +859,11 @@ def sim_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the correctness baseline for embedding-space dedup, run at
     correctness scale only (like ``dedup_ngram_jaccard_pairs``; the
     scale path is ``sim_ann_lsh_topk``'s bucketed candidates)."""
-    e = _assert_all_pairs_scale(
-        _t(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
-        "sim_embedding_near_pairs",
-        "sim_ann_lsh_topk",
+    _guard_all_pairs_source(
+        spark, sf_dir, "embeddings", "sim_embedding_near_pairs", "sim_ann_lsh_topk"
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     a, b = e.alias("a"), e.alias("b")
     cs = cosine_similarity(F.col("a.v"), F.col("b.v"))
@@ -845,33 +878,64 @@ def sim_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sign-LSH index shape: ``_LSH_TABLES`` independent hash tables of
+#: ``_LSH_PLANES`` hyperplanes each. Recall for a neighbor at per-bit
+#: collision probability p is ``1-(1-p^planes)^tables``; more tables →
+#: more recall AND more candidates (the LSH tradeoff). 4x16 is tuned
+#: for this fixture's similarity regime (top-5 neighbors at cosine
+#: 0.26-0.49 → predicted recall ~0.85); corpora whose near-dups sit at
+#: cosine >= 0.8 should RAISE planes (sharper buckets) and can lower
+#: tables — the parameters are the knob, the plan shape is fixed.
+_LSH_PLANES = 4
+_LSH_TABLES = 16
+
+
 @register("sim_ann_lsh_topk")  # xxhash64-derived planes → rows-only check
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via sign-random-projection buckets — the scale
-    path. Every vector gets a 6-bit hyperplane bucket (per-row map
-    work, deterministic planes from hash parity); queries only score
-    candidates in THEIR bucket, so scored pairs drop from N*Q to
-    ~N*Q/64, and the bucket join is an equi-join AQE handles. Exact
-    cosine re-ranks within the bucket (approximation = recall loss
-    only, never wrong scores). Deterministic; no oracle because the
-    planes derive from xxhash64. Recall vs the exact baseline is
-    asserted in tests/test_llm.py."""
-    e = (
-        _t(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .withColumn("bucket", hyperplane_bucket(F.col("v"), planes=6))
+    """Approximate NN via multi-table sign-random-projection LSH — the
+    scale path. Every vector gets ``_LSH_TABLES`` bucket ids (one per
+    independent hyperplane table — per-row map work, deterministic
+    planes from hash parity, no stored matrix); a query's candidates
+    are the UNION over tables of its bucket-mates, found by ONE
+    (table, bucket) equi-join against the broadcast query set, then
+    deduped per (query, neighbor) before exact cosine re-ranks them
+    (approximation = recall loss only, never wrong scores — a row the
+    index surfaces always gets its true similarity). Deterministic; no
+    oracle because the planes derive from xxhash64. Recall@5 >= 0.8 vs
+    the exact baseline is pinned in tests/test_llm.py."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    # (vec_id, table, bucket) postings — the index. posexplode keeps
+    # this one narrow projection; the T bucket expressions all fold
+    # inside a single codegen stage over the row's vector.
+    buckets = F.array(
+        *[
+            hyperplane_bucket(F.col("v"), planes=_LSH_PLANES, table=t)
+            for t in range(_LSH_TABLES)
+        ]
     )
-    scored = (
-        e.join(F.broadcast(q), "bucket")
+    postings = e.select(
+        "vec_id", "v", F.posexplode(buckets).alias("table", "bucket")
+    )
+    q = postings.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "table",
+        "bucket",
+    )
+    # candidates = distinct bucket-mates across tables; dedup BEFORE
+    # scoring so a pair sharing many tables is scored once, not T times
+    cand = (
+        postings.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine_similarity(F.col("qv"), F.col("v")).alias("cosine_sim"),
-        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.first("qv").alias("qv"), F.first("v").alias("v"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("v")).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
@@ -889,7 +953,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The inverted-file pattern at scale: centroids are a tiny model
     (k x dim floats) broadcast with the plan; every vector gets a cell
     id in one map pass; a query scores only its 2 nearest cells
-    (nprobe=2) instead of the corpus — candidate volume drops ~k/nprobe
+    (nprobe=4) instead of the corpus — candidate volume drops ~k/nprobe
     fold while recall stays high for clustered data. Re-ranking reuses
     the exact cosine kernel, so returned scores are always true
     values (approximation = candidate selection only, like the sign-LSH
@@ -906,7 +970,12 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = KMeans(k=16, seed=42, featuresCol="fv", predictionCol="cell").fit(e)
     assigned = model.transform(e).select("vec_id", "v", "cell")
 
-    # nprobe=2: each query also searches its second-closest centroid
+    # nprobe=4: each query searches its 4 nearest cells of 16. The
+    # recall/scan-fraction curve on this fixture (driver-side emulation,
+    # seeded): nprobe 2 → 0.44, 4 → 0.64, 6 → 0.74 — 64-dim vectors
+    # with weak cluster structure cap what coarse quantization can
+    # recall; corpora with real cluster structure (the IVF use case)
+    # sit far higher at the same nprobe.
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cdf = spark.createDataFrame(centroids, "cell INT, cv ARRAY<DOUBLE>")
     q = assigned.where(F.col("vec_id") < 10).select(
@@ -921,7 +990,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 W.partitionBy("query_id").orderBy(F.col("dist").desc(), F.col("cell"))
             ),
         )
-        .where(F.col("crank") <= 2)
+        .where(F.col("crank") <= 4)
         .select("query_id", "qv", "cell")
     )
     scored = (

@@ -28,6 +28,7 @@ This module is [EXT] surface.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -51,7 +52,10 @@ def _replay_events(spark: SparkSession, sf_dir: str, tag: str) -> tuple[DataFram
     """Stage the events fixture in a landing dir and open it as a
     bounded file stream (the same shape as a production landing zone:
     files arrive, the stream discovers them)."""
-    key = f"{tag}_{abs(hash(sf_dir)) % 10**8}"
+    # hashlib, not hash(): Python's str hash is salted per process
+    # (PYTHONHASHSEED), which would leak a fresh landing tree per driver
+    # process and never clean up prior ones.
+    key = f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     root = os.path.join(_REPLAY_ROOT, key)
     # a replay recomputes from scratch by design — stale checkpoints
     # from a previous invocation must not be resumed (the memory sink
