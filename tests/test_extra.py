@@ -34,6 +34,52 @@ def test_approx_count_distinct_error_bound(spark):
         assert abs(got - want) / want <= 0.05, (got, want)
 
 
+def test_profile_approx_matches_exact_within_error_bound(spark):
+    """The HLL profile twin must agree with the exact profile: null
+    counts exactly, distinct cardinalities within 5% relative error
+    (rsd=0.02, so 5% is a comfortable deterministic bound)."""
+    exact = {
+        r.col: r for r in QUERIES["profile_orders_columns"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r.col: r
+        for r in QUERIES["profile_orders_columns_approx"](spark, SF_ORACLE).collect()
+    }
+    assert set(approx) == set(exact)
+    for col, a in approx.items():
+        e = exact[col]
+        assert a.n_nulls == e.n_nulls, col  # null counts are exact in both
+        assert abs(a.n_distinct - e.n_distinct) / max(e.n_distinct, 1) <= 0.05, (
+            col,
+            a.n_distinct,
+            e.n_distinct,
+        )
+
+
+def test_profile_approx_plans_without_pre_aggregate_expand(spark):
+    """The scale twin's reason to exist: no Expand BELOW the aggregate.
+
+    The exact multi-countDistinct profile expands every source row
+    x #columns before its partial aggregate (rows x 10 at 100 TB); the
+    HLL twin's only Expand is the unpivot of the single aggregated
+    row. So: everything under the bottom-most partial aggregate (the
+    segment between the last 'partial_' marker and the end of the plan
+    string — i.e. the scan side) must be Expand-free for the twin and
+    must contain the Expand for the exact variant."""
+
+    def scan_side(name):
+        plan = (
+            QUERIES[name](spark, SF_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return plan[plan.rindex("partial_") :]
+
+    assert "Expand" not in scan_side("profile_orders_columns_approx")
+    assert "Expand" in scan_side("profile_orders_columns")
+
+
 def test_hot_table_lifecycle(spark):
     nation = load_table(spark, SF_ORACLE, "nation")
     with hot_table(nation, warm=True) as hot:

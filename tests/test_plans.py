@@ -249,3 +249,69 @@ def test_ewma_window_runs_over_aggregated_series(spark):
     # operator's child chain must contain the HashAggregate
     win_idx = plan.index("Window")
     assert "HashAggregate" in plan[win_idx:] or plan.index("HashAggregate") < win_idx
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling, pinned end-to-end: a sort-merge join
+    whose left side concentrates ~83% of its rows on ONE key must come
+    out of adaptive execution with the hot partition SPLIT
+    (``SortMergeJoin(skew=true)`` + an ``AQEShuffleRead .. skewed``
+    reader) — runtime mitigation, zero query rewrite.
+
+    When to rely on which skew tool:
+      * JOINS → AQE. It measures real map-output sizes at the shuffle
+        boundary and splits oversized partitions (replicating the
+        matching build-side rows), so no key statistics are needed
+        up front. This is why session.py ships adaptive + skewJoin
+        enabled. Thresholds here are shrunk only so a test-sized
+        dataset crosses them; production keeps the defaults (256MB /
+        5x median).
+      * AGGREGATIONS → salting (functions/skew.py). AQE cannot split
+        an aggregation's partition, because rows of one group must
+        meet in one task; pre-spreading the key over salt buckets is
+        the only lever (tested in test_stateful_skew.py).
+      * Joins where AQE is blind (the skew appears only after an
+        upstream transform inflates rows, or the join is already
+        bucketed so there is no exchange to re-read) → manual salting
+        of the join key, same pattern.
+    """
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # shrink thresholds so ~7MB of hot key counts as "skewed"
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # force a sort-merge join: broadcasting the 1000-row dim would
+        # (correctly) dodge the skew entirely — but then nothing is pinned
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(120_000).select(
+            F.when(F.col("id") < 100_000, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.lpad(F.col("id").cast("string"), 64, "x").alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+        )
+        joined = left.join(right, "k")
+        rows = joined.collect()  # AQE decides from runtime stats — must execute
+        assert len(rows) == 120_000  # skew split must not duplicate/drop rows
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert any(
+            "AQEShuffleRead" in ln and "skewed" in ln for ln in plan.splitlines()
+        ), plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

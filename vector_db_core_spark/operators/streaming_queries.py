@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 from vector_db_core_spark.operators.registry import register
 from vector_db_core_spark.sources import load_table
 from vector_db_core_spark.streaming.ingest import (
+    dedup_within_watermark,
     interval_join_followups,
+    session_event_counts,
     windowed_event_counts,
 )
 
@@ -119,6 +121,90 @@ def streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "stream_replay_tumbling", root, "complete")
     return spark.table("stream_replay_tumbling")
+
+
+@register(
+    "streaming_session_counts_replay",
+    oracle="""
+    WITH t AS (SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL '30 minutes'
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+               FROM events),
+         s AS (SELECT user_id, ts, value,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+               FROM t)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap per user) computed BY
+    THE STREAMING ENGINE — ``session_window`` state that grows, merges
+    and closes per key across microbatches — over a replay of the
+    events fixture. Session semantics are replay-deterministic, so the
+    result equals the batch/gaps-and-islands answer and carries the
+    same oracle as the batch twin ``window_session_user_activity``.
+    No watermark in the replay (complete mode over a finite input —
+    a watermark would drop rows that arrive across microbatch
+    boundaries out of event-time order); the production path
+    (``session_event_counts`` with its default 2h watermark, append
+    mode) is what bounds state on an unbounded stream and is
+    replay-equality-tested in tests/test_streaming.py.
+    """
+    stream, root = _replay_events(spark, sf_dir, "session")
+    agg = session_event_counts(
+        stream, gap="30 minutes", key="user_id", watermark=None
+    ).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("total_value").alias("session_value"),
+    )
+    _run_to_memory(agg, "stream_replay_session", root, "complete")
+    return spark.table("stream_replay_session")
+
+
+@register(
+    "streaming_dedup_watermark_replay",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS event_day
+    FROM events
+    """,
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (``dropDuplicatesWithinWatermark``) over
+    a replay: first occurrence of each (user_id, event_type, day) key
+    survives, duplicates arriving within the watermark horizon are
+    dropped inside the keyed state store, across microbatch boundaries.
+
+    The replay horizon (60 days) exceeds the fixture's 30-day span ON
+    PURPOSE: every duplicate is then guaranteed in-horizon, so the
+    emitted key set is EXACTLY the distinct key set and the plain
+    ``SELECT DISTINCT`` oracle applies. (Which physical row survives
+    per key depends on arrival order — not SQL-expressible — so the
+    query projects the dedup keys only.) A production stream runs the
+    same operator with an hours-scale horizon — bounded state, the
+    whole point of the WithinWatermark variant vs plain dropDuplicates
+    whose state grows forever; that path is exercised in
+    tests/test_streaming.py.
+    """
+    stream, root = _replay_events(spark, sf_dir, "dedup")
+    keyed = stream.select(
+        "user_id", "event_type", F.to_date("ts").alias("event_day"), "ts"
+    )
+    deduped = dedup_within_watermark(
+        keyed, keys=["user_id", "event_type", "event_day"], watermark="60 days"
+    ).select("user_id", "event_type", "event_day")
+    _run_to_memory(deduped, "stream_replay_dedup", root, "append")
+    return spark.table("stream_replay_dedup")
 
 
 @register(
