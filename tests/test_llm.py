@@ -57,7 +57,7 @@ def test_ann_lsh_scores_exact_within_bucket(spark):
     """ANN approximates *candidate selection* only — every returned
     cosine must equal the brute-force value for that pair — and the
     multi-table index (4 planes x 16 tables) must recall >= 0.8 of the
-    exact top-5 (measured 0.94 on the fixture; everything is seeded)."""
+    exact top-5 (measured 0.92 on the fixture; everything is seeded)."""
     ann = QUERIES["sim_ann_lsh_topk"](spark, SF_ORACLE).collect()
     assert ann, "ANN returned nothing"
     exact = {
@@ -215,6 +215,34 @@ def test_pandas_udf_cosine_matches_codegen_kernel(spark):
     assert len(rows) == 400
     for r in rows:
         assert abs(r.jvm - r.arrow) < 1e-12
+
+
+def test_hyperplane_buckets_pandas_deterministic_and_matches_numpy(spark):
+    """The Arrow multi-table bucketizer: (a) rerun-stable (seeded
+    planes rebuilt identically per batch/executor), (b) buckets in
+    range, (c) equal to a driver-side numpy replica of the same seeded
+    construction — the determinism the ANN index's reproducibility
+    rests on."""
+    import numpy as np
+
+    from vector_db_core_spark.functions.vectors import hyperplane_buckets_pandas
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = e.select("vec_id", hyperplane_buckets_pandas("v", planes=4, tables=16).alias("b"))
+    run1 = {r.vec_id: list(r.b) for r in out.collect()}
+    run2 = {r.vec_id: list(r.b) for r in out.collect()}
+    assert run1 == run2
+    raw = {r.vec_id: np.asarray(r.v, dtype=np.float64) for r in e.collect()}
+    rng = np.random.RandomState(3407)
+    proj = rng.standard_normal((64, 16 * 4))
+    for vid, buckets in run1.items():
+        assert len(buckets) == 16
+        assert all(0 <= b < 16 for b in buckets)
+        bits = (raw[vid] @ proj) > 0
+        expect = (bits.reshape(16, 4).astype(np.int64) * (1 << np.arange(4))).sum(axis=1)
+        assert list(expect) == buckets, vid
 
 
 def test_multimodal_resize_rewrites_payload_and_metadata(spark):

@@ -18,6 +18,7 @@ from vector_db_core_spark.functions.vectors import (
     cosine_similarity,
     dot_product,
     hyperplane_bucket,
+    hyperplane_buckets_pandas,
     l2_norm,
 )
 
@@ -28,6 +29,7 @@ __all__ = [
     "cosine_similarity",
     "dot_product",
     "hyperplane_bucket",
+    "hyperplane_buckets_pandas",
     "l2_norm",
     "tokens",
     "distinct_tokens",

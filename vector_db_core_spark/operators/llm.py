@@ -46,7 +46,7 @@ from vector_db_core_spark.functions.text import (
 )
 from vector_db_core_spark.functions.vectors import (
     cosine_similarity,
-    hyperplane_bucket,
+    hyperplane_buckets_pandas,
 )
 from vector_db_core_spark.operators.registry import register
 from vector_db_core_spark.sources import load_table
@@ -883,40 +883,41 @@ def sim_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: collision probability p is ``1-(1-p^planes)^tables``; more tables →
 #: more recall AND more candidates (the LSH tradeoff). 4x16 is tuned
 #: for this fixture's similarity regime (top-5 neighbors at cosine
-#: 0.26-0.49 → predicted recall ~0.85); corpora whose near-dups sit at
+#: 0.26-0.49 → measured recall@5 0.92); corpora whose near-dups sit at
 #: cosine >= 0.8 should RAISE planes (sharper buckets) and can lower
 #: tables — the parameters are the knob, the plan shape is fixed.
 _LSH_PLANES = 4
 _LSH_TABLES = 16
 
 
-@register("sim_ann_lsh_topk")  # xxhash64-derived planes → rows-only check
+@register("sim_ann_lsh_topk")  # seeded-plane buckets → rows-only check
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table sign-random-projection LSH — the
     scale path. Every vector gets ``_LSH_TABLES`` bucket ids (one per
-    independent hyperplane table — per-row map work, deterministic
-    planes from hash parity, no stored matrix); a query's candidates
+    independent hyperplane table — per-row map work, all tables from a
+    single Arrow-batched matmul kernel); a query's candidates
     are the UNION over tables of its bucket-mates, found by ONE
     (table, bucket) equi-join against the broadcast query set, then
     deduped per (query, neighbor) before exact cosine re-ranks them
     (approximation = recall loss only, never wrong scores — a row the
     index surfaces always gets its true similarity). Deterministic; no
-    oracle because the planes derive from xxhash64. Recall@5 >= 0.8 vs
-    the exact baseline is pinned in tests/test_llm.py."""
+    oracle because the planes derive from a seeded generator inside the
+    Arrow kernel. Recall@5 >= 0.8 vs the exact baseline is pinned in
+    tests/test_llm.py."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # (vec_id, table, bucket) postings — the index. posexplode keeps
-    # this one narrow projection; the T bucket expressions all fold
-    # inside a single codegen stage over the row's vector.
-    buckets = F.array(
-        *[
-            hyperplane_bucket(F.col("v"), planes=_LSH_PLANES, table=t)
-            for t in range(_LSH_TABLES)
-        ]
-    )
+    # (vec_id, table, bucket) postings — the index. All T buckets come
+    # from ONE Arrow-batched matmul kernel (hyperplane_buckets_pandas);
+    # the SQL-fold hyperplane_bucket is kept for single-bucket SQL-only
+    # contexts, but T*P interpreted lambda folds per row measured ~7x
+    # slower than the BLAS path at 16x4 (see the kernel's docstring).
     postings = e.select(
-        "vec_id", "v", F.posexplode(buckets).alias("table", "bucket")
+        "vec_id",
+        "v",
+        F.posexplode(
+            hyperplane_buckets_pandas(F.col("v"), planes=_LSH_PLANES, tables=_LSH_TABLES)
+        ).alias("table", "bucket"),
     )
     q = postings.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -924,18 +925,22 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table",
         "bucket",
     )
-    # candidates = distinct bucket-mates across tables; dedup BEFORE
-    # scoring so a pair sharing many tables is scored once, not T times
-    cand = (
+    # Score FIRST (map-side, inside the bucket-join stage), dedup
+    # SECOND: a pair colliding in several tables is re-scored per
+    # collision (cheap codegen folds), but the dedup groupBy then
+    # shuffles only (query_id, neighbor_id, double) — and map-side
+    # combine collapses the duplicates before they ever hit the wire.
+    # The first cut of this operator deduped first via
+    # agg(first(qv), first(v)), which dragged two full vectors per
+    # candidate pair through the shuffle and went 16.8x on a 10x
+    # scale-up (BASELINE.md slope row); this shape is sub-linear.
+    scored = (
         postings.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.first("qv").alias("qv"), F.first("v").alias("v"))
-    )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine_similarity(F.col("qv"), F.col("v")).alias("cosine_sim"),
+        .agg(
+            F.max(cosine_similarity(F.col("qv"), F.col("v"))).alias("cosine_sim")
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
