@@ -81,6 +81,20 @@ def run_query(queries, name, spark) -> float:
     return time.perf_counter() - t0
 
 
+def run_query_inclusive(queries, name, spark) -> float:
+    """Time the WHOLE callable, not just the result materialization.
+
+    The streaming replays execute their pipeline (landing-dir write,
+    stream start, awaitTermination) inside the callable and return an
+    already-materialized memory table — `run_query` would time only a
+    scan of that table (~0.05s) and miss the actual work.
+    """
+    t0 = time.perf_counter()
+    df = queries[name](spark, SF_DIR)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
 def _short_err(exc: BaseException) -> str:
     """One-line error for the JSON payload (full trace goes to stderr)."""
     first = str(exc).strip().splitlines()
@@ -226,6 +240,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     store_times: dict[str, float] = {}
+    streaming_times: dict[str, float] = {}
     try:
         spark = get_spark(app_name="vector_db_core_bench")
         spark.sparkContext.setLogLevel("ERROR")
@@ -278,6 +293,27 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors["store_workloads"] = _short_err(exc)
             log(f"bench: store workloads FAILED: {exc}")
+
+        # Structured Streaming replays, timed OUTSIDE the headline so
+        # the headline band stays comparable across rounds (a replay
+        # pays landing-dir parquet writes + stream start/stop on top
+        # of the query itself — a different workload class).
+        for name in (
+            "streaming_tumbling_counts_replay",
+            "streaming_session_counts_replay",
+            "streaming_dedup_watermark_replay",
+            "streaming_interval_join_replay",
+        ):
+            if name not in queries:
+                continue
+            try:
+                secs = run_query_inclusive(queries, name, spark)
+            except Exception as exc:  # noqa: BLE001 - record and continue
+                errors[name] = _short_err(exc)
+                log(f"bench: {name} FAILED: {exc}")
+                continue
+            streaming_times[name] = round(secs, 3)
+            log(f"bench: {name} {secs:.3f}s")
     except Exception as exc:  # noqa: BLE001 - even setup failures emit JSON
         errors["setup"] = _short_err(exc)
         log(f"bench: setup FAILED: {exc}")
@@ -289,6 +325,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "store": store_times,
+        "streaming": streaming_times,
         "sf": sf_val,
         "n_queries": len(per_query),
     }

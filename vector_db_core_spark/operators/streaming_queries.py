@@ -175,7 +175,11 @@ def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_dedup_watermark_replay",
     oracle="""
-    SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS event_day
+    -- event_day re-cast to TIMESTAMP: DATE materializes as pandas
+    -- object (Spark) vs datetime64 (DuckDB) and the driver hashes
+    -- pandas frames (registry dtype policy, tests/test_dtype_parity.py)
+    SELECT DISTINCT user_id, event_type,
+           CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_day
     FROM events
     """,
 )
@@ -202,7 +206,12 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = dedup_within_watermark(
         keyed, keys=["user_id", "event_type", "event_day"], watermark="60 days"
-    ).select("user_id", "event_type", "event_day")
+    ).select(
+        "user_id",
+        "event_type",
+        # DATE → TIMESTAMP for pandas-dtype hash parity with the oracle
+        F.col("event_day").cast("timestamp").alias("event_day"),
+    )
     _run_to_memory(deduped, "stream_replay_dedup", root, "append")
     return spark.table("stream_replay_dedup")
 
