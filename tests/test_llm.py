@@ -217,6 +217,44 @@ def test_pandas_udf_cosine_matches_codegen_kernel(spark):
         assert abs(r.jvm - r.arrow) < 1e-12
 
 
+def test_ann_lsh_index_prunes_candidates(spark):
+    """The index's reason to exist: the (table, bucket) equi-join must
+    surface a strict subset of the N*Q brute-force pairs. On this
+    fixture's near-orthogonal 64-d vectors the 4x16 index scans ~60%
+    of the corpus per query (random pairs collide in SOME of 16 tables
+    at p=(1/2)^4 each) while recalling 0.92 of the true top-5 — the
+    honest LSH tradeoff at low neighbor cosine; sharper corpora (near-
+    dups at cosine >= 0.8) prune far harder at the same recall. Pin
+    selectivity < 0.8 so a parameter change that silently degenerates
+    the index into brute force fails by name."""
+    from vector_db_core_spark.functions.vectors import hyperplane_buckets_pandas
+    from vector_db_core_spark.operators.llm import _LSH_PLANES, _LSH_TABLES
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    postings = e.select(
+        "vec_id",
+        F.posexplode(
+            hyperplane_buckets_pandas(F.col("v"), planes=_LSH_PLANES, tables=_LSH_TABLES)
+        ).alias("table", "bucket"),
+    )
+    q = postings.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    n_candidates = (
+        postings.join(q, ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+        .count()
+    )
+    n_corpus = e.count()
+    brute_force_pairs = 10 * (n_corpus - 1)
+    selectivity = n_candidates / brute_force_pairs
+    assert 0.0 < selectivity < 0.8, selectivity
+
+
 def test_hyperplane_buckets_pandas_deterministic_and_matches_numpy(spark):
     """The Arrow multi-table bucketizer: (a) rerun-stable (seeded
     planes rebuilt identically per batch/executor), (b) buckets in
@@ -462,6 +500,42 @@ def test_decode_image_png_gray_and_rgb_all_filters():
     img = decode_image(_png(2, 1, 4, ga_rows))
     assert (img["width"], img["height"], img["channels"]) == (2, 1, 1)
     assert list(img["pixels"]) == [10, 20]
+
+
+def test_png_roundtrip_property():
+    """Property test (hypothesis): ANY 8-bit image (gray/RGB/RGBA,
+    arbitrary pixel bytes, arbitrary per-row filter choice) encoded to
+    PNG decodes back to exactly the original raster — the unfilter
+    paths are inverses of the filters for all inputs, not just the
+    hand-picked cases above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_db_core_spark.functions.multimodal import decode_image
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 6),
+        h=st.integers(1, 6),
+        color=st.sampled_from([0, 2, 4, 6]),
+        data=st.data(),
+    )
+    def run(w, h, color, data):
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        rows = [
+            data.draw(st.lists(st.integers(0, 255), min_size=w * nch, max_size=w * nch))
+            for _ in range(h)
+        ]
+        filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+        img = decode_image(_png(w, h, color, rows, filters=filters))
+        out_ch = {0: 1, 2: 3, 4: 1, 6: 3}[color]  # alpha dropped
+        assert (img["width"], img["height"], img["channels"]) == (w, h, out_ch)
+        expect = [
+            row[i * nch + c] for row in rows for i in range(w) for c in range(out_ch)
+        ]
+        assert list(img["pixels"]) == expect
+
+    run()
 
 
 def test_decode_image_malformed_payloads_are_declared_not_crashes():
