@@ -255,6 +255,32 @@ def test_ann_lsh_index_prunes_candidates(spark):
     assert 0.0 < selectivity < 0.8, selectivity
 
 
+def test_hyperplane_bucket_sql_variant_deterministic_and_independent(spark):
+    """The SQL-fold single-bucket variant (kept for pure-JVM contexts
+    where Python workers are unavailable — e.g. a SQL-only cluster
+    profile): (a) rerun-stable, (b) buckets in [0, 2^planes), (c) its
+    hash tables are genuinely different bucketings (table=0 vs table=1
+    must disagree on a non-trivial share of vectors — independent
+    planes are what multi-table recall math assumes)."""
+    from vector_db_core_spark.functions.vectors import hyperplane_bucket
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = e.select(
+        "vec_id",
+        hyperplane_bucket("v", planes=4, table=0).alias("b0"),
+        hyperplane_bucket("v", planes=4, table=1).alias("b1"),
+    )
+    run1 = {r.vec_id: (r.b0, r.b1) for r in out.collect()}
+    run2 = {r.vec_id: (r.b0, r.b1) for r in out.collect()}
+    assert run1 == run2
+    assert all(0 <= b < 16 for pair in run1.values() for b in pair)
+    assert len({b0 for b0, _ in run1.values()}) > 4  # real spread
+    disagree = sum(1 for b0, b1 in run1.values() if b0 != b1)
+    assert disagree / len(run1) > 0.5  # independent tables decorrelate
+
+
 def test_hyperplane_buckets_pandas_deterministic_and_matches_numpy(spark):
     """The Arrow multi-table bucketizer: (a) rerun-stable (seeded
     planes rebuilt identically per batch/executor), (b) buckets in

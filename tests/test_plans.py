@@ -315,3 +315,17 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cluster_survivors_singletons_avoid_corpus_shuffle(spark):
+    """dedup_cluster_survivors' scale contract: the singleton path
+    (the overwhelming majority of a real corpus) must be a BROADCAST
+    anti-join — document rows never hash-shuffle just to learn they
+    aren't clustered; only the tiny clustered slice feeds the ranking
+    window."""
+    plan = _plan_simple(QUERIES["dedup_cluster_survivors"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # no sort-merge anti-join anywhere (that would be the corpus shuffle)
+    assert not any(
+        "SortMergeJoin" in ln and "LeftAnti" in ln for ln in plan.splitlines()
+    )

@@ -1168,6 +1168,100 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+                 CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS stop_ratio
+          FROM t),
+    q AS (SELECT doc_id,
+                 0.5 * ttr + 0.3 * (1.0 - stop_ratio)
+                   + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score
+          FROM s),
+    m AS (SELECT d.doc_id, COALESCE(l.cluster_rep, d.doc_id) AS cluster_rep,
+                 q.quality_score
+          FROM documents d
+          LEFT JOIN lab l ON d.doc_id = l.doc_id
+          JOIN q ON d.doc_id = q.doc_id),
+    r AS (SELECT cluster_rep, doc_id, quality_score,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                                    ORDER BY quality_score DESC, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members
+          FROM m)
+    SELECT cluster_rep, doc_id AS survivor_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           quality_score AS survivor_quality
+    FROM r WHERE rk = 1
+    """,
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that turns dedup clusters into a DEDUPLICATED CORPUS:
+    one survivor per near-dup cluster — the highest-quality member
+    (text_quality_score's heuristic; doc_id tie-break) — plus every
+    unclustered document as its own singleton survivor. Output is the
+    keep-list a curation pipeline feeds downstream: (cluster_rep,
+    survivor_doc_id, n_members, survivor_quality).
+
+    Scale shape (the reason this isn't one window over the corpus):
+    cluster labels exist only for CLUSTERED docs — a tiny table (bounded
+    by the number of near-dups, not the corpus). Singleton survivors
+    come from a broadcast LEFT ANTI join (map-only over the corpus, no
+    shuffle of document rows); the best-member window runs only over
+    the clustered slice. Partitioning a 100 TB corpus by cluster_rep
+    just to rank mostly-singleton groups would shuffle everything for
+    nothing. Quality arithmetic is identical double math on identical
+    int inputs on both engines (same policy as text_quality_score), so
+    the survivor choice — including the CASE boundary — is stable.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double") / n.cast(
+        "double"
+    )
+    quality = (
+        F.lit(0.5) * ttr
+        + F.lit(0.3) * (F.lit(1.0) - stop)
+        + F.lit(0.2) * F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    )
+    scored = docs.select("doc_id", quality.alias("quality_score"))
+    labels = dedup_connected_clusters(spark, sf_dir)  # (doc_id, cluster_rep), tiny
+
+    clustered = scored.join(F.broadcast(labels), "doc_id")
+    w = W.partitionBy("cluster_rep").orderBy(F.col("quality_score").desc(), "doc_id")
+    best = (
+        clustered.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(W.partitionBy("cluster_rep")))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("quality_score").alias("survivor_quality"),
+        )
+    )
+    singles = scored.join(F.broadcast(labels), "doc_id", "left_anti").select(
+        F.col("doc_id").alias("cluster_rep"),
+        F.col("doc_id").alias("survivor_doc_id"),
+        F.lit(1).cast("bigint").alias("n_members"),
+        F.col("quality_score").alias("survivor_quality"),
+    )
+    return best.unionByName(singles)
+
+
+@register(
     "text_unigram_logprob",
     oracle=r"""
     WITH tok AS (SELECT doc_id,
