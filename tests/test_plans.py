@@ -329,3 +329,25 @@ def test_cluster_survivors_singletons_avoid_corpus_shuffle(spark):
     assert not any(
         "SortMergeJoin" in ln and "LeftAnti" in ln for ln in plan.splitlines()
     )
+
+
+def test_ann_lsh_scores_mapside_and_broadcasts_queries(spark):
+    """sim_ann_lsh_topk's scale contract, pinned after the 16.8x slope
+    lesson (BASELINE.md §C): the query side BROADCASTS into the bucket
+    equi-join (no corpus shuffle to meet queries), candidate dedup
+    happens as partial_max BELOW its exchange (map-side combine — the
+    fix that keeps vectors out of the shuffle), bucket ids come from
+    the Arrow kernel, and nothing plans a cartesian."""
+    df = QUERIES["sim_ann_lsh_topk"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" in plan  # the batched bucketizer
+    # partial_max (map-side) must appear below the PAIR exchange —
+    # the hashpartitioning(query_id, vec_id) one that consumes it —
+    # i.e. deeper in the printed tree (later in the string)
+    import re
+
+    m = re.search(r"Exchange hashpartitioning\(query_id#\d+L?, vec_id", plan)
+    assert m, plan[:1500]
+    assert "partial_max" in plan[m.start() :]
