@@ -1167,6 +1167,92 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unpersist()
 
 
+#: rare-shingle blocking threshold: candidate pairs must share at least
+#: one shingle appearing in <= this many documents. Caps per-shingle
+#: join fanout at df² pairs, so candidate volume is bounded by
+#: construction — no hot-shingle blow-up ("the quick brown" never
+#: generates pairs).
+_CONTAINMENT_RARE_DF = 10
+
+_CONTAINMENT_SQL = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+ex AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+df AS (SELECT sng, COUNT(*) AS c FROM ex GROUP BY sng),
+rare AS (SELECT ex.doc_id, ex.sng FROM ex JOIN df ON ex.sng = df.sng
+         WHERE df.c <= {_CONTAINMENT_RARE_DF}),
+cand AS (SELECT DISTINCT a.doc_id AS inner_doc, b.doc_id AS outer_doc
+         FROM rare a JOIN rare b ON a.sng = b.sng AND a.doc_id <> b.doc_id),
+v AS (SELECT c.inner_doc, c.outer_doc,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / CAST(len(sa.s) AS DOUBLE) AS containment
+      FROM cand c
+      JOIN sh sa ON c.inner_doc = sa.doc_id
+      JOIN sh sb ON c.outer_doc = sb.doc_id)
+SELECT inner_doc, outer_doc, containment FROM v WHERE containment >= 0.8
+"""
+
+
+@register("dedup_containment_pairs", oracle=_CONTAINMENT_SQL)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT detection: ordered pairs where >= 80% of the
+    inner document's 3-gram shingles appear in the outer document —
+    the partial-copy / quote-expansion case symmetric Jaccard
+    structurally misses (a paragraph embedded in a 100x longer doc has
+    tiny Jaccard but containment ~1.0; it is still training-set
+    leakage). Emits (inner_doc, outer_doc, containment), both
+    directions when two docs contain each other.
+
+    Scale shape — candidates are generated by RARE-shingle blocking,
+    not all-pairs: a pair qualifies only via a shingle shared by <=
+    {df} documents, so each blocking shingle contributes at most df²
+    candidate pairs and common shingles contribute none — candidate
+    volume is bounded by construction, no cap-guard needed (contrast
+    ``dedup_ngram_jaccard_pairs``). Verification then fetches the two
+    shingle arrays for CANDIDATE pairs only (the minhash-LSH verify
+    pattern) and computes exact containment with a codegen
+    array_intersect. The DuckDB oracle applies the IDENTICAL blocking,
+    so results match exactly by construction — the blocking is part of
+    the operator's declared semantics (a contained doc sharing only
+    ubiquitous shingles is undetectable by ANY shingle method and out
+    of scope). At 100 TB swap shingle strings for xxhash64 shingle
+    hashes (``_shingle_hashes``) — same plan, 8-byte join keys.
+    """
+    sh = _shingle_sets(_t(spark, sf_dir, "documents"))
+    ex = sh.select("doc_id", F.explode("s").alias("sng"))
+    dfreq = ex.groupBy("sng").agg(F.count("*").alias("c"))
+    rare = ex.join(dfreq.where(F.col("c") <= _CONTAINMENT_RARE_DF), "sng")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, "sng")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("inner_doc"),
+            F.col("b.doc_id").alias("outer_doc"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("inner_doc"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("outer_doc"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "inner_doc")
+        .join(sb, "outer_doc")
+        .select(
+            "inner_doc",
+            "outer_doc",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size("sa").cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.8)
+    )
+
+
+dedup_containment_pairs.__doc__ = dedup_containment_pairs.__doc__.format(
+    df=_CONTAINMENT_RARE_DF
+)
+
+
 @register(
     "dedup_cluster_survivors",
     oracle=f"""
