@@ -17,6 +17,7 @@ from vector_db_core_spark.operators import llm  # noqa: F401
 from vector_db_core_spark.operators import extra  # noqa: F401
 from vector_db_core_spark.operators import pipeline  # noqa: F401
 from vector_db_core_spark.operators import streaming_queries  # noqa: F401
+from vector_db_core_spark.operators import analytics  # noqa: F401
 
 from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 

@@ -1,0 +1,432 @@
+"""Advanced analytics round-out [EXT]: the classic warehouse query
+shapes not yet in the catalog — nation-pair volume (TPC-H Q7 shape),
+double aggregation (Q13), correlated per-group average (Q17), HAVING
+on an aggregate (Q18), NOT EXISTS + scalar subquery (Q22), exact
+higher-moment aggregates (skewness / kurtosis / deterministic mode),
+and value-window frames (first/last/nth over an ordered frame).
+
+The fixtures are reduced TPC-H (no partsupp/comment/phone columns), so
+each query keeps the *pattern* of its namesake on the columns that
+exist. All money arithmetic follows the repo's exact-decimal policy
+(functions/exact.py) so results are order-independent and match the
+DuckDB oracle bit-for-bit at any parallelism.
+
+[EXT] — the reference is a record store with no query language
+(/root/reference/readme.md:32-35); SURVEY.md §2.2 claims this surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vector_db_core_spark.functions.exact import davg, dec, dsum
+from vector_db_core_spark.operators.registry import register
+from vector_db_core_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# identical to relational.py's money product (same decimal widths)
+_DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(7,2))"
+
+
+def _disc_price() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(7,2)")
+
+
+# ------------------------------------------------------------- Q7 shape
+@register(
+    "q7_nation_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+           CAST(SUM({_DISC_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS INT)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by ship year —
+    a 6-table join tree with a disjunctive nation-pair predicate.
+
+    100 TB plan: the nation filter is applied to customer/supplier
+    BEFORE they meet lineitem (2/25 selectivity pushed below the big
+    joins, which Catalyst cannot do by itself across the disjunction —
+    the OR references both sides jointly, so we pre-filter each dim to
+    the two-nation union and keep the pair predicate as a cheap
+    post-join residual). nation broadcasts; the only big shuffles are
+    lineitem⋈orders and the supplier/customer key joins, all on their
+    natural keys.
+    """
+    nations = ("NATION_1", "NATION_2")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin(*nations))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin(*nations))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+            | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+# ------------------------------------------------------------ Q13 shape
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: DOUBLE aggregation — orders-per-customer, then
+    the distribution of those counts (customers with 0 orders kept via
+    the outer join; the join predicate itself filters a priority class,
+    which is what forces the filter INTO the join condition rather than
+    a WHERE).
+
+    100 TB plan: one shuffle on custkey for join+count (the second
+    aggregation groups on c_count whose domain is ~tens — partial agg
+    collapses it map-side, so the second exchange moves almost nothing).
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ------------------------------------------------------------ Q17 shape
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pl AS (SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#3'),
+    w AS (SELECT l_quantity, l_extendedprice,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+                 / CAST(COUNT(l_quantity) OVER (PARTITION BY l_partkey) AS DOUBLE) AS avg_qty
+          FROM pl)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM w WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average — lineitems whose
+    quantity is below 20% of their part's average quantity. Expressed
+    as a window aggregate over l_partkey instead of a self-join: one
+    shuffle on partkey, each row compared to its partition's average in
+    place (the self-join formulation scans and shuffles lineitem
+    twice). The brand filter lands first and broadcasts — at 100 TB the
+    window input is already 1/25th of lineitem. Average computed
+    exact-decimal/count so the 0.2× threshold is bit-identical to the
+    oracle on every row.
+    """
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    pl = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    w = W.partitionBy("l_partkey")
+    avg_qty = F.sum(dec("l_quantity")).over(w).cast("double") / F.count(
+        "l_quantity"
+    ).over(w).cast("double")
+    return (
+        pl.withColumn("avg_qty", avg_qty)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+# ------------------------------------------------------------ Q18 shape
+@register(
+    "q18_large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) > 300.0)
+    SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped aggregate, then enrich the
+    surviving groups and take the global top 100 by price.
+
+    100 TB plan: the HAVING collapses lineitem to a tiny key set
+    BEFORE any join (aggregate-then-join, not join-then-aggregate);
+    orders joins on its primary key; the final top-100 is
+    TakeOrderedAndProject (per-partition heaps, no global sort), with
+    o_orderkey as the deterministic tiebreak so LIMIT is stable.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .where(F.col("total_qty") > 300.0)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------------ Q22 shape
+@register(
+    "q22_dormant_wealthy_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(COUNT(c_acctbal) AS DOUBLE) AS a
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    RECENT orders (none since 2000 — every fixture customer has some
+    order, so dormancy is date-scoped; the fixture also has no phone
+    column, so nation plays the grouping role of the country code).
+    Three classic sub-patterns in one: an uncorrelated scalar subquery
+    (global average), NOT EXISTS with a correlated filter (anti join
+    on a pre-filtered build side), and a grouped rollup of survivors.
+
+    100 TB plan: the scalar average is a one-row broadcast (cross join
+    against a single-row aggregate — no shuffle); NOT EXISTS is a
+    left-anti shuffle join on custkey against orders' custkeys; nation
+    broadcasts. Customer is scanned twice (once for the average, once
+    for the filter) — at scale persist it or compute the average off a
+    column-statistics store, noted here because Catalyst will not fuse
+    the two scans.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_row = cust.where(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "a"))
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.crossJoin(F.broadcast(avg_row))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+# ------------------------------------------------- higher-moment aggregates
+# Skewness/kurtosis are scale-invariant, so moments are computed on the
+# integer-scaled quantity qi = round(100·l_quantity) (exact: quantities
+# carry ≤2dp). Integer power sums accumulate exactly (DECIMAL(38,0) in
+# Spark, HUGEINT in DuckDB), and the double-precision combining
+# expression is written IDENTICALLY in both engines — m2·sqrt(m2)
+# instead of pow(m2, 1.5) because sqrt is IEEE-correctly-rounded
+# everywhere while pow's last ulp is libm-dependent.
+_MOMENTS_SQL = """
+    WITH q AS (SELECT l_returnflag,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS qi
+               FROM lineitem),
+    s AS (SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(qi AS HUGEINT)) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(qi * qi AS HUGEINT)) AS DOUBLE) AS s2,
+                 CAST(SUM(CAST(qi * qi * qi AS HUGEINT)) AS DOUBLE) AS s3,
+                 CAST(SUM(CAST(qi * qi * qi * qi AS HUGEINT)) AS DOUBLE) AS s4
+          FROM q GROUP BY l_returnflag),
+    m AS (SELECT l_returnflag, n,
+                 s1 / n AS m1, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+          FROM s),
+    c AS (SELECT l_returnflag, n, m1,
+                 r2 - m1 * m1 AS m2,
+                 r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+                 r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1 AS m4
+          FROM m),
+    mode_cte AS (
+      SELECT l_returnflag, l_quantity AS mode_quantity
+      FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+            FROM lineitem GROUP BY l_returnflag, l_quantity)
+      WHERE rn = 1)
+    SELECT c.l_returnflag,
+           CAST(c.n AS BIGINT) AS n_rows,
+           c.m3 / (c.m2 * sqrt(c.m2)) AS skewness,
+           c.m4 / (c.m2 * c.m2) - 3.0 AS kurtosis_excess,
+           mode_cte.mode_quantity AS mode_quantity
+    FROM c JOIN mode_cte ON c.l_returnflag = mode_cte.l_returnflag
+"""
+
+
+@register("agg_higher_moments", oracle=_MOMENTS_SQL)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness, excess kurtosis, and a DETERMINISTIC mode
+    per group. Spark's built-in ``skewness``/``kurtosis`` accumulate
+    central moments in floats (order-dependent under AQE) and its
+    ``mode`` breaks ties arbitrarily, so this computes the same
+    statistics from exact integer power sums (one pass, map-side
+    combined) and defines mode's tie-break as the smallest value —
+    reproducible on any cluster at any parallelism.
+
+    100 TB: the moments pass is a plain partial/final aggregate over
+    |groups| rows of state; the mode pass groups on (flag, quantity) —
+    a few thousand distinct combinations — then a window over flags.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    qi = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    q = li.select("l_returnflag", qi.alias("qi"))
+    d38 = "decimal(38,0)"
+    s = q.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("qi").cast(d38)).cast("double").alias("s1"),
+        F.sum((F.col("qi") * F.col("qi")).cast(d38)).cast("double").alias("s2"),
+        F.sum((F.col("qi") * F.col("qi") * F.col("qi")).cast(d38)).cast("double").alias("s3"),
+        F.sum((F.col("qi") * F.col("qi") * F.col("qi") * F.col("qi")).cast(d38))
+        .cast("double")
+        .alias("s4"),
+    )
+    m = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / F.col("n")).alias("m1"),
+        (F.col("s2") / F.col("n")).alias("r2"),
+        (F.col("s3") / F.col("n")).alias("r3"),
+        (F.col("s4") / F.col("n")).alias("r4"),
+    )
+    c = m.select(
+        "l_returnflag",
+        "n",
+        "m1",
+        (F.col("r2") - F.col("m1") * F.col("m1")).alias("m2"),
+        (
+            F.col("r3")
+            - F.lit(3.0) * F.col("m1") * F.col("r2")
+            + F.lit(2.0) * F.col("m1") * F.col("m1") * F.col("m1")
+        ).alias("m3"),
+        (
+            F.col("r4")
+            - F.lit(4.0) * F.col("m1") * F.col("r3")
+            + F.lit(6.0) * F.col("m1") * F.col("m1") * F.col("r2")
+            - F.lit(3.0) * F.col("m1") * F.col("m1") * F.col("m1") * F.col("m1")
+        ).alias("m4"),
+    )
+    mode_w = W.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(mode_w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_quantity"))
+    )
+    return c.join(mode, "l_returnflag").select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skewness"),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)).alias("kurtosis_excess"),
+        "mode_quantity",
+    )
+
+
+# ------------------------------------------------------ value-window frames
+@register(
+    "window_value_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition ROWS
+    frame — each order annotated with its customer's first, latest,
+    and second order price (null second_price for one-order
+    customers). The ordering key includes o_orderkey so ties on
+    orderdate are deterministic — without it last_value/nth_value are
+    nondeterministic under parallel sort.
+
+    100 TB: one shuffle on o_custkey; the unbounded frame is computed
+    in a single pass per partition (no per-row rescan).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

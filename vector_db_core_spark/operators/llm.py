@@ -1839,3 +1839,62 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c12").cast("bigint").alias("n_pair"),
         F.round(F.log(p12 / (p1 * p2)), 6).alias("pmi"),
     )
+
+
+_CONTAMINATION_SCORE_SQL = f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS s FROM documents),
+bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 5),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM corpus),
+hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM ex
+         WHERE shingle IN (SELECT shingle FROM bench) GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(len(c.s) AS INT) AS n_shingles,
+       CAST(COALESCE(h.n_hit, 0) AS INT) AS n_contaminated,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(len(c.s) AS DOUBLE)
+         AS contamination
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+@register("pipeline_contamination_score", oracle=_CONTAMINATION_SCORE_SQL)
+def pipeline_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: per-document FRACTION of distinct
+    3-gram shingles shared with the held-out benchmark (docs 0-4),
+    for every corpus document — the scored companion to
+    ``dedup_decontaminate_benchmark``'s boolean flag. Real pipelines
+    threshold this (e.g. drop >= 10% overlap, keep a paper-trail for
+    1-9%) rather than dropping on a single shared shingle, so the
+    score itself is the deliverable.
+
+    Scale shape identical to the boolean pass — benchmark shingles
+    are tiny by nature and BROADCAST; corpus shingles are tested
+    map-side (left-semi against the broadcast set) and counted per
+    document with a map-side-combined aggregate; the final left join
+    back to (doc_id, n_shingles) is a key join on doc_id. The corpus
+    text itself never shuffles. Zero-overlap documents report 0.0
+    explicitly (LEFT join + coalesce), so the output is a total
+    per-document audit column ready to join into a curation gate.
+    """
+    sh = _shingle_sets(_t(spark, sf_dir, "documents"))
+    bench = (
+        sh.where(F.col("doc_id") < 5).select(F.explode("s").alias("shingle")).distinct()
+    )
+    corpus = sh.where(F.col("doc_id") >= 5)
+    hits = (
+        corpus.select("doc_id", F.explode("s").alias("shingle"))
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return (
+        corpus.select("doc_id", F.size("s").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_hit.cast("int").alias("n_contaminated"),
+            (n_hit.cast("double") / F.col("n_shingles").cast("double")).alias("contamination"),
+        )
+    )

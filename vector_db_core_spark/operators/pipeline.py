@@ -485,3 +485,112 @@ def pipeline_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank_in_domain") <= 5)
         .select("doc_id", "domain", "rank_in_domain")
     )
+
+
+@register(
+    "pipeline_bpe_merge_pairs",
+    oracle=r"""
+    WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               FROM documents),
+    p AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS pair
+          FROM t WHERE len(toks) >= 2)
+    SELECT pair, COUNT(*) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 200
+    """,
+)
+def pipeline_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE vocabulary learning: frequencies of
+    ADJACENT token pairs across the corpus, top-200 by count (the pair
+    a BPE trainer would merge next is the head of this list; ties
+    break lexicographically so the ranking is deterministic).
+
+    Scale shape: pairs are produced inside codegen by zipping the
+    token array against itself shifted by one (``zip_with`` of two
+    ``slice``s — no posexplode self-join, no UDF), then ONE
+    map-side-combined count per pair and a TakeOrderedAndProject for
+    the top-200 (per-partition heaps; the full pair distribution is
+    never globally sorted). Each BPE iteration at 100 TB is exactly
+    this job re-run over the re-tokenized corpus.
+    """
+    from vector_db_core_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir).select(tokens("text").alias("toks"))
+    n = F.size("toks")
+    pairs = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.where(n >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(200)
+    )
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle=r"""
+    WITH t AS (SELECT CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT)
+                 AS n_tokens
+               FROM documents),
+    b AS (SELECT n_tokens,
+                 CAST(CASE WHEN n_tokens <= 16 THEN 16
+                           WHEN n_tokens <= 32 THEN 32
+                           WHEN n_tokens <= 64 THEN 64
+                           WHEN n_tokens <= 128 THEN 128
+                           ELSE 256 END AS INT) AS bucket_len
+          FROM t)
+    SELECT bucket_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket_len - n_tokens) AS BIGINT) AS padding_tokens,
+           CAST(SUM(bucket_len - n_tokens) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(bucket_len AS DOUBLE)) AS padding_frac
+    FROM b GROUP BY bucket_len
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats: assign each document to the
+    smallest power-of-two context bucket that fits it and report the
+    padding a bucketed batcher would waste — the efficiency report
+    that decides sequence-packing strategy (compare ``padding_frac``
+    here against ``pipeline_pack_sequences``' fill rates).
+
+    Scale shape: pure map work (tokenize → count → CASE) plus a
+    partial/final aggregate over ≤6 bucket groups; nothing but the
+    5-value bucket key ever shuffles. Documents longer than the top
+    tier land in the 256 overflow bucket (negative padding is
+    impossible below it: each bucket's lower bound is the previous
+    tier).
+    """
+    from vector_db_core_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir).select(F.size(tokens("text")).alias("n_tokens"))
+    bucket = (
+        F.when(F.col("n_tokens") <= 16, 16)
+        .when(F.col("n_tokens") <= 32, 32)
+        .when(F.col("n_tokens") <= 64, 64)
+        .when(F.col("n_tokens") <= 128, 128)
+        .otherwise(256)
+        .cast("int")
+    )
+    return (
+        docs.withColumn("bucket_len", bucket)
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket_len") - F.col("n_tokens")).cast("long").alias("padding_tokens"),
+            (
+                F.sum(F.col("bucket_len") - F.col("n_tokens")).cast("double")
+                / (F.count("*").cast("double") * F.col("bucket_len").cast("double"))
+            ).alias("padding_frac"),
+        )
+    )
