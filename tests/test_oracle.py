@@ -45,6 +45,7 @@ def test_entry_smoke(spark):
     "agg_stddev_variance",       # decimal moments
     "sim_label_centroids",       # decimal vector means
     "text_unigram_logprob",      # decimal-cast ln sums
+    "agg_higher_moments",        # exact integer power sums
 ])
 def test_results_partition_independent(name, spark):
     """The exact-arithmetic policy's real claim: identical results at

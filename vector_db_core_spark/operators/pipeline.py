@@ -518,15 +518,18 @@ def pipeline_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_core_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir).select(tokens("text").alias("toks"))
-    n = F.size("toks")
+    # no "size >= 2" pre-filter: Spark pushes such a filter below the
+    # tokenizing Project and re-evaluates the split per row; a short
+    # document's clamped slices are empty arrays that explode to zero
+    # rows for free
+    n_pairs = F.greatest(F.size("toks") - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice("toks", 1, n - 1),
-        F.slice("toks", 2, n - 1),
+        F.slice("toks", 1, n_pairs),
+        F.slice("toks", 2, n_pairs),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
-        docs.where(n >= 2)
-        .select(F.explode(pairs).alias("pair"))
+        docs.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
