@@ -65,6 +65,10 @@ HEADLINE = [
     # round-3 additions: continuous-ingest dedup + compliance scrub
     "dedup_incremental_minhash",
     "pipeline_pii_scrub",
+    # round-4 additions: 6-table join, agg-then-join top-k, BPE fanout
+    "q7_nation_volume_shipping",
+    "q18_large_order_customers",
+    "pipeline_bpe_merge_pairs",
 ]
 
 STORE_ROWS = 1_000_000
