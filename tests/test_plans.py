@@ -414,3 +414,56 @@ def test_contamination_score_broadcasts_benchmark(spark):
     the corpus never shuffles for the contamination test itself."""
     plan = _plan(QUERIES["pipeline_contamination_score"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_runtime_bloom_filter_prunes_big_side(spark):
+    """Runtime row-level filtering, pinned end-to-end: a shuffle join
+    whose build side carries a selective filter must get a BLOOM
+    FILTER injected on the probe side — lineitem rows whose orderkey
+    cannot match are dropped BEFORE the shuffle, cutting exchange
+    volume by the build side's selectivity. The plan shows a
+    bloom_filter_agg on the filtered orders keys and a
+    might_contain probe on lineitem.
+
+    When this fires at scale: Spark injects it when the application
+    side scans > applicationSideScanSizeThreshold (default 10GB —
+    i.e. exactly the 100 TB fact-table case; shrunk to 0 here so a
+    test-sized scan qualifies) and the creation side is under
+    creationSideThreshold post-filter. It complements AQE: AQE fixes
+    partition sizes after the shuffle, the bloom filter avoids
+    shuffling non-joining rows at all. With broadcast joins there is
+    no exchange to prune — which is why the test pins the
+    sort-merge-join path."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        o = (
+            spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .where(F.col("o_totalprice") > 400000)
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = _plan_simple(j)
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan, plan[:1500]
+        # and the probe sits below lineitem's exchange, not above it
+        lines = plan.splitlines()
+        probe = next(i for i, ln in enumerate(lines) if "might_contain" in ln)
+        assert any("Scan parquet" in ln and "lineitem" in ln for ln in lines[probe:])
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -430,3 +430,57 @@ def window_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+# ------------------------------------------------------- RANGE-frame window
+@register(
+    "window_range_trailing_7d",
+    oracle="""
+    WITH x AS (SELECT event_id, user_id,
+                      epoch_us(ts) AS ep,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing_7d,
+           CAST(CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS DOUBLE)
+             AS sum_value_7d
+    FROM x
+    WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): for every event, the
+    count and value-sum of the SAME USER's events in the trailing 7
+    days inclusive — the rolling-feature computation behind
+    time-decayed user activity features. RANGE differs from ROWS
+    exactly when timestamps tie or gap: the frame is defined by the
+    ordering VALUE (microsecond epoch), so simultaneous events are
+    peers and quiet weeks shrink the frame to 1.
+
+    Exactness: the ordering key is integer microseconds (``epoch``
+    floats would make frame membership precision-dependent) and the
+    summed values are integer cents divided back once at the end —
+    frame boundaries and sums are bit-identical to the oracle at any
+    parallelism. 100 TB: one shuffle on the high-cardinality user
+    key; Spark evaluates the bounded trailing frame with two moving
+    pointers per partition (no per-row rescan).
+    """
+    ev = _t(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ep"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return x.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_7d"),
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("sum_value_7d"),
+    )

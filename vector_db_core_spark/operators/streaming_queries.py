@@ -245,3 +245,41 @@ def streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
     _run_to_memory(joined, "stream_replay_interval_join", root, "append")
     return spark.table("stream_replay_interval_join")
+
+
+@register(
+    "streaming_static_join_replay",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the third join class after batch joins and
+    the stream-stream interval join: a live event stream enriched
+    against a bounded dimension table (customer), then aggregated per
+    (segment, event type) by the streaming engine. The static side
+    needs no watermark and holds no join state: Spark plans it as a
+    per-microbatch broadcast hash join, re-resolving the static
+    relation each batch (so slowly-changing dims pick up file-level
+    updates between batches). This is the standard streaming
+    enrichment topology at any scale — dimension broadcasts, stream
+    never shuffles for the join, only for the final keyed aggregate.
+
+    Inner join on a finite replay emits exactly the batch-join rows,
+    so the plain two-table SQL oracle applies.
+    """
+    stream, root = _replay_events(spark, sf_dir, "stjoin")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+    )
+    _run_to_memory(agg, "stream_replay_static_join", root, "complete")
+    return spark.table("stream_replay_static_join")
