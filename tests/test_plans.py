@@ -467,3 +467,13 @@ def test_runtime_bloom_filter_prunes_big_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tokenizer_apply_vocab_topk_and_broadcast(spark):
+    """Tokenizer application: the vocabulary must be learned via
+    TakeOrderedAndProject (top-100 of the type table, never a global
+    sort) and applied via a broadcast join on the exploded tokens —
+    the corpus-side rows must not shuffle for the vocab lookup."""
+    plan = _plan(QUERIES["pipeline_tokenizer_apply"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

@@ -597,3 +597,71 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("padding_frac"),
         )
     )
+
+
+@register(
+    "pipeline_tokenizer_apply",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, u.i AS pos, toks[u.i] AS token
+            FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)),
+    freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    ranked AS (SELECT token,
+                      ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rn
+               FROM freq),
+    vocab AS (SELECT token, CAST(rn - 1 AS INT) AS id FROM ranked WHERE rn <= 100)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           string_agg(CAST(COALESCE(v.id, 100) AS VARCHAR), ',' ORDER BY tok.pos)
+             AS token_ids
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY tok.doc_id
+    """,
+)
+def pipeline_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids — the step between raw text and
+    ``pipeline_pack_sequences``: learn a bounded vocabulary (top-100
+    tokens by corpus frequency, deterministic lexicographic
+    tie-break, ids 0..99 in rank order) and map every document to its
+    id sequence with OOV → id 100. Emitted as a canonical CSV string
+    (registry array policy) with positions preserved.
+
+    Scale shape: the vocabulary is learned with ONE map-side-combined
+    token count and a TakeOrderedAndProject top-100 (the id-assigning
+    row_number window runs AFTER the limit, over exactly 100 rows —
+    never a global sort of the full type table); application is a
+    broadcast left join on the exploded tokens (vocabularies are
+    KB-to-MB at any corpus size) and one groupBy(doc_id) to
+    reassemble in-order. The corpus shuffles once, keyed on doc_id.
+    """
+    from pyspark.sql import Window as W
+
+    from vector_db_core_spark.functions.text import tokens
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    top = freq.orderBy(F.col("c").desc(), F.col("token").asc()).limit(100)
+    vocab = top.withColumn(
+        "id",
+        (F.row_number().over(W.orderBy(F.col("c").desc(), F.col("token").asc())) - 1).cast(
+            "int"
+        ),
+    ).select("token", "id")
+    ids = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(100)).alias("id")
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda x: x["id"].cast("string"),
+            ),
+        ).alias("token_ids"),
+    )
