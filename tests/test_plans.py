@@ -477,3 +477,13 @@ def test_tokenizer_apply_vocab_topk_and_broadcast(spark):
     plan = _plan(QUERIES["pipeline_tokenizer_apply"](spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q13_aggregates_orders_before_outer_join(spark):
+    """Q13's custkey shuffle must carry one (custkey, count) row per
+    customer, not raw orders: the orders-side aggregate sits BELOW the
+    outer join in the plan (aggregate-before-join)."""
+    df = QUERIES["q13_customer_order_distribution"](spark, SF_ORACLE)
+    lines = _plan_simple(df).splitlines()
+    first_join = next(i for i, l in enumerate(lines) if "Join" in l)
+    assert any("HashAggregate" in l for l in lines[first_join:]), lines

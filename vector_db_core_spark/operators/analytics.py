@@ -120,19 +120,26 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what forces the filter INTO the join condition rather than
     a WHERE).
 
-    100 TB plan: one shuffle on custkey for join+count (the second
-    aggregation groups on c_count whose domain is ~tens — partial agg
-    collapses it map-side, so the second exchange moves almost nothing).
+    100 TB plan: AGGREGATE-BEFORE-JOIN — orders collapse to
+    (custkey, count) with a map-side-combined aggregate BEFORE the
+    outer join, so the custkey shuffle carries one row per customer
+    instead of every order row (the join-then-count formulation
+    shuffles the full orders table; same answer, since the per-customer
+    order count distributes over the join). Customers with no
+    qualifying orders surface as count 0 via the left join + coalesce.
+    The second aggregation groups on c_count, domain ~tens — its
+    exchange moves almost nothing.
     """
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
-    joined = cust.join(
-        orders,
-        (F.col("c_custkey") == F.col("o_custkey"))
-        & (F.col("o_orderpriority") != "1-URGENT"),
-        "left",
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
     )
-    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    per_cust = cust.join(
+        counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
 
