@@ -205,3 +205,33 @@ def test_load_media_dir_binary_ingest(spark, tmp_path):
     # feature extraction over the ingested payloads
     feats = extract_features(df, payload_col="payload").collect()
     assert len(feats) == 5 and all(len(f.features) > 0 for f in feats)
+
+
+def test_sorted_shards_are_disjoint_and_sorted(spark, tmp_path):
+    """write_sorted_shards' contract: every output file is internally
+    sorted on the key, and the files' [min, max] key ranges are
+    pairwise disjoint — the layout that makes parquet min/max stats
+    prune and merge-joins possible without a global sort."""
+    import glob
+
+    from vector_db_core_spark.sources.loaders import write_sorted_shards
+
+    df = spark.range(0, 20_000).select(
+        (F.xxhash64("id") % 100_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "shards")
+    write_sorted_shards(df, out, order_by="k", n_shards=8)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 4  # range partitioner may merge tiny ranges
+    ranges = []
+    total = 0
+    for f in files:
+        ks = [r.k for r in spark.read.parquet(f).select("k").collect()]
+        total += len(ks)
+        assert ks == sorted(ks), f  # internally sorted
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    assert total == 20_000  # nothing lost or duplicated
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary key may be shared)

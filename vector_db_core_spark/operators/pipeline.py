@@ -665,3 +665,56 @@ def pipeline_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("token_ids"),
     )
+
+
+@register(
+    "pipeline_curriculum_phases",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                           AS INT) AS n_tokens
+               FROM documents),
+    q AS (SELECT quantile_cont(n_tokens, 0.33) AS q33,
+                 quantile_cont(n_tokens, 0.66) AS q66
+          FROM t)
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens <= q33 THEN 'easy'
+                WHEN n_tokens <= q66 THEN 'medium'
+                ELSE 'hard' END AS phase
+    FROM t, q
+    """,
+)
+def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: tercile documents by length into
+    easy/medium/hard training phases (shortest-first curriculum). The
+    thresholds are GLOBAL DATA-DERIVED quantiles — not fixed constants
+    like ``pipeline_length_buckets`` — computed once and broadcast as
+    a one-row frame, so the per-document phase tag is a map-side CASE
+    against two scalars.
+
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the same linear-interpolation definition and match bit-for-bit
+    (verified; the same contract ``agg_percentile_price_quartiles``
+    pins). Exact single-group percentile buffers the column per
+    aggregation — fine at oracle scale; at 100 TB swap the threshold
+    subquery to ``approx_percentile`` (t-digest, bounded memory,
+    map-side combined) and the rest of the plan is unchanged — the
+    same exact/approx twin policy as ``profile_orders_columns``.
+    """
+    from vector_db_core_spark.functions.text import tokens
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    q = t.agg(
+        F.percentile("n_tokens", 0.33).alias("q33"),
+        F.percentile("n_tokens", 0.66).alias("q66"),
+    )
+    return t.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") <= F.col("q33"), "easy")
+        .when(F.col("n_tokens") <= F.col("q66"), "medium")
+        .otherwise("hard")
+        .alias("phase"),
+    )

@@ -6,7 +6,8 @@ from vector_db_core_spark.sources.loaders import (
     load_media_dir,
     read_any,
     write_any,
+    write_sorted_shards,
     register_views,
 )
 
-__all__ = ["TABLES", "init_session", "load_table", "load_all", "read_any", "write_any", "register_views", "load_media_dir"]
+__all__ = ["TABLES", "init_session", "load_table", "load_all", "read_any", "write_any", "write_sorted_shards", "register_views", "load_media_dir"]

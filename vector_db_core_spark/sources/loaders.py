@@ -179,3 +179,41 @@ def load_media_dir(
         F.col("length").alias("n_bytes"),
         F.col("content").alias("payload"),
     )
+
+
+def write_sorted_shards(
+    df: DataFrame,
+    path: str,
+    order_by: str | list[str],
+    n_shards: int,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Globally range-ordered shard layout: ``repartitionByRange`` on
+    the ordering key(s) (range boundaries come from reservoir-sampling
+    the key distribution — skew-resistant by construction) followed by
+    ``sortWithinPartitions``, so shard *i* holds a contiguous,
+    internally sorted key range strictly below shard *i+1*'s.
+
+    This is how a 100 TB job materializes a total order without a
+    single-reducer global sort: every shard sorts independently in
+    parallel, and downstream consumers get (a) parquet min/max
+    row-group stats that actually prune (sorted data → tight, disjoint
+    stats), (b) merge-join-able inputs, and (c) range-pruned point
+    lookups (binary-search the shard boundaries, open one file).
+    ``OrdinalStore`` relies on the same physics for its rowid ranges;
+    this generalizes it to any key. Deliberately NOT a registered
+    query: shard *assignment* depends on sampled boundaries, so it is
+    not bit-reproducible across engines — the per-shard sortedness and
+    disjointness CONTRACT is what tests pin (tests/test_sources.py).
+    """
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    (
+        df.repartitionByRange(n_shards, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .format(fmt)
+        .options(**options)
+        .save(path)
+    )
