@@ -1898,3 +1898,70 @@ def pipeline_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_hit.cast("double") / F.col("n_shingles").cast("double")).alias("contamination"),
         )
     )
+
+
+_DECODE_FEATURES_SQL = """
+WITH h AS (SELECT doc_id, md5(text) || md5(reverse(text)) AS hx FROM documents),
+b AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, 32),
+                                   i -> ('0x' || substr(hx, 2*i - 1, 2))::INT)) AS byte
+      FROM h),
+s AS (SELECT doc_id,
+             SUM(byte) AS sb,
+             SUM(CASE WHEN least(byte * 5 // 256, 4) = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN least(byte * 5 // 256, 4) = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN least(byte * 5 // 256, 4) = 2 THEN 1 ELSE 0 END) AS c2,
+             SUM(CASE WHEN least(byte * 5 // 256, 4) = 3 THEN 1 ELSE 0 END) AS c3,
+             SUM(CASE WHEN least(byte * 5 // 256, 4) = 4 THEN 1 ELSE 0 END) AS c4
+      FROM b GROUP BY doc_id)
+SELECT doc_id,
+       CAST(sb AS DOUBLE) / (255.0 * 32) AS mean_pixel,
+       CAST(c0 AS DOUBLE) / 32.0 AS h0,
+       CAST(c1 AS DOUBLE) / 32.0 AS h1,
+       CAST(c2 AS DOUBLE) / 32.0 AS h2,
+       CAST(c3 AS DOUBLE) / 32.0 AS h3,
+       CAST(c4 AS DOUBLE) / 32.0 AS h4
+FROM s
+"""
+
+
+@register("multimodal_decode_features", oracle=_DECODE_FEATURES_SQL)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the driver's hash gate: every document
+    becomes a valid 8×4 grayscale netpbm (P5) image whose raster is
+    the 32 bytes of ``md5(text) || md5(reverse(text))`` — built
+    JVM-side with binary concat — then ``extract_features`` runs the
+    actual Arrow-batched ``mapInPandas`` → ``image_features`` path
+    (header parse, raster decode, per-channel means + 5-bin luminance
+    histogram). Because the construction is content-deterministic, the
+    pixel features are EXACTLY SQL-computable: the oracle re-derives
+    each raster byte from the same md5 hex and replicates the integer
+    histogram/mean arithmetic (one int sum per doc, one double
+    division — bit-identical). This is the full multimodal plumbing —
+    schema, batching, UDF signature, real decoder — under an exact
+    oracle rather than the weaker rows-only check.
+
+    100 TB: the payload column stands in for stored media blobs;
+    mapInPandas streams Arrow batches with no shuffle, so the plan is
+    scan → project → mapInPandas → project, partition-parallel.
+    """
+    from vector_db_core_spark.functions.multimodal import (
+        extract_features,
+        image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hexs = F.concat(F.md5("text"), F.md5(F.reverse(F.col("text"))))
+    payload = F.concat(F.lit(b"P5\n8 4\n255\n"), F.unhex(hexs))
+    imgs = docs.select("doc_id", payload.alias("payload"))
+    feats = extract_features(imgs, "payload", decoder=image_features)
+    f = F.col("features")
+    return feats.select(
+        "doc_id",
+        f[0].alias("mean_pixel"),
+        f[3].alias("h0"),
+        f[4].alias("h1"),
+        f[5].alias("h2"),
+        f[6].alias("h3"),
+        f[7].alias("h4"),
+    )
