@@ -1965,3 +1965,56 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         f[6].alias("h3"),
         f[7].alias("h4"),
     )
+
+
+_HASHING_TF_SQL = r"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                      AS token
+             FROM documents),
+bk AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 4))::INT % 16 AS b FROM tok),
+c AS (SELECT doc_id, b, COUNT(*) AS n FROM bk GROUP BY doc_id, b),
+spine AS (SELECT DISTINCT doc_id FROM tok),
+g AS (SELECT spine.doc_id, gs.b
+      FROM spine, UNNEST(generate_series(0, 15)) AS gs(b))
+SELECT g.doc_id,
+       string_agg(CAST(COALESCE(c.n, 0) AS VARCHAR), ',' ORDER BY g.b) AS tf_vector
+FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.b = c.b
+GROUP BY g.doc_id
+"""
+
+
+@register("text_hashing_vectorizer", oracle=_HASHING_TF_SQL)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK (HashingTF): fixed 16-dim term-frequency
+    vectors with bucket = md5-prefix of the token mod 16 — no
+    vocabulary pass at all, which is its scale story versus
+    ``pipeline_tokenizer_apply``: vectorization becomes stateless
+    per-row work (no learned artifact to broadcast, no OOV concept),
+    the standard trade when the corpus is too churny to re-learn a
+    vocab per snapshot. Collisions are the accepted cost.
+
+    One map-side-combined count on (doc_id, bucket), then per-doc
+    reassembly into a dense CSV vector via a map lookup over the
+    16-bucket spine (missing buckets emit 0 explicitly so the vector
+    is dense and fixed-width). md5-prefix buckets, not xxhash64, so
+    both engines derive identical buckets and the gate hash-matches;
+    at 100 TB swap in xxhash64 for cheaper hashing — same plan.
+    """
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int") % 16).alias("b")
+    counts = tok.select("doc_id", bucket).groupBy("doc_id", "b").agg(
+        F.count("*").alias("n")
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("b", "n")))
+    return counts.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda b: F.coalesce(F.element_at(m, b), F.lit(0)).cast("string"),
+            ),
+        ).alias("tf_vector")
+    )
