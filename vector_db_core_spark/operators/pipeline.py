@@ -718,3 +718,97 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard")
         .alias("phase"),
     )
+
+
+_FULL_PREP_SQL = r"""
+WITH keep AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (
+           PARTITION BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM documents),
+dedup AS (SELECT doc_id, text FROM keep WHERE rn = 1),
+sh AS (SELECT doc_id,
+              CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 3
+                   THEN list_distinct(list_transform(
+                          generate_series(1, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) - 2),
+                          i -> array_to_string((list_filter(string_split_regex(text, '\s+'), x -> x <> ''))[i:i+2], ' ')))
+                   ELSE [array_to_string(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), ' ')] END AS s
+       FROM documents),
+bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 5)
+  WHERE shingle IN (SELECT shingle FROM bench)),
+clean AS (
+  SELECT d.doc_id, d.text,
+         len(list_filter(string_split_regex(d.text, '\s+'), x -> x <> '')) AS n_tokens
+  FROM dedup d
+  WHERE d.doc_id >= 5
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND len(list_filter(string_split_regex(d.text, '\s+'), x -> x <> '')) >= 40)
+SELECT CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+            WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM clean GROUP BY 1
+"""
+
+
+@register("pipeline_full_prep_report", oracle=_FULL_PREP_SQL)
+def pipeline_full_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pre-training prep pipeline as ONE Catalyst plan:
+    canonical dedup (keep-first by content hash) → benchmark
+    decontamination (drop any doc sharing a 3-gram shingle with the
+    held-out docs 0-4) → quality gate (≥ 40 tokens) → content-hash
+    train/val/test split → per-split document/token accounting. Every
+    stage is an operator registered standalone
+    (dedup_canonical_documents, dedup_decontaminate_benchmark,
+    text_quality, pipeline_train_val_test_split) — composed here
+    lazily with no materialization barriers, which is how a real job
+    runs them.
+
+    Shuffle budget at 100 TB: one exchange on the canonical content
+    hash (dedup window), one broadcast of the benchmark shingle set
+    with a broadcast LEFT-ANTI on the exploded shingles (corpus never
+    shuffles for decontamination), and one 3-row aggregated exchange
+    for the report. Quality filter and split assignment are free
+    map-side work in the same passes.
+    """
+    from pyspark.sql import Window as W
+
+    from vector_db_core_spark.functions.text import canonical_text, tokens
+    from vector_db_core_spark.operators.llm import _shingle_sets
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    rn = F.row_number().over(
+        W.partitionBy(F.sha2(canonical_text("text"), 256)).orderBy("doc_id")
+    )
+    dedup = docs.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
+    sh = _shingle_sets(docs)
+    bench = (
+        sh.where(F.col("doc_id") < 5).select(F.explode("s").alias("shingle")).distinct()
+    )
+    contaminated = (
+        sh.where(F.col("doc_id") >= 5)
+        .select("doc_id", F.explode("s").alias("shingle"))
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        dedup.where(F.col("doc_id") >= 5)
+        .join(contaminated, "doc_id", "left_anti")
+        .withColumn("n_tokens", F.size(tokens("text")))
+        .where(F.col("n_tokens") >= 40)
+    )
+    nib = F.substring(F.md5("text"), 1, 1)
+    split = F.when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test")
+    return (
+        clean.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

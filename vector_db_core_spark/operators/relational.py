@@ -656,3 +656,55 @@ def case_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(bucket).agg(
         F.count("*").alias("n"), dsum("o_totalprice", "bucket_total")
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1))
+                  AS DOUBLE) AS new_price,
+             'PROCESSED' AS new_status
+      FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '4')
+    SELECT o.o_orderkey,
+           COALESCE(u.new_price, o.o_totalprice) AS o_totalprice,
+           COALESCE(u.new_status, o.o_orderstatus) AS o_orderstatus,
+           u.o_orderkey IS NOT NULL AS was_updated
+    FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert semantics without a table format: apply an
+    update batch to a base snapshot by key, producing the merged
+    snapshot plus an audit flag — WHEN MATCHED THEN UPDATE, WHEN NOT
+    MATCHED (on the base side) THEN KEEP, expressed as a left join +
+    COALESCE per column. The update batch here is derived
+    deterministically (a content-hash quarter of orderkeys gets a
+    repriced PROCESSED version) so the oracle can build the identical
+    batch; in production the batch is the CDC stream.
+
+    100 TB shape: the join keys on the snapshot's primary key — with
+    the base bucketed/sorted on that key (write_sorted_shards) the
+    merge is co-partitioned and the update batch (usually ≪ base)
+    broadcasts; insert-only rows (WHEN NOT MATCHED INSERT) arrive by
+    unioning the updates' anti-join remainder, omitted here because
+    the derived batch is update-only. The exact-decimal reprice keeps
+    the new price bit-identical to the oracle.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    upd = o.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "4"
+    ).select(
+        F.col("o_orderkey").alias("u_orderkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(3,1)"))
+        .cast("double")
+        .alias("new_price"),
+        F.lit("PROCESSED").alias("new_status"),
+    )
+    return o.join(upd, F.col("o_orderkey") == F.col("u_orderkey"), "left").select(
+        "o_orderkey",
+        F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+        F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
+        F.col("u_orderkey").isNotNull().alias("was_updated"),
+    )
