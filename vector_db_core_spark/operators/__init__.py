@@ -41,22 +41,26 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: agg_boolean_filtered, agg_collect_sorted_sets, text_vocabulary_topn,
 #: text_boilerplate_phrases, join_broadcast_brand_volume (benched
 #: every round in bench.py).
-#: Round-5 rotation backlog (precomputed 2026-08-14): after r4's run,
-#: 31 oracled queries will still never have earned a driver hash row —
-#: the 13 left out of the r3+r4 windows (topk_orders_by_price,
+#: Round-5 rotation backlog: after r4's run, 33 oracled queries will
+#: still never have earned a driver hash row — the 13 left out of the
+#: r3+r4 windows plus the 20 round-4 additions. Recompute the exact
+#: list with:
+#:   covered = {r3 hash_match green} | set(DRIVER_WINDOW_r4)
+#:   backlog = [n for n in ORACLE if n not in covered]
+#: (33 names as of 2026-08-14: topk_orders_by_price,
 #: window_rank_dense_rank, window_ntile_percentile_ranks,
 #: window_tumbling_event_counts, distinct_market_segments,
 #: cube_status_priority, scalar_edit_distance,
 #: scalar_conditional_functions, agg_collect_sorted_sets,
 #: agg_boolean_filtered, text_vocabulary_topn, text_boilerplate_phrases,
-#: join_broadcast_brand_volume) plus the 18 round-4 additions
-#: (q7/q13/q17/q18/q22 shapes, agg_higher_moments, window_value_frames,
-#: window_range_trailing_7d, dedup_containment_pairs,
-#: dedup_cluster_survivors, pipeline_{contamination_score,
-#: bpe_merge_pairs, length_buckets, tokenizer_apply, curriculum_phases},
+#: join_broadcast_brand_volume, the q7/q13/q17/q18/q22 shapes,
+#: agg_higher_moments, window_value_frames, window_range_trailing_7d,
+#: dedup_containment_pairs, dedup_cluster_survivors,
+#: pipeline_{contamination_score, bpe_merge_pairs, length_buckets,
+#: tokenizer_apply, curriculum_phases, full_prep_report},
 #: multimodal_decode_features, text_hashing_vectorizer,
-#: streaming_static_join_replay). Lead r5's window with ALL of these
-#: (31 slots) — the union across rounds then covers every oracled
+#: merge_upsert_orders, streaming_static_join_replay). Lead r5's window
+#: with ALL of them — the union across rounds then covers every oracled
 #: query; fill remaining slots with high-value repeats.
 DRIVER_WINDOW = (
     # relational: joins the gate has never checked
