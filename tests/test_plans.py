@@ -487,3 +487,18 @@ def test_q13_aggregates_orders_before_outer_join(spark):
     lines = _plan_simple(df).splitlines()
     first_join = next(i for i, l in enumerate(lines) if "Join" in l)
     assert any("HashAggregate" in l for l in lines[first_join:]), lines
+
+
+def test_full_prep_three_exchanges_broadcast_anti(spark):
+    """The composed prep pipeline's shuffle budget: exactly four
+    exchanges — ONE corpus-sized (the content-hash dedup window) and
+    three bounded/tiny (benchmark-shingle distinct over 5 docs,
+    contaminated-id distinct bounded by the benchmark's reach, 3-row
+    report agg). The anti join rides a BROADCAST of the contaminated
+    set, never re-shuffling the deduped corpus on doc_id."""
+    import re
+
+    plan = _plan(QUERIES["pipeline_full_prep_report"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftSemi" in plan  # benchmark shingles semi join
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 4

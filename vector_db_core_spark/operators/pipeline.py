@@ -768,12 +768,15 @@ def pipeline_full_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazily with no materialization barriers, which is how a real job
     runs them.
 
-    Shuffle budget at 100 TB: one exchange on the canonical content
-    hash (dedup window), one broadcast of the benchmark shingle set
-    with a broadcast LEFT-ANTI on the exploded shingles (corpus never
-    shuffles for decontamination), and one 3-row aggregated exchange
-    for the report. Quality filter and split assignment are free
-    map-side work in the same passes.
+    Shuffle budget at 100 TB (plan-pinned): ONE corpus-sized exchange
+    — the canonical content hash for the dedup window — plus three
+    bounded/tiny ones: the 5-doc benchmark-shingle distinct, the
+    contaminated-id distinct (bounded by the benchmark's reach, then
+    BROADCAST for the anti join so the deduped corpus never
+    re-shuffles on doc_id — dedup_cluster_survivors' singleton
+    pattern), and the 3-row report aggregate. The benchmark shingle
+    set broadcasts for the semi join; quality filter and split
+    assignment are free map-side work in the same passes.
     """
     from pyspark.sql import Window as W
 
@@ -798,7 +801,7 @@ def pipeline_full_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = (
         dedup.where(F.col("doc_id") >= 5)
-        .join(contaminated, "doc_id", "left_anti")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .withColumn("n_tokens", F.size(tokens("text")))
         .where(F.col("n_tokens") >= 40)
     )
