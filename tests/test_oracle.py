@@ -46,6 +46,7 @@ def test_entry_smoke(spark):
     "sim_label_centroids",       # decimal vector means
     "text_unigram_logprob",      # decimal-cast ln sums
     "agg_higher_moments",        # exact integer power sums
+    "pipeline_curriculum_phases",  # exact global percentile thresholds
 ])
 def test_results_partition_independent(name, spark):
     """The exact-arithmetic policy's real claim: identical results at
