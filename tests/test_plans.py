@@ -502,3 +502,52 @@ def test_full_prep_three_exchanges_broadcast_anti(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "LeftSemi" in plan  # benchmark shingles semi join
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 4
+
+
+def test_q21_single_lineitem_shuffle_no_self_join(spark):
+    """Q21's rewrite contract: the EXISTS/NOT-EXISTS double self-join
+    becomes ONE aggregation over (order, supplier) lateness — lineitem
+    is scanned exactly once, and the top-100 is per-partition heaps."""
+    df = QUERIES["q21_waiting_supplier"](spark, SF_ORACLE)
+    plan = _plan_simple(df)
+    scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert sum("lineitem" in l for l in scan_lines) == 1, scan_lines
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_pushes_disjunction_implications(spark):
+    """Q19's cross-side OR can't be pushed by Catalyst; the query must
+    pre-push each side's common implication — brand IN (...) reaches
+    the part SCAN as a pushed filter and the quantity bound reaches the
+    lineitem scan — and the pruned part side must broadcast."""
+    df = QUERIES["q19_disjunctive_revenue"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("In(p_brand" in l for l in pushed), pushed
+    assert any("LessThanOrEqual(l_quantity,30.0)" in l for l in pushed), pushed
+
+
+def test_q2_window_on_aggregated_pairs_only(spark):
+    """Q2's correlated min must be a window over the ALREADY-AGGREGATED
+    (part, supplier) cost rows — lineitem scanned once, the min-cost
+    comparison never re-joins lineitem, and the part/supplier dims
+    broadcast into the aggregated frame."""
+    df = QUERIES["q2_min_cost_supplier"](spark, SF_ORACLE)
+    plan = _plan_simple(df)
+    scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert sum("lineitem" in l for l in scan_lines) == 1, scan_lines
+    assert "windowspecdefinition(p_partkey" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_revenue_view_cached_for_both_consumers(spark):
+    """Q15's revenue view feeds the max AND the equality filter; the
+    plan must read it from the persisted InMemoryRelation on both
+    branches instead of re-aggregating lineitem twice."""
+    df = QUERIES["q15_top_supplier"](spark, SF_ORACLE)
+    plan = _plan_simple(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan

@@ -18,6 +18,7 @@ from vector_db_core_spark.operators import extra  # noqa: F401
 from vector_db_core_spark.operators import pipeline  # noqa: F401
 from vector_db_core_spark.operators import streaming_queries  # noqa: F401
 from vector_db_core_spark.operators import analytics  # noqa: F401
+from vector_db_core_spark.operators import warehouse  # noqa: F401
 
 from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
@@ -41,13 +42,14 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: agg_boolean_filtered, agg_collect_sorted_sets, text_vocabulary_topn,
 #: text_boilerplate_phrases, join_broadcast_brand_volume (benched
 #: every round in bench.py).
-#: Round-5 rotation backlog: after r4's run, 33 oracled queries will
+#: Round-5 rotation backlog: after r4's run, 46 oracled queries will
 #: still never have earned a driver hash row — the 13 left out of the
-#: r3+r4 windows plus the 20 round-4 additions. Recompute the exact
-#: list with:
+#: r3+r4 windows plus the 20 earlier round-4 additions plus the 13
+#: late-round-4 TPC-H round-out shapes (warehouse.py: q2/q4/q8/q9/q10/
+#: q11/q12/q14/q15/q16/q19/q20/q21). Recompute the exact list with:
 #:   covered = {r3 hash_match green} | set(DRIVER_WINDOW_r4)
 #:   backlog = [n for n in ORACLE if n not in covered]
-#: (33 names as of 2026-08-14: topk_orders_by_price,
+#: (the 33 pre-TPC-H names as of 2026-08-14: topk_orders_by_price,
 #: window_rank_dense_rank, window_ntile_percentile_ranks,
 #: window_tumbling_event_counts, distinct_market_segments,
 #: cube_status_priority, scalar_edit_distance,

@@ -201,13 +201,22 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join = NOT EXISTS."""
+    """LEFT ANTI join = NOT EXISTS: customers with no orders in the
+    store's first year. Date-scoped because every fixture customer has
+    SOME order — the unscoped anti join is vacuously empty at every
+    SF, which would make its hash-check trivially green; the 1995
+    probe keeps both outcomes populated (the build side is filtered
+    BEFORE the anti join, so the filter prunes the shuffle too)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
