@@ -126,6 +126,7 @@ def test_pipeline_ops_are_map_only(spark):
         "pipeline_normalize_text",
         "pipeline_stratified_sample",
         "pipeline_pii_scrub",
+        "pipeline_kfold_assign",
     ):
         plan = _plan(QUERIES[name](spark, SF_ORACLE))
         assert "Exchange" not in plan, name
@@ -551,3 +552,27 @@ def test_q15_revenue_view_cached_for_both_consumers(spark):
     df = QUERIES["q15_top_supplier"](spark, SF_ORACLE)
     plan = _plan_simple(df)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_scd2_shuffles_key_on_user_only(spark):
+    """SCD2 interval construction: every exchange in the plan must
+    hash on a user_id-prefixed key — no global sort, no broadcast of
+    the event stream, no key change that would defeat pre-bucketing."""
+    df = QUERIES["scd2_user_event_intervals"](spark, SF_ORACLE)
+    simple = _plan_simple(df)
+    for line in simple.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line, line
+    assert "Exchange rangepartitioning" not in simple
+
+
+def test_checksum_is_map_plus_single_row_agg(spark):
+    """The table checksum must be scan → partial agg → one-row final
+    agg: the only exchange is the SinglePartition gather of partial
+    sums — nothing else moves."""
+    import re
+
+    plan = _plan(QUERIES["checksum_orders_table"](spark, SF_ORACLE))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    assert "SinglePartition" in plan

@@ -491,3 +491,131 @@ def window_range_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_trailing_7d"),
         (F.sum("cents").over(w).cast("double") / 100.0).alias("sum_value_7d"),
     )
+
+
+# ----------------------------------------------------- SCD2 / CDC intervals
+@register(
+    "scd2_user_event_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ver
+      FROM ordered),
+    runs AS (
+      SELECT user_id, CAST(ver AS INT) AS version, event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM flagged GROUP BY user_id, ver, event_type)
+    SELECT user_id, version, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY version) AS valid_to,
+           n_events
+    FROM runs
+    """,
+)
+def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 / change-data-capture interval construction: collapse each
+    user's event stream into versioned validity intervals — one row
+    per RUN of consecutive identical event_types, with
+    [valid_from, valid_to) bounds (valid_to NULL for the current run).
+    This is the transform that turns an append-only change log into a
+    slowly-changing-dimension table — the lakehouse maintenance shape
+    the MERGE upsert (merge_upsert_orders) consumes on the other end.
+
+    Run detection is the classic gaps-and-islands: a LAG-based change
+    flag, a running sum assigning version numbers, then per-run
+    aggregation and a LEAD for the closing bound. Ordering ties on ts
+    break by event_id, so versions are deterministic at any
+    parallelism.
+
+    100 TB plan: all three shuffles key on user_id (the window, the
+    (user, version) run aggregate, the closing-bound window) — with
+    the table pre-bucketed by user_id (write_sorted_shards) the
+    exchanges collapse to local sorts; state per partition is one
+    user's stream, never the table.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(order_w).isNull()
+        | (F.lag("event_type").over(order_w) != F.col("event_type"))
+    )
+    flagged = ev.withColumn(
+        "ver",
+        F.sum(F.when(changed, 1).otherwise(0)).over(
+            order_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    runs = flagged.groupBy("user_id", "ver", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    close_w = W.partitionBy("user_id").orderBy("ver")
+    return runs.select(
+        "user_id",
+        F.col("ver").cast("int").alias("version"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(close_w).alias("valid_to"),
+        "n_events",
+    )
+
+
+# ------------------------------------------------------- replica checksum
+@register(
+    "checksum_orders_table",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' ||
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+                 o_orderpriority), 1, 12))::BIGINT)
+               % 2147483647 AS BIGINT) AS checksum
+    FROM orders
+    """,
+)
+def checksum_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent whole-table checksum — the replica-integrity
+    digest you run on both sides after a migration/backfill to prove
+    two copies of a table hold byte-identical logical content (the
+    Spark analog of the reference's durability concern: its stores
+    have no checksums at all, file_access_service.rs:24-38, so
+    corruption is silent; here one number certifies 15M rows).
+
+    Every row folds to a canonical string (floats as integer cents,
+    timestamps formatted, '|' separators), hashes through md5, and the
+    first 48 bits SUM — addition commutes, so the digest is identical
+    at any row order, any partitioning, any engine. The sum
+    accumulates in DECIMAL(38,0)/HUGEINT (48-bit summands overflow
+    BIGINT beyond ~100M rows) and reduces mod 2^31-1 for a compact
+    comparable value.
+
+    100 TB plan: map-only scan + one single-row aggregate — no
+    shuffle carries data, and partial aggregation means each task
+    contributes one partial sum.
+    """
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    h48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("decimal(38,0)")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(h48) % F.lit(2147483647)).cast("long").alias("checksum"),
+    )

@@ -815,3 +815,29 @@ def pipeline_full_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_kfold_assign",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 6))::BIGINT % 5 AS INT) AS fold,
+           n_chars
+    FROM documents
+    """,
+)
+def pipeline_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5): fold =
+    first 24 bits of md5(content) mod k. Content-keyed like the
+    train/val/test split — re-ingested or re-ordered corpora keep every
+    document in the SAME fold, and exact duplicates land together (so
+    no fold ever holds a twin of another fold's doc — the leakage that
+    silently inflates cross-validation scores).
+
+    100 TB plan: pure per-row transform, zero exchanges (plan-pinned
+    with the other map-only pipeline ops); fold sizes concentrate at
+    n/k by the hash's uniformity — no balancing shuffle needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("long") % 5).cast("int")
+    return docs.select("doc_id", fold.alias("fold"), "n_chars")
