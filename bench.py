@@ -69,6 +69,12 @@ HEADLINE = [
     "q7_nation_volume_shipping",
     "q18_large_order_customers",
     "pipeline_bpe_merge_pairs",
+    # late round-4: TPC-H round-out representatives (8-table ratio,
+    # single-shuffle Q21 rewrite, returned-item top-k) + CDC intervals
+    "q8_national_market_share",
+    "q21_waiting_supplier",
+    "q10_returned_item_customers",
+    "scd2_user_event_intervals",
 ]
 
 STORE_ROWS = 1_000_000
