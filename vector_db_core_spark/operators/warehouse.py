@@ -372,12 +372,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scoped
     GROUP BY l_partkey
     HAVING CAST(SUM(px) AS DOUBLE) >
-           0.001 * (SELECT CAST(SUM(px) AS DOUBLE) FROM scoped)
+           2.0 * (SELECT CAST(SUM(px) AS DOUBLE)
+                         / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
+                  FROM scoped)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose traded value through NATION_5
-    suppliers exceeds 0.1% of that nation's total — HAVING against an
+    suppliers exceeds TWICE the average part's — HAVING against an
     uncorrelated scalar subquery. ps_availqty·ps_supplycost (absent)
     is stood in by summed extendedprice over the nation's lineitems.
 
@@ -386,7 +388,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     global total is a one-row aggregate cross-joined as a broadcast —
     no second shuffle. Like Q22's average, the scoped frame is scanned
     twice (per-part and total) — at scale persist it; Catalyst won't
-    fuse the two aggregates. Threshold compare: 0.001·total is one
+    fuse the two aggregates. The threshold is share-RELATIVE (2x the
+    scoped mean part value) rather than the original's absolute
+    fraction/SF, so selectivity is stable at every scale factor —
+    the absolute 0.001 form went empty at sf0.1. The compare is one
     double multiply of an exact-decimal-derived value, identical in
     both engines.
     """
@@ -403,10 +408,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = scoped.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum("px").cast("double").alias("part_value")
     )
-    total = scoped.agg(F.sum("px").cast("double").alias("total_value"))
+    total = scoped.agg(
+        (
+            F.sum("px").cast("double")
+            / F.count_distinct(F.col("l_partkey")).cast("double")
+        ).alias("avg_part_value")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("part_value") > 0.001 * F.col("total_value"))
+        .where(F.col("part_value") > 2.0 * F.col("avg_part_value"))
         .select("partkey", "part_value")
     )
 
