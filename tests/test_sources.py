@@ -235,3 +235,51 @@ def test_sorted_shards_are_disjoint_and_sorted(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (boundary key may be shared)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """write_zorder_layout's contract: per-file [min, max] spans stay
+    tight on BOTH z-order columns simultaneously. The comparison that
+    matters: a single-key sorted layout gives perfect spans on its key
+    and ~global spans on the other column; the z-layout must beat the
+    single-key layout's second-dimension spans by a wide margin while
+    staying far under global span on both."""
+    import glob
+
+    from vector_db_core_spark.sources import (
+        load_table,
+        write_sorted_shards,
+        write_zorder_layout,
+    )
+    from tests.conftest import SF_ORACLE
+
+    ev = load_table(spark, SF_ORACLE, "events").select("event_id", "user_id")
+    g = ev.agg(
+        F.max("event_id") - F.min("event_id"),
+        F.max("user_id") - F.min("user_id"),
+    ).collect()[0]
+    global_span = {"event_id": float(g[0]), "user_id": float(g[1])}
+
+    def avg_spans(path):
+        spans = {"event_id": [], "user_id": []}
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            row = spark.read.parquet(f).agg(
+                F.max("event_id") - F.min("event_id"),
+                F.max("user_id") - F.min("user_id"),
+            ).collect()[0]
+            spans["event_id"].append(float(row[0]))
+            spans["user_id"].append(float(row[1]))
+        return {k: sum(v) / len(v) for k, v in spans.items()}
+
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder_layout(ev, zpath, ("event_id", "user_id"), n_shards=16)
+    write_sorted_shards(ev, spath, "event_id", n_shards=16)
+    zspan, sspan = avg_spans(zpath), avg_spans(spath)
+
+    # single-key layout: near-zero span on its key, ~global on the other
+    assert sspan["user_id"] > 0.8 * global_span["user_id"]
+    # z-layout: BOTH dimensions well under global span...
+    assert zspan["event_id"] < 0.5 * global_span["event_id"]
+    assert zspan["user_id"] < 0.5 * global_span["user_id"]
+    # ...and the second dimension beats the single-key layout's 2x+
+    assert zspan["user_id"] * 2 < sspan["user_id"]

@@ -619,3 +619,265 @@ def checksum_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         (F.sum(h48) % F.lit(2147483647)).cast("long").alias("checksum"),
     )
+
+
+# ------------------------------------------------- multi-grain time rollup
+@register(
+    "timeseries_multi_grain_rollup",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_ts,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT day_ts, week_ts, month_ts,
+           CASE WHEN day_ts IS NOT NULL THEN 'day'
+                WHEN week_ts IS NOT NULL THEN 'week'
+                ELSE 'month' END AS grain,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS total_value
+    FROM g
+    GROUP BY GROUPING SETS ((day_ts), (week_ts), (month_ts))
+    """,
+)
+def timeseries_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate / hypertable rollup shape: ONE pass over the
+    event stream materializes day, week, AND month summary series via
+    GROUPING SETS on the three truncated timestamps — the maintenance
+    query behind a time-series dashboard's multiple zoom levels
+    (recomputing each grain separately scans the table three times).
+    The grain label is derivable from which bucket column is non-null
+    because a trunc is never null for a real event.
+
+    100 TB plan: Spark expands the sets BEFORE the shuffle and
+    partially aggregates each, so the exchange carries ~|days| +
+    |weeks| + |months| rows, not 3x the events. Values sum as integer
+    cents (exact at any parallelism); Spark and DuckDB both start
+    weeks on Monday, so bucket boundaries agree.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.date_trunc("week", "ts").alias("week_ts"),
+        F.date_trunc("month", "ts").alias("month_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    grain = (
+        F.when(F.col("day_ts").isNotNull(), "day")
+        .when(F.col("week_ts").isNotNull(), "week")
+        .otherwise("month")
+    )
+    return (
+        ev.groupingSets([["day_ts"], ["week_ts"], ["month_ts"]],
+                        "day_ts", "week_ts", "month_ts")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+        )
+        .select("day_ts", "week_ts", "month_ts", grain.alias("grain"),
+                "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------- last-touch attribution
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) % 10 END
+               AS campaign,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    carried AS (
+      SELECT user_id, ts, event_id, event_type, cents,
+             LAST_VALUE(campaign IGNORE NULLS) OVER w AS last_campaign,
+             LAST_VALUE(click_us IGNORE NULLS) OVER w AS last_click_us
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    attributed AS (
+      SELECT CASE WHEN last_click_us IS NOT NULL
+                   AND epoch_us(ts) - last_click_us <= 604800000000
+                  THEN last_campaign END AS campaign,
+             cents
+      FROM carried WHERE event_type = 'purchase')
+    SELECT campaign,
+           COUNT(*) AS n_purchases,
+           CAST(CAST(SUM(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS attributed_value
+    FROM attributed GROUP BY campaign
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: every purchase is credited to
+    the same user's most recent click within a 7-day lookback (campaign
+    = the click's props.k mod 10; purchases with no qualifying click
+    fall into the NULL 'direct' bucket), then conversion value rolls up
+    per campaign.
+
+    Built as the UNION + carry-forward window — clicks and purchases
+    interleave in one per-user ordered stream and LAST_VALUE(ignore
+    nulls) carries the latest click's (campaign, ts) onto each
+    purchase — NOT as a purchase x click range join, which fans out
+    per pair and re-shuffles both sides. One user_id exchange total;
+    ties at identical ts break by event_id, and the lookback compares
+    integer microseconds, so attribution is deterministic everywhere.
+
+    100 TB: the window state is two scalars per user stream; the
+    final rollup groups on an 11-value key.
+    """
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    campaign = F.when(
+        F.col("event_type") == "click",
+        F.get_json_object("props", "$.k").cast("long") % 10,
+    )
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    tagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        campaign.alias("campaign"),
+        click_us.alias("click_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.select(
+        "event_type", "cents", "ts",
+        F.last("campaign", ignorenulls=True).over(w).alias("last_campaign"),
+        F.last("click_us", ignorenulls=True).over(w).alias("last_click_us"),
+    )
+    attributed = carried.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_click_us").isNotNull()
+            & ((F.unix_micros("ts") - F.col("last_click_us")) <= 604_800_000_000),
+            F.col("last_campaign"),
+        ).alias("campaign"),
+        "cents",
+    )
+    return attributed.groupBy("campaign").agg(
+        F.count("*").alias("n_purchases"),
+        (F.sum("cents").cast("double") / 100.0).alias("attributed_value"),
+    )
+
+
+# --------------------------------------------- incremental aggregate merge
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view incremental maintenance: the base period's
+    PERSISTED aggregate state (orders before 2000) merges with the new
+    delta period's state (2000 onward) WITHOUT rescanning the base —
+    count adds, decimal sums add, min/max fold — and the oracle proves
+    the merged panel equals a from-scratch aggregate over everything.
+    This is the mergeable-state algebra every warehouse's incremental
+    rollup relies on; the query demonstrates it end-to-end by
+    computing the two periods' states independently and combining
+    them with a second-level aggregate.
+
+    100 TB: the point of the pattern — a daily refresh aggregates ONLY
+    the new partition (the base state is a few rows per group read
+    back from the last refresh), turning an O(history) scan into
+    O(delta). Decimal sums make the merge exact, so the incremental
+    result is bit-identical to the recompute, not approximately equal.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice", "o_orderdate")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"),
+            F.sum(dec("o_totalprice")).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = state(o.where(F.col("o_orderdate") < cutoff))
+    delta = state(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("double").alias("total_price"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+    )
+
+
+# ------------------------------------------------------- key-skew profiler
+@register(
+    "profile_lineitem_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+    ranked AS (
+      SELECT l_suppkey, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey) AS rnk,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, l_suppkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS DOUBLE) AS cum_cnt
+      FROM counts)
+    SELECT CAST(rnk AS INT) AS rnk, l_suppkey, cnt,
+           100.0 * CAST(cnt AS DOUBLE) / total AS share_pct,
+           100.0 * cum_cnt / total AS cum_share_pct
+    FROM ranked CROSS JOIN tot
+    WHERE rnk <= 20
+    """,
+)
+def profile_lineitem_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew profiler: the 20 heaviest l_suppkey values
+    with their individual and cumulative share of the table — the
+    diagnostic that decides BEFORE a big join whether a key needs
+    salting (functions/skew.py) or AQE skew-join handling, and how
+    many salt buckets the head of the distribution warrants.
+
+    100 TB plan: one map-side-combined aggregate to |keys| rows; the
+    ranking window and cumulative sum run over the aggregated counts
+    (the global ORDER BY is over key-count rows, not data, and at
+    scale you'd cap it with a top-k heap first). Shares divide exact
+    integer counts in DOUBLE — identical bits in both engines.
+    """
+    counts = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    w = W.orderBy(F.col("cnt").desc(), "l_suppkey")
+    ranked = counts.select(
+        "l_suppkey",
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("cum_cnt"),
+    )
+    return (
+        ranked.where(F.col("rnk") <= 20)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "l_suppkey",
+            "cnt",
+            (F.lit(100.0) * F.col("cnt").cast("double") / F.col("total")).alias("share_pct"),
+            (F.lit(100.0) * F.col("cum_cnt") / F.col("total")).alias("cum_share_pct"),
+        )
+    )

@@ -7,7 +7,8 @@ from vector_db_core_spark.sources.loaders import (
     read_any,
     write_any,
     write_sorted_shards,
+    write_zorder_layout,
     register_views,
 )
 
-__all__ = ["TABLES", "init_session", "load_table", "load_all", "read_any", "write_any", "write_sorted_shards", "register_views", "load_media_dir"]
+__all__ = ["TABLES", "init_session", "load_table", "load_all", "read_any", "write_any", "write_sorted_shards", "write_zorder_layout", "register_views", "load_media_dir"]

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -212,6 +212,75 @@ def write_sorted_shards(
     (
         df.repartitionByRange(n_shards, *cols)
         .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .format(fmt)
+        .options(**options)
+        .save(path)
+    )
+
+
+def _spread_bits16(x: Column) -> Column:
+    """Spread a 16-bit value's bits to even positions (0b1101 ->
+    0b1010001, each source bit followed by a 0) — the standard
+    mask-and-shift ladder, all JVM-side integer ops inside codegen."""
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_shards: int,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Z-order (Morton-curve) shard layout over TWO numeric columns —
+    the multi-dimensional generalization of ``write_sorted_shards``:
+    each column is quantized to 16 bits between its min and max, the
+    bits interleave into one z-value, and shards range-partition +
+    sort on it. Points close in BOTH dimensions land in the same or
+    adjacent shards, so parquet min/max row-group stats stay tight on
+    BOTH columns at once — a single-key sort gives perfect pruning on
+    its key and none on the second dimension (the contract test
+    measures exactly this difference).
+
+    This is the layout maintenance op behind "OPTIMIZE ... ZORDER BY"
+    in lakehouse engines, here as a plain function over any DataFrame.
+    Quantization is uniform-width from a one-row min/max aggregate
+    (one cheap pre-pass); for heavily skewed columns substitute
+    quantile boundaries for width_bucket — the interleave is
+    unchanged. All arithmetic is codegen'd integer math; the only
+    data movement is the single range exchange every total-order
+    layout needs.
+
+    Like ``write_sorted_shards``, deliberately NOT a registered query:
+    shard assignment depends on sampled range boundaries; the pruning
+    CONTRACT is what tests pin (tests/test_sources.py).
+    """
+    c1, c2 = cols
+    bounds = df.agg(
+        F.min(c1).alias("min1"), F.max(c1).alias("max1"),
+        F.min(c2).alias("min2"), F.max(c2).alias("max2"),
+    ).collect()[0]
+
+    def bucket16(c: str, lo, hi) -> Column:
+        span = float(hi - lo) or 1.0
+        scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * 65535.0
+        return F.least(F.greatest(F.round(scaled, 0).cast("long"), F.lit(0)), F.lit(65535))
+
+    z = _spread_bits16(bucket16(c1, bounds.min1, bounds.max1)).bitwiseOR(
+        F.shiftleft(_spread_bits16(bucket16(c2, bounds.min2, bounds.max2)), 1)
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_shards, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode(mode)
         .format(fmt)
         .options(**options)
