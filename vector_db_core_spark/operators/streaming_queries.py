@@ -283,3 +283,65 @@ def streaming_static_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "stream_replay_static_join", root, "complete")
     return spark.table("stream_replay_static_join")
+
+
+@register(
+    "streaming_interval_left_outer_replay",
+    oracle="""
+    WITH co AS (SELECT MAX(ts) - INTERVAL '10 hours' AS cutoff FROM events),
+    l AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'click' AND ts <= (SELECT cutoff FROM co)),
+    r AS (SELECT user_id AS r_user, ts AS r_ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT l.user_id, l.ts AS first_ts, r.r_ts AS followup_ts
+    FROM l LEFT JOIN r
+      ON l.user_id = r.r_user
+     AND r.r_ts >= l.ts AND r.r_ts <= l.ts + INTERVAL '1 hour'
+    """,
+)
+def streaming_interval_left_outer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the join class whose
+    outer rows are WATERMARK-DRIVEN: a click with no purchase within
+    1h emits (click, NULL) only once the right-side watermark proves
+    no in-horizon match can still arrive, i.e. once it passes
+    click.ts + 1h. Inner matches emit as they form, exactly like the
+    inner replay.
+
+    Replay determinism needs one extra care the inner join doesn't:
+    at end-of-stream the final watermark rests at max(ts) − 2h
+    (the watermark delay), so unmatched clicks NEWER than
+    max(ts) − (delay + interval) sit in state forever with their NULL
+    row unemitted — nondeterministic against a batch LEFT JOIN. The
+    replay therefore pre-filters the left stream to clicks at least
+    4h (delay + interval + 1h slack) before the fixture's max
+    timestamp — the same cutoff the oracle applies — making the
+    emitted set exactly the batch answer. A production stream has no
+    such cutoff; its trailing outer rows simply emit later, when the
+    watermark catches up. State bounds are identical to the inner
+    variant: left rows evict once no in-horizon right row can match.
+    """
+    # the cutoff literal comes from a batch max over the same staged
+    # fixture — replay setup work (like the landing-dir write), not
+    # part of the streamed plan
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.agg(F.max("ts").alias("m")).collect()[0].m - __import__(
+        "datetime"
+    ).timedelta(hours=10)
+    stream, root = _replay_events(spark, sf_dir, "ivouter")
+    clicks = stream.where(F.col("event_type") == "click")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    joined = interval_join_followups(
+        clicks, purchases, key="user_id", within="1 hour",
+        watermark="2 hours", how="left_outer",
+    )
+    # the cutoff applies AFTER the join, not to the click stream:
+    # filtering the left input would shrink ITS watermark to
+    # cutoff - delay (watermarks are per-input-stream maxima), pulling
+    # the global watermark down with it and re-creating the trailing
+    # unemitted-NULL window immediately below the cutoff (observed:
+    # eviction stops at left_max - delay - interval, wherever left_max
+    # is). A stateless post-join filter leaves the watermark at the
+    # full stream's pace.
+    result = joined.where(F.col("first_ts") <= F.lit(cutoff))
+    _run_to_memory(result, "stream_replay_interval_outer", root, "append")
+    return spark.table("stream_replay_interval_outer")

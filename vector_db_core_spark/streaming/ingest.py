@@ -270,10 +270,16 @@ def interval_join_followups(
     right_ts: str = "ts",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each right-side event paired with
     every left-side event of the same ``key`` it followed within
     ``within`` (e.g. purchases after clicks — the attribution join).
+    ``how="left_outer"`` additionally emits (left, NULL) once the right
+    watermark passes ``left_ts + within`` — i.e. once the engine can
+    PROVE no match will ever arrive; outer emission timing is therefore
+    watermark-driven, which is why outer results near the head of an
+    unbounded stream lag by the watermark delay.
     Works identically on batch frames (watermarks are no-ops) and on
     two streams, where the pair (watermark, time-range predicate) is
     what BOUNDS the join state: Spark keeps a left row only until
@@ -297,7 +303,7 @@ def interval_join_followups(
         F.expr(
             f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
         ),
-        "inner",
+        how,
     ).select(
         F.col("l_key").alias(key),
         F.col("l_ts").alias("first_ts"),
