@@ -130,3 +130,27 @@ def test_approx_percentile_close_to_exact(spark):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(float(a) - float(e)) / float(e) < 0.01, (k, a, e)
+
+
+def test_pagerank_invariants(spark):
+    """graph_pagerank_parts is rows-only (float accumulation is not
+    hash-comparable); pin the algorithm's invariants instead: top-20
+    rows come back ranked descending, every rank is positive, and the
+    FULL rank vector conserves probability mass (the un-limited sum
+    over all nodes is ~1 — damping redistributes, never creates)."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark.operators import QUERIES
+
+    top = QUERIES["graph_pagerank_parts"](spark, SF_ORACLE).collect()
+    assert len(top) == 20
+    ranks = [r.rank for r in top]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 0 for r in ranks)
+    # mass conservation on the FULL vector: damping redistributes
+    # probability, never creates it
+    from vector_db_core_spark.operators.analytics import pagerank_parts_full
+
+    total = pagerank_parts_full(spark, SF_ORACLE).agg(
+        F.sum("rank").alias("s")
+    ).collect()[0].s
+    assert abs(total - 1.0) < 1e-6

@@ -881,3 +881,85 @@ def profile_lineitem_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(100.0) * F.col("cum_cnt") / F.col("total")).alias("cum_share_pct"),
         )
     )
+
+
+# ------------------------------------------------------------- PageRank
+def pagerank_parts_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PageRank vector over the part co-purchase graph — the iterative graph
+    centrality the catalog's connected-components op doesn't cover
+    (weighted propagation, not label spreading). Nodes are parts;
+    an undirected edge weighted by co-order count links parts bought
+    together (same basket construction as assoc_part_pairs_in_orders:
+    per-order distinct-part sets, basket size capped 2..20 to bound
+    the quadratic fanout). 10 damped power iterations (d=0.85),
+    uniform init, per-node out-weight normalization.
+
+    Rows-only by necessity: rank mass is accumulated in floating
+    point, so per-node sums are order-dependent in the last ulp and
+    not hash-comparable across engines; the behavioral pytest pins
+    the invariants instead (total mass conservation, iteration-count
+    convergence, rows == node count).
+
+    100 TB plan: each iteration is one join of ranks (|nodes| rows)
+    against the STATIC edge list on src plus one groupBy on dst —
+    both shuffles key on node id, and the edge list is persisted once
+    and reused by all iterations. Ranks are checkpointed (persist +
+    count) every few iterations so the lineage — and with it the
+    scheduler's plan — stays shallow instead of growing 10 joins
+    deep; at cluster scale use localCheckpoint/checkpoint to truncate
+    lineage entirely.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .where(F.size("parts").between(2, 20))
+    )
+    pairs = baskets.select(
+        F.explode("parts").alias("a"), F.col("parts").alias("parts")
+    ).select("a", F.explode("parts").alias("b")).where(F.col("a") != F.col("b"))
+    edges = (
+        pairs.groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+        .persist()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm_edges = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    ).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    d = 0.85
+    for i in range(10):
+        contribs = (
+            norm_edges.join(ranks, F.col("src") == F.col("node"))
+            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if i % 3 == 2:  # keep lineage shallow (see docstring)
+            ranks = ranks.persist()
+            ranks.count()
+    return ranks
+
+
+@register("graph_pagerank_parts")  # rows-only: float power iteration
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PageRank (see ``pagerank_parts_full`` for the
+    algorithm and the 100 TB iteration plan) — the registered rows-only
+    view; the behavioral pytest checks mass conservation on the full
+    vector and ordering here."""
+    full = pagerank_parts_full(spark, sf_dir)
+    return full.orderBy(F.col("rank").desc(), "node").limit(20)

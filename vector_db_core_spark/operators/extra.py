@@ -1656,3 +1656,49 @@ def timeseries_locf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH q AS (SELECT quantile_cont(o_totalprice,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+               FROM orders)
+    SELECT CAST(len(list_filter(qs, b -> o_totalprice > b)) AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders, q GROUP BY 1
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (10 deciles) of order totals — the
+    complement of ``agg_histogram_price_bins``'s equi-width bins and
+    the statistic optimizers actually keep (equal row counts per
+    bucket resolve skewed distributions where fixed-width bins put 90%
+    of rows in one bin). Boundaries are the exact global deciles,
+    computed once and broadcast; each row's bucket = how many
+    boundaries it exceeds — pure comparisons against bit-identical
+    thresholds (Spark ``percentile`` == DuckDB ``quantile_cont``, the
+    pinned contract), so bucket edges agree exactly in both engines.
+
+    100 TB: swap the boundary subquery to ``approx_percentile`` (the
+    same exact/approx twin policy as ``pipeline_curriculum_phases``);
+    the per-row bucketing and the 10-group aggregate are unchanged.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    q = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("qs")
+    )
+    bucket = F.size(F.filter("qs", lambda b: F.col("o_totalprice") > b)).cast("int")
+    return (
+        o.crossJoin(F.broadcast(q))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
