@@ -42,11 +42,18 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: agg_boolean_filtered, agg_collect_sorted_sets, text_vocabulary_topn,
 #: text_boilerplate_phrases, join_broadcast_brand_volume (benched
 #: every round in bench.py).
-#: Round-5 rotation backlog: after r4's run, 46 oracled queries will
+#: Round-5 rotation backlog: after r4's run, 56 oracled queries will
 #: still never have earned a driver hash row — the 13 left out of the
-#: r3+r4 windows plus the 20 earlier round-4 additions plus the 13
+#: r3+r4 windows, the 20 earlier round-4 additions, the 13
 #: late-round-4 TPC-H round-out shapes (warehouse.py: q2/q4/q8/q9/q10/
-#: q11/q12/q14/q15/q16/q19/q20/q21). Recompute the exact list with:
+#: q11/q12/q14/q15/q16/q19/q20/q21), and the 10 post-rotation
+#: additions (scd2_user_event_intervals, checksum_orders_table,
+#: pipeline_kfold_assign, timeseries_multi_grain_rollup,
+#: attribution_last_touch, agg_incremental_merge,
+#: profile_lineitem_key_skew, agg_equidepth_histogram,
+#: streaming_interval_left_outer_replay, and any later ones — recount
+#: at rotation time). The window holds 50 slots, so r5 covers 50 of
+#: these and r6 mops up the rest. Recompute the exact list with:
 #:   covered = {r3 hash_match green} | set(DRIVER_WINDOW_r4)
 #:   backlog = [n for n in ORACLE if n not in covered]
 #: (the 33 pre-TPC-H names as of 2026-08-14: topk_orders_by_price,
