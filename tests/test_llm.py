@@ -642,3 +642,21 @@ def test_incremental_minhash_no_cartesian_and_cross_side_only(spark):
     for r in rows:
         assert r.batch_doc_id % 10 == 0
         assert r.corpus_doc_id % 10 != 0
+
+
+def test_pq_codes_determinism_and_quality(spark):
+    """sim_pq_codes is rows-only; pin its contract: 8 codes per vector
+    each in [0,16), bit-identical codes across two runs (seeded
+    codebooks + deterministic assignment), and a reconstruction
+    cosine floor — 8x16-centroid PQ must beat 0.55 mean on this
+    fixture (measured ~0.65+; random guessing sits near 0)."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark.operators import QUERIES
+
+    a = QUERIES["sim_pq_codes"](spark, SF_ORACLE).orderBy("vec_id").collect()
+    assert all(len(r.codes) == 8 for r in a)
+    assert all(0 <= c < 16 for r in a for c in r.codes)
+    mean_cos = sum(r.recon_cosine for r in a) / len(a)
+    assert mean_cos > 0.55, mean_cos
+    b = QUERIES["sim_pq_codes"](spark, SF_ORACLE).orderBy("vec_id").collect()
+    assert [r.codes for r in a] == [r.codes for r in b]

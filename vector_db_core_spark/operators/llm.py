@@ -2018,3 +2018,86 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("tf_vector")
     )
+
+
+def _train_pq_codebooks(sample, n_blocks: int, k: int, iters: int = 12):
+    """Seeded Lloyd's k-means per sub-block over a driver-side numpy
+    sample — PQ codebooks are a tiny model (blocks x k x subdim
+    floats) and ALWAYS train on a bounded sample, even at 100 TB;
+    only assignment is distributed. Returns (blocks, k, subdim)."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    n, dim = x.shape
+    subdim = dim // n_blocks
+    rng = np.random.default_rng(42)
+    books = []
+    for b in range(n_blocks):
+        xb = x[:, b * subdim : (b + 1) * subdim]
+        cents = xb[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    cents[c] = xb[m].mean(axis=0)
+        books.append(cents)
+    return np.stack(books)  # (n_blocks, k, subdim)
+
+
+@register("sim_pq_codes")  # rows-only: float k-means, no DuckDB analog
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the compression half of an IVF-PQ index
+    (the catalog's IVF op is the partition half): the 64-d embedding
+    splits into 8 sub-blocks of 8 dims, each block vector-quantized
+    against its own 16-centroid codebook, so a 256-byte float32 vector
+    becomes 8 code bytes (32x) plus a shared codebook. Returns each
+    vector's code word and its reconstruction cosine — the quality
+    number an index maintainer monitors.
+
+    100 TB plan: codebooks train on a seeded bounded sample on the
+    driver (a few thousand rows — the universal PQ recipe; the model
+    is 8x16x8 floats) and broadcast inside an Arrow-batched
+    ``pandas_udf`` that assigns all 8 codes per vector with one
+    vectorized distance computation per block — map-only, no shuffle,
+    no per-row Python. Rows-only by necessity (k-means float
+    arithmetic has no DuckDB analog); the behavioral pytest pins code
+    range/width, determinism under the fixed seed, and a
+    reconstruction-quality floor.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sample = [r.v for r in e.orderBy("vec_id").limit(2048).collect()]
+    books = _train_pq_codebooks(sample, n_blocks=8, k=16)
+    bbooks = spark.sparkContext.broadcast(books)
+
+    @pandas_udf("struct<codes: array<int>, recon_cosine: double>")
+    def _encode(vs):
+        import pandas as pd
+
+        cb = bbooks.value  # (blocks, k, subdim)
+        nb, k, sd = cb.shape
+        x = np.stack(vs.to_numpy())  # (n, dim)
+        n = x.shape[0]
+        xb = x.reshape(n, nb, sd)
+        # distances: (n, blocks, k)
+        d2 = ((xb[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2)  # (n, blocks)
+        recon = cb[np.arange(nb)[None, :], codes].reshape(n, nb * sd)
+        num = (x * recon).sum(axis=1)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(recon, axis=1)
+        cos = np.where(den > 0, num / np.maximum(den, 1e-30), 0.0)
+        return pd.DataFrame({
+            "codes": [c.astype("int32").tolist() for c in codes],
+            "recon_cosine": cos,
+        })
+
+    return e.select(
+        "vec_id",
+        _encode("v").alias("pq"),
+    ).select("vec_id", F.col("pq.codes").alias("codes"), F.col("pq.recon_cosine").alias("recon_cosine"))
