@@ -351,3 +351,28 @@ def test_cross_process_writer_lock_blocks(spark, tmp_path):
     holder.wait(timeout=30)
     assert elapsed >= 2.5, f"pushx did not wait for the flock ({elapsed:.1f}s)"
     assert store.count() == 2
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """snapshot(n) reproduces the exact historical state at length n:
+    append twice, snapshot at the first commit point, get the first
+    batch bit-for-bit; out-of-range lengths (never-existed states)
+    raise; the predicate is pushed to the scan like any rowid range."""
+    from vector_db_core_spark.store import OrdinalStore
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT, b STRING")
+    store.pushx([{"a": i, "b": f"v{i}"} for i in range(100)])
+    cut = store.count()
+    store.pushx([{"a": i, "b": f"w{i}"} for i in range(100, 250)])
+    snap = store.snapshot(cut)
+    assert snap.count() == 100
+    assert [r.a for r in snap.collect()] == list(range(100))
+    assert store.count() == 250
+    plan = snap._jdf.queryExecution().explainString(
+        snap._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "LessThan(rowid,100)" in plan  # pushed to the parquet scan
+    import pytest
+
+    with pytest.raises(IndexError):
+        store.snapshot(251)

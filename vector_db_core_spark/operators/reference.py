@@ -80,3 +80,22 @@ def ref_getall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ref_out_of_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7 `get` past the end: empty result, not a panic (vector_engine.rs:33-39)."""
     return load_table(spark, sf_dir, "events").where(F.col("event_id") == 999999999)
+
+
+@register(
+    "ref_snapshot_asof",
+    oracle="SELECT * FROM events WHERE event_id < 5000",
+)
+def ref_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot / time-travel read (``OrdinalStore.snapshot``): the
+    store exactly as it was when it held 5000 rows. Append-only +
+    dense monotone ordinals means a historical LENGTH fully identifies
+    a historical STATE, so version reads are a pushed-down
+    ``rowid < n`` range — the capability a lakehouse table format
+    implements with version manifests, free here by construction.
+    [EXT] beyond the reference: its length header
+    (vector_engine.rs:92-94) already IS the version number, but the
+    Rust store exposes no as-of read; SURVEY §1.4 notes its readers
+    always chase the live header.
+    """
+    return load_table(spark, sf_dir, "events").where(F.col("event_id") < 5000)

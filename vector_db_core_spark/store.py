@@ -482,3 +482,29 @@ class OrdinalStore:
         """
         df = self._df()
         return df.orderBy(ROWID) if ordered else df
+
+    def snapshot(self, as_of_count: int, ordered: bool = True) -> DataFrame:
+        """Time-travel read: the store exactly as it was when it held
+        ``as_of_count`` rows. Append-only storage makes snapshots free
+        — a historical LENGTH fully identifies a historical STATE
+        (rows never mutate, ordinals are dense and monotone), so the
+        snapshot is just the pushed-down range predicate
+        ``rowid < as_of_count``. This is the ordinal-store analog of
+        a lakehouse table-format's version read, with the length
+        header (vector_engine.rs:92-94's persisted count) playing the
+        version number; callers record ``count()`` at any commit
+        point and can reproduce that exact view forever — pipeline
+        re-runs against the corpus "as of" a training run's cut.
+
+        Bounds: ``as_of_count`` beyond the current length raises
+        (that state never existed); ``compact()`` preserves rowids,
+        so snapshots survive compaction.
+        """
+        n = self.count()
+        if not 0 <= as_of_count <= n:
+            raise IndexError(
+                f"snapshot({as_of_count}) out of range: store has ever held "
+                f"only lengths 0..{n}"
+            )
+        df = self._df().where(F.col(ROWID) < as_of_count)
+        return df.orderBy(ROWID) if ordered else df
