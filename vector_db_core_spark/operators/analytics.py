@@ -963,3 +963,54 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector and ordering here."""
     full = pagerank_parts_full(spark, sf_dir)
     return full.orderBy(F.col("rank").desc(), "node").limit(20)
+
+
+# -------------------------------------------------------- active users panel
+@register(
+    "timeseries_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+            FROM days d JOIN ud u
+              ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+            GROUP BY d.day),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+    SELECT dau.day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def timeseries_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU panel — daily active users and trailing-7-day active
+    users per day, the product-analytics staple whose WAU half is a
+    ROLLING DISTINCT count (not sum-decomposable, so no window frame
+    computes it directly).
+
+    Spark-first formulation: collapse events to distinct (user, day)
+    once, then let each user-day CONTRIBUTE FORWARD to the 7 days it
+    keeps the user "weekly active" for (a codegen'd ``sequence`` +
+    ``explode`` — bounded 7x fanout of already-collapsed rows), and
+    count distinct users per target day. This replaces the oracle's
+    day x user-day range join — which Spark can only plan as a
+    broadcast-nested-loop over the day spine — with one equi-key
+    aggregate; the fanout factor IS the window length, so MAU costs
+    28x user-days, never a rescan. Target days trim to observed days
+    by a broadcast semi join (the fixture's last days would otherwise
+    project phantom future panel rows).
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    targets = ud.select(
+        F.explode(
+            F.expr("sequence(day, day + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("day"),
+        "user_id",
+    ).join(F.broadcast(days), "day", "left_semi")
+    wau = targets.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")
