@@ -1014,3 +1014,92 @@ def timeseries_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(days), "day", "left_semi")
     wau = targets.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+# --------------------------------------------------- data-quality contract
+@register(
+    "quality_expectations_orders",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_price,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_pk,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+             SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS bad_status,
+             SUM(CASE WHEN o_orderdate <  TIMESTAMP '1990-01-01 00:00:00'
+                        OR o_orderdate >= TIMESTAMP '2010-01-01 00:00:00'
+                      THEN 1 ELSE 0 END) AS date_oob
+      FROM orders),
+    fk AS (
+      SELECT COUNT(*) AS orphans
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      WHERE c_custkey IS NULL)
+    SELECT chk.check_name, CAST(chk.n_checked AS BIGINT) AS n_checked,
+           CAST(chk.n_violations AS BIGINT) AS n_violations
+    FROM base, fk,
+    LATERAL (VALUES
+      ('pk_unique_orderkey', base.n, base.dup_pk),
+      ('fk_custkey_in_customer', base.n, fk.orphans),
+      ('not_null_totalprice', base.n, base.null_price),
+      ('totalprice_positive', base.n, base.nonpos_price),
+      ('status_in_domain', base.n, base.bad_status),
+      ('orderdate_in_bounds', base.n, base.date_oob)
+    ) AS chk(check_name, n_checked, n_violations)
+    """,
+)
+def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation: the expectation suite a pipeline runs
+    before promoting a batch — primary-key uniqueness, referential
+    integrity into customer, null/positivity/domain/date-bounds checks
+    — emitted as one tall (check, n_checked, n_violations) report
+    instead of N assert queries.
+
+    100 TB plan: every intra-table check folds into ONE aggregate
+    pass over orders (CASE sums + a countDistinct — no per-check
+    rescan); the FK check is the only join, a key-wise anti
+    (LEFT JOIN ... IS NULL ≡ anti join, null-safe because the fixture
+    keys are non-null); the tall shape comes from exploding a
+    6-element literal array over the two one-row frames — rows moved:
+    seven. Violation counts are exact integers, so a zero really is
+    a zero.
+    """
+    o = _t(spark, sf_dir, "orders")
+    base = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_price"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_pk"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01 00:00:00").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01 00:00:00").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("date_oob"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    fk = (
+        o.join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+    checks = F.array(
+        F.struct(F.lit("pk_unique_orderkey").alias("check_name"), F.col("dup_pk").alias("v")),
+        F.struct(F.lit("fk_custkey_in_customer").alias("check_name"), F.col("orphans").alias("v")),
+        F.struct(F.lit("not_null_totalprice").alias("check_name"), F.col("null_price").alias("v")),
+        F.struct(F.lit("totalprice_positive").alias("check_name"), F.col("nonpos_price").alias("v")),
+        F.struct(F.lit("status_in_domain").alias("check_name"), F.col("bad_status").alias("v")),
+        F.struct(F.lit("orderdate_in_bounds").alias("check_name"), F.col("date_oob").alias("v")),
+    )
+    return (
+        base.crossJoin(F.broadcast(fk))
+        .select(F.col("n"), F.explode(checks).alias("c"))
+        .select(
+            F.col("c.check_name").alias("check_name"),
+            F.col("n").cast("long").alias("n_checked"),
+            F.col("c.v").cast("long").alias("n_violations"),
+        )
+    )
