@@ -345,3 +345,48 @@ def streaming_interval_left_outer_replay(spark: SparkSession, sf_dir: str) -> Da
     result = joined.where(F.col("first_ts") <= F.lit(cutoff))
     _run_to_memory(result, "stream_replay_interval_outer", root, "append")
     return spark.table("stream_replay_interval_outer")
+
+
+@register(
+    "streaming_append_window_replay",
+    oracle="""
+    WITH co AS (SELECT MAX(ts) - INTERVAL '24 hours' AS cutoff FROM events)
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events, co
+    WHERE time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' <= cutoff
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_append_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window counts in APPEND output mode — the production
+    emission discipline the complete-mode replays deliberately sidestep
+    (the round-3 watch-list item): each window row is emitted ONCE,
+    immutable, when the watermark passes its end and the engine evicts
+    its state — the only mode whose state and output stay bounded on an
+    unbounded stream. The complete-mode twins re-emit the whole result
+    set every batch, which is correctness-scale-only.
+
+    Replay determinism: at end-of-stream the watermark rests at
+    max(ts) − 12h (the configured delay), so only windows closing
+    before that are guaranteed emitted; both the emitted table and the
+    oracle are cut at max(ts) − 24h (delay + 2 windows of slack), the
+    same trailing-cutoff trick as the left-outer join replay — inside
+    the cut, append-mode output must equal the batch aggregate
+    exactly, which is what the hash proves.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.agg(F.max("ts").alias("m")).collect()[0].m - __import__(
+        "datetime"
+    ).timedelta(hours=24)
+    stream, root = _replay_events(spark, sf_dir, "appwin")
+    agg = windowed_event_counts(stream, window="6 hours", watermark="12 hours")
+    _run_to_memory(agg, "stream_replay_append_window", root, "append")
+    return (
+        spark.table("stream_replay_append_window")
+        .where(F.col("window_end") <= F.lit(cutoff))
+        .select("window_start", "window_end", "event_type", "n_events", "total_value")
+    )
