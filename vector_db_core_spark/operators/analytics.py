@@ -1103,3 +1103,75 @@ def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.v").cast("long").alias("n_violations"),
         )
     )
+
+
+# ------------------------------------------------------- robust statistics
+@register(
+    "agg_mad_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag),
+    dev AS (
+      SELECT l.l_returnflag, l.l_extendedprice,
+             m.med, abs(l.l_extendedprice - m.med) AS adev
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag)
+    SELECT d.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(d.med) AS median_price,
+           MAX(ma.mad) AS mad,
+           CAST(SUM(CASE WHEN abs(d.l_extendedprice - d.med)
+                              > 3.0 * 1.4826 * ma.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ma ON d.l_returnflag = ma.l_returnflag
+    GROUP BY d.l_returnflag
+    """,
+)
+def agg_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    estimator that survives the heavy tails that wreck mean/stddev
+    z-scores (the catalog's ``window_zscore_outliers`` is the
+    non-robust twin): per return flag, the median price, the MAD, and
+    how many rows sit beyond 3 robust sigmas (1.4826·MAD ≈ σ under
+    normality).
+
+    Hash-exactness without decimal sums: every number here comes from
+    exact percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    the pinned interpolation contract), per-row IEEE arithmetic on
+    identical inputs, and integer counts — nothing accumulates in
+    floating point, so no ordering sensitivity exists to begin with.
+
+    100 TB plan: two grouped exact-percentile passes (sort-based — at
+    scale swap ``approx_percentile``, same shape) with the 3-row
+    median/MAD tables broadcast back between them; the outlier count
+    rides the second pass's CASE sum. Three scans of the filtered
+    column, zero wide shuffles.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.percentile("adev", 0.5).alias("mad"))
+    out = (
+        F.abs(F.col("l_extendedprice") - F.col("med"))
+        > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("med").alias("median_price"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+    )
