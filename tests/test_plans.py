@@ -576,3 +576,12 @@ def test_checksum_is_map_plus_single_row_agg(spark):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, plan
     assert "SinglePartition" in plan
+
+
+def test_key_skew_profiler_heaps_before_window(spark):
+    """The skew profiler must take its top-20 with per-partition heaps
+    (TakeOrderedAndProject) BEFORE the rank/cumsum window — a global
+    window over the full key-count table would funnel a billion-key
+    keyspace through one task at 100 TB."""
+    plan = _plan(QUERIES["profile_lineitem_key_skew"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan

@@ -849,10 +849,13 @@ def profile_lineitem_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting (functions/skew.py) or AQE skew-join handling, and how
     many salt buckets the head of the distribution warrants.
 
-    100 TB plan: one map-side-combined aggregate to |keys| rows; the
-    ranking window and cumulative sum run over the aggregated counts
-    (the global ORDER BY is over key-count rows, not data, and at
-    scale you'd cap it with a top-k heap first). Shares divide exact
+    100 TB plan: one map-side-combined aggregate to |keys| rows, then
+    the TOP-20 HEAP FIRST (TakeOrderedAndProject — per-partition
+    heaps, never a global sort of the key-count table, whose keyspace
+    can be billions) and only then the rank/cumulative window, over
+    exactly 20 rows. The cumulative share among the top-20 equals the
+    cumulative share over all keys because the heap keeps precisely
+    the heaviest prefix of the window's order. Shares divide exact
     integer counts in DOUBLE — identical bits in both engines.
     """
     counts = (
@@ -861,8 +864,9 @@ def profile_lineitem_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    top = counts.orderBy(F.col("cnt").desc(), "l_suppkey").limit(20)
     w = W.orderBy(F.col("cnt").desc(), "l_suppkey")
-    ranked = counts.select(
+    ranked = top.select(
         "l_suppkey",
         "cnt",
         F.row_number().over(w).alias("rnk"),
@@ -870,16 +874,12 @@ def profile_lineitem_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cum_cnt"),
     )
-    return (
-        ranked.where(F.col("rnk") <= 20)
-        .crossJoin(F.broadcast(total))
-        .select(
-            F.col("rnk").cast("int").alias("rnk"),
-            "l_suppkey",
-            "cnt",
-            (F.lit(100.0) * F.col("cnt").cast("double") / F.col("total")).alias("share_pct"),
-            (F.lit(100.0) * F.col("cum_cnt") / F.col("total")).alias("cum_share_pct"),
-        )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "l_suppkey",
+        "cnt",
+        (F.lit(100.0) * F.col("cnt").cast("double") / F.col("total")).alias("share_pct"),
+        (F.lit(100.0) * F.col("cum_cnt") / F.col("total")).alias("cum_share_pct"),
     )
 
 
