@@ -376,3 +376,20 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     with pytest.raises(IndexError):
         store.snapshot(251)
+
+
+def test_snapshot_survives_compaction(spark, tmp_path):
+    """snapshot(n)'s claim that compaction preserves historical states:
+    rewrite the store's file layout, then read the pre-compaction
+    commit point — identical rows, because compact() preserves rowids
+    and snapshots are pure rowid ranges."""
+    from vector_db_core_spark.store import OrdinalStore
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT, b STRING")
+    for batch in range(5):
+        store.pushx([{"a": batch * 50 + i, "b": f"r{batch}_{i}"} for i in range(50)])
+    cut = 120
+    before = [(r.a, r.b) for r in store.snapshot(cut).collect()]
+    store.compact(n_files=2)
+    after = [(r.a, r.b) for r in store.snapshot(cut).collect()]
+    assert before == after and len(after) == cut
