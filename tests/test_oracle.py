@@ -47,6 +47,10 @@ def test_entry_smoke(spark):
     "text_unigram_logprob",      # decimal-cast ln sums
     "agg_higher_moments",        # exact integer power sums
     "pipeline_curriculum_phases",  # exact global percentile thresholds
+    "q9_product_type_profit",    # two decimal sums subtracted in double
+    "agg_incremental_merge",     # base+delta mergeable-state algebra
+    "checksum_orders_table",     # DECIMAL(38,0) hash-fold accumulation
+    "agg_mad_robust_outliers",   # exact-percentile-derived robust stats
 ])
 def test_results_partition_independent(name, spark):
     """The exact-arithmetic policy's real claim: identical results at
