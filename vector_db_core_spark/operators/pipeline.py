@@ -841,3 +841,41 @@ def pipeline_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fold = (F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("long") % 5).cast("int")
     return docs.select("doc_id", fold.alias("fold"), "n_chars")
+
+
+@register(
+    "pipeline_pps_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(('0x' || substr(md5(text), 1, 6))::BIGINT + 1 AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 200
+    """,
+)
+def pipeline_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sample, fully deterministic:
+    sequential Poisson / priority sampling (Ohlsson) with the random
+    draw replaced by the content hash — priority = u/size, keep the k
+    smallest — so longer documents are proportionally likelier to be
+    kept, re-runs and re-ingests select the SAME sample, and exact
+    duplicates share a fate. This is the size-aware complement of the
+    uniform content-hash Bernoulli in ``pipeline_source_mixture``:
+    token-budget-constrained corpus draws want PPS, not uniform.
+
+    Exactness: u is a 24-bit hash integer (exact in a double) divided
+    by an integer size — one IEEE division, identical in both
+    engines; ties are broken by doc_id so the k-th boundary is
+    deterministic. 100 TB plan: map-only priority computation, then
+    TakeOrderedAndProject per-partition heaps — no global sort, no
+    shuffle of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("long") + 1
+    priority = u.cast("double") / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(200)
+    )
