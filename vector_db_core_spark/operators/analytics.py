@@ -1175,3 +1175,80 @@ def agg_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(out, 1).otherwise(0)).cast("long").alias("n_outliers"),
         )
     )
+
+
+# -------------------------------------------------- point-in-time join
+@register(
+    "join_point_in_time_versions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ver
+      FROM ordered),
+    runs AS (
+      SELECT user_id, CAST(ver AS INT) AS version, event_type,
+             MIN(ts) AS valid_from
+      FROM flagged GROUP BY user_id, ver, event_type),
+    iv AS (
+      SELECT user_id, version, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY version) AS valid_to
+      FROM runs)
+    SELECT p.event_id, p.user_id, p.ts,
+           iv.version, iv.event_type AS run_type, iv.valid_from
+    FROM events p JOIN iv
+      ON p.user_id = iv.user_id
+     AND p.ts >= iv.valid_from
+     AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_point_in_time_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the consumer side of the SCD2 story:
+    each purchase event joined to the dimension VERSION that was valid
+    at its timestamp ([valid_from, valid_to) half-open; the open
+    current version catches the tail). This is the join that makes
+    slowly-changing dimensions temporally correct — joining facts to
+    the LATEST version instead silently rewrites history, the classic
+    training-data leakage bug (features computed with attribute values
+    the model couldn't have known at event time).
+
+    Built on ``scd2_user_event_intervals``'s interval table and
+    cross-checked by construction: the oracle derives each purchase's
+    version DIRECTLY from the gaps-and-islands numbering, while the
+    Spark plan performs the actual interval join — two independent
+    formulations that must agree on every row (they do: the fixture
+    has no (user, ts) ties, so half-open intervals partition time).
+
+    100 TB plan: equi join on user_id (sort-merge on the natural key)
+    with the interval predicate as a residual — never a cartesian;
+    per-user fanout is bounded by that user's interval count before
+    the residual filters it to exactly one row per purchase.
+    """
+    iv = scd2_user_event_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("iv_user"),
+        "version",
+        F.col("event_type").alias("run_type"),
+        "valid_from",
+        "valid_to",
+    )
+    p = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (
+        (F.col("user_id") == F.col("iv_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return p.join(iv, cond).select(
+        "event_id", "user_id", "ts", "version", "run_type", "valid_from"
+    )
