@@ -154,3 +154,15 @@ def test_pagerank_invariants(spark):
         F.sum("rank").alias("s")
     ).collect()[0].s
     assert abs(total - 1.0) < 1e-6
+
+
+def test_equidepth_approx_buckets_near_equal(spark):
+    """The t-digest twin must produce 10 buckets whose depths stay
+    within 10% of ideal (sf0.01 orders: 15000/10 = 1500 per bucket) —
+    the accuracy contract that justifies swapping it in at scale."""
+    rows = QUERIES["agg_equidepth_histogram_approx"](spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    total = sum(r.n_orders for r in rows)
+    ideal = total / 10
+    for r in rows:
+        assert abs(r.n_orders - ideal) <= 0.1 * ideal, (r.bucket, r.n_orders)

@@ -1702,3 +1702,33 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register("agg_equidepth_histogram_approx")  # rows-only: t-digest sketch
+def agg_equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``agg_equidepth_histogram``: decile
+    boundaries from ``approx_percentile`` (t-digest sketch — one pass,
+    bounded memory, mergeable map-side partials) instead of the exact
+    sort-based percentile. Same broadcast-boundaries + comparison-count
+    bucketing; only the boundary source changes — the swap the exact
+    op's docstring prescribes, made runnable. Rows-only (sketch
+    boundaries are estimates); the behavioral pytest bounds each
+    bucket's row count against the ideal equal depth.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    q = o.agg(
+        F.expr(
+            "approx_percentile(o_totalprice, "
+            "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"
+        ).alias("qs")
+    )
+    bucket = F.size(F.filter("qs", lambda b: F.col("o_totalprice") > b)).cast("int")
+    return (
+        o.crossJoin(F.broadcast(q))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
