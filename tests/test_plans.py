@@ -585,3 +585,25 @@ def test_key_skew_profiler_heaps_before_window(spark):
     keyspace through one task at 100 TB."""
     plan = _plan(QUERIES["profile_lineitem_key_skew"](spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_roundout_plan_shapes(spark):
+    """Compact pins for the remaining round-out shapes: Q4 plans a
+    LEFT SEMI (EXISTS — no fanout) with its date filter pushed to the
+    orders scan; Q10's top-20 is per-partition heaps; Q16's blocklist
+    is a broadcast LEFT ANTI; Q20's correlated share is a window over
+    the aggregated pairs with lineitem scanned once."""
+    q4 = _plan(QUERIES["q4_order_priority_checking"](spark, SF_ORACLE))
+    assert "LeftSemi" in q4
+    assert any("o_orderdate" in l for l in q4.splitlines() if "PushedFilters" in l)
+
+    q10 = _plan(QUERIES["q10_returned_item_customers"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in q10
+
+    q16 = _plan(QUERIES["q16_supplier_part_counts"](spark, SF_ORACLE))
+    assert "LeftAnti" in q16 and "BroadcastHashJoin" in q16
+
+    q20 = _plan_simple(QUERIES["q20_excess_share_suppliers"](spark, SF_ORACLE))
+    scan_lines = [l for l in q20.splitlines() if "Scan parquet" in l]
+    assert sum("lineitem" in l for l in scan_lines) == 1, scan_lines
+    assert "windowspecdefinition(l_partkey" in q20
