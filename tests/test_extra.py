@@ -166,3 +166,31 @@ def test_equidepth_approx_buckets_near_equal(spark):
     ideal = total / 10
     for r in rows:
         assert abs(r.n_orders - ideal) <= 0.1 * ideal, (r.bucket, r.n_orders)
+
+
+def test_count_min_sketch_guarantees(spark):
+    """The CM sketch's contract vs the exact counts: never
+    underestimates, overestimates by at most eps*N (eps = e/w) per
+    the Cormode-Muthukrishnan bound, and the estimated top-1 heavy
+    hitter is the exact top-1. Deterministic: xxhash64 seeds are
+    fixed, so the same input always yields the same sketch."""
+    import math
+
+    rows = QUERIES["sketch_count_min_topk"](spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    exact = {
+        r["l_suppkey"]: r["c"]
+        for r in li.groupBy("l_suppkey").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(exact.values())
+    bound = math.e * n / 2048
+    for r in rows:
+        assert exact[r.l_suppkey] <= r.est_cnt <= exact[r.l_suppkey] + bound, (
+            r.l_suppkey, r.est_cnt, exact[r.l_suppkey],
+        )
+    top1_exact = max(exact.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    assert rows[0].l_suppkey == top1_exact
+    # determinism across invocations (fresh plan, same sketch)
+    again = QUERIES["sketch_count_min_topk"](spark, SF_ORACLE).collect()
+    assert rows == again

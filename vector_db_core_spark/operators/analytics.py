@@ -1252,3 +1252,88 @@ def join_point_in_time_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(iv, cond).select(
         "event_id", "user_id", "ts", "version", "run_type", "valid_from"
     )
+
+
+# -------------------------------------------------- count-min sketch
+#: sketch geometry: d seeded hash rows x w counters. With w=2048 the
+#: CM guarantee bounds any overestimate by eps*N, eps = e/w ~ 0.0013,
+#: with probability 1 - exp(-d) ~ 98%.
+_CMS_D = 4
+_CMS_W = 2048
+
+
+def count_min_sketch_df(df: DataFrame, key: str, d: int = _CMS_D, w: int = _CMS_W) -> DataFrame:
+    """Build a count-min sketch over ``df[key]`` as a DataFrame op:
+    returns the d*w counter table ``(r, bucket, cnt)``. Each row of the
+    input emits d updates (one per seeded hash row) inside codegen;
+    ONE map-side-combined aggregate collapses every partition to at
+    most d*w partial counters before the only shuffle — so the shuffle
+    volume is O(partitions * d * w), independent of the data size.
+    That is the entire point of the sketch at 100 TB: the counter
+    table is ~8k rows whatever the input is."""
+    updates = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(F.xxhash64(F.col(key), F.lit(r)), F.lit(w)).alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("u")
+    )
+    return updates.groupBy("u.r", "u.bucket").agg(F.count("*").alias("cnt"))
+
+
+@register("sketch_count_min_topk")  # xxhash64 rows -> rows-only check
+def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan 2005):
+    estimated occurrence counts for the 20 heaviest l_suppkey values
+    in lineitem, probed from a 4x2048 counter sketch — the approximate
+    twin of ``profile_lineitem_key_skew`` exactly as
+    ``profile_orders_columns_approx`` is the HLL twin of the exact
+    column profiler. est(k) = min over the 4 seeded rows of the
+    counter at that row's bucket for k; the sketch never
+    underestimates, and overestimates by more than eps*N (~0.13% of
+    table rows) with probability < e^-4 per probe.
+
+    100 TB plan: the sketch build shuffles O(partitions * 8k) partial
+    counters regardless of input size (see ``count_min_sketch_df``);
+    the probe side hashes each candidate into its 4 buckets in
+    codegen and joins the BROADCAST counter table (<= 8k rows, always
+    broadcastable), so probing is map-only. Candidates here are the
+    distinct keys (bounded: suppliers scale far slower than facts);
+    for an unbounded keyspace the candidate set comes from a sample
+    or the query's own watchlist — the sketch's purpose is that the
+    heavy counter state never depends on the keyspace at all, which
+    is what lets it run inside Structured Streaming as a fixed-size
+    aggregate where an exact per-key count would grow without bound.
+
+    Rows-only by necessity (xxhash64 has no DuckDB analog); the
+    behavioral pytest pins the CM guarantees against the exact
+    counts: est >= exact for every key, overestimate <= eps*N, and
+    the estimated top-1 is the exact top-1."""
+    li = _t(spark, sf_dir, "lineitem")
+    sketch = count_min_sketch_df(li, "l_suppkey")
+    probes = li.select("l_suppkey").distinct().select(
+        "l_suppkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(F.xxhash64(F.col("l_suppkey"), F.lit(r)), F.lit(_CMS_W)).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("u"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), (F.col("u.r") == F.col("r")) & (F.col("u.bucket") == F.col("bucket")))
+        .groupBy("l_suppkey")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+    )
+    return est.orderBy(F.desc("est_cnt"), "l_suppkey").limit(20)

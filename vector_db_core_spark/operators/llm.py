@@ -2101,3 +2101,97 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _encode("v").alias("pq"),
     ).select("vec_id", F.col("pq.codes").alias("codes"), F.col("pq.recon_cosine").alias("recon_cosine"))
+
+
+# ------------------------------------------------- exact repeated spans
+#: span width in tokens, and the per-span document-frequency cap that
+#: bounds the quadratic pair fanout (C(cap,2)=190 pairs max per span).
+_SPAN_W = 8
+_SPAN_MAX_DOCS = 20
+
+_SPAN_PAIRS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(toks) - {_SPAN_W - 1}),
+             i -> array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')))) AS span
+  FROM t WHERE len(toks) >= {_SPAN_W}
+),
+keep AS (SELECT span FROM sp GROUP BY span
+         HAVING COUNT(*) BETWEEN 2 AND {_SPAN_MAX_DOCS}),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id < b.doc_id
+      JOIN keep k ON k.span = a.span)
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared_spans
+FROM p GROUP BY doc_a, doc_b
+"""
+
+
+@register("dedup_span_pairs", oracle=_SPAN_PAIRS_SQL)
+def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING span dedup (the suffix-array family, Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): document pairs sharing at least one verbatim
+    8-token span, with the count of distinct shared spans — the
+    copy-paste detector that set-similarity (Jaccard/MinHash) and
+    containment both blur away, because a single long verbatim quote
+    inside two otherwise-unrelated documents moves neither metric but
+    IS the training-data leak span dedup exists to catch.
+
+    Spark plan instead of a suffix array: every document emits its
+    distinct 8-token sliding windows (map-only, inside codegen — the
+    window enumeration is a transform over a materialized token
+    array, so each slice is O(1) array access, not a re-tokenize);
+    ONE shuffle groups span -> sorted doc set; spans seen in 2..20
+    documents generate their C(k,2) doc pairs inside codegen (the
+    assoc_part_pairs construction — zero self-joins); a second
+    shuffle counts pairs. Each span contributes at most once per pair
+    (per-doc windows are distinct), so COUNT(*) per pair == distinct
+    shared spans, matching the oracle's semantics exactly.
+
+    The 20-doc frequency cap is the scale contract, not a garnish: a
+    boilerplate span present in 10^6 documents would alone emit
+    5*10^11 pairs. Real span-dedup pipelines drop such spans (they
+    are template/boilerplate, handled by text_boilerplate_phrases and
+    the quality filters, not pairwise dedup); the cap makes the
+    worst-case fanout per span 190 pairs. At 100 TB the span string
+    itself would be replaced by xxhash64(span) to shrink the shuffle
+    ~10x (same plan; kept as strings here so DuckDB can mirror the
+    query for the hash gate)."""
+    t = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= _SPAN_W)
+    )
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_SPAN_W - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, _SPAN_W)),
+                )
+            )
+        ).alias("span"),
+    )
+    groups = (
+        spans.groupBy("span")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds").between(2, _SPAN_MAX_DOCS))
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pair_arrays).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("shared_spans"))
+    )
