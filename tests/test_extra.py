@@ -171,9 +171,11 @@ def test_equidepth_approx_buckets_near_equal(spark):
 def test_count_min_sketch_guarantees(spark):
     """The CM sketch's contract vs the exact counts: never
     underestimates, overestimates by at most eps*N (eps = e/w) per
-    the Cormode-Muthukrishnan bound, and the estimated top-1 heavy
-    hitter is the exact top-1. Deterministic: xxhash64 seeds are
-    fixed, so the same input always yields the same sketch."""
+    the Cormode-Muthukrishnan bound, and any top-k reordering stays
+    within that bound (the fixture's supplier counts are near-ties,
+    so exact top-1 identity is NOT a CM guarantee and isn't pinned —
+    verified non-identical at sf0.1). Deterministic: xxhash64 seeds
+    are fixed, so the same input always yields the same sketch."""
     import math
 
     rows = QUERIES["sketch_count_min_topk"](spark, SF_ORACLE).collect()
@@ -189,8 +191,12 @@ def test_count_min_sketch_guarantees(spark):
         assert exact[r.l_suppkey] <= r.est_cnt <= exact[r.l_suppkey] + bound, (
             r.l_suppkey, r.est_cnt, exact[r.l_suppkey],
         )
-    top1_exact = max(exact.items(), key=lambda kv: (kv[1], -kv[0]))[0]
-    assert rows[0].l_suppkey == top1_exact
+    # the exact heaviest key must surface in the estimated top-20,
+    # and the estimated top-1's true count must be within the error
+    # bound of the true maximum (reordering only among near-ties)
+    top1_key, top1_cnt = max(exact.items(), key=lambda kv: (kv[1], -kv[0]))
+    assert top1_key in {r.l_suppkey for r in rows}
+    assert exact[rows[0].l_suppkey] >= top1_cnt - bound
     # determinism across invocations (fresh plan, same sketch)
     again = QUERIES["sketch_count_min_topk"](spark, SF_ORACLE).collect()
     assert rows == again

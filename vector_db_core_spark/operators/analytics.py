@@ -1314,7 +1314,8 @@ def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by necessity (xxhash64 has no DuckDB analog); the
     behavioral pytest pins the CM guarantees against the exact
     counts: est >= exact for every key, overestimate <= eps*N, and
-    the estimated top-1 is the exact top-1."""
+    top-k reordering confined to within-bound near-ties (exact top-1
+    identity is NOT a CM guarantee on a near-uniform keyspace)."""
     li = _t(spark, sf_dir, "lineitem")
     sketch = count_min_sketch_df(li, "l_suppkey")
     probes = li.select("l_suppkey").distinct().select(
