@@ -607,3 +607,28 @@ def test_tpch_roundout_plan_shapes(spark):
     scan_lines = [l for l in q20.splitlines() if "Scan parquet" in l]
     assert sum("lineitem" in l for l in scan_lines) == 1, scan_lines
     assert "windowspecdefinition(l_partkey" in q20
+
+
+def test_span_dedup_join_free_two_shuffles(spark):
+    """Span dedup's scale contract (mirrors assoc_part_pairs): window
+    enumeration and pair generation both happen inside codegen, so the
+    plan has NO join operator and exactly two hash exchanges — the
+    span group-build and the pair count."""
+    plan = _plan_simple(QUERIES["dedup_span_pairs"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert len(hash_exchanges) == 2, hash_exchanges
+
+
+def test_count_min_probe_broadcasts_sketch(spark):
+    """The CM sketch probe's scale contract: the counter table (<= d*w
+    rows) joins as the BROADCAST side, so probing never shuffles the
+    candidate stream for the join — its only hash exchanges are the
+    sketch build's counter aggregate, the candidate distinct, and the
+    min-fold per key."""
+    plan = _plan_simple(QUERIES["sketch_count_min_topk"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
