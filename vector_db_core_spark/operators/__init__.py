@@ -51,8 +51,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: pipeline_kfold_assign, timeseries_multi_grain_rollup,
 #: attribution_last_touch, agg_incremental_merge,
 #: profile_lineitem_key_skew, agg_equidepth_histogram,
-#: streaming_interval_left_outer_replay, and any later ones — recount
-#: at rotation time). The window holds 50 slots, so r5 covers 50 of
+#: streaming_interval_left_outer_replay, dedup_span_pairs, and any
+#: later ones — recount at rotation time). The window holds 50 slots, so r5 covers 50 of
 #: these and r6 mops up the rest. Recompute the exact list with:
 #:   covered = {r3 hash_match green} | set(DRIVER_WINDOW_r4)
 #:   backlog = [n for n in ORACLE if n not in covered]
