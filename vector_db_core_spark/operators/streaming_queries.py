@@ -390,3 +390,35 @@ def streaming_append_window_replay(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("window_end") <= F.lit(cutoff))
         .select("window_start", "window_end", "event_type", "n_events", "total_value")
     )
+
+
+@register(
+    "streaming_sliding_counts_replay",
+    oracle="""
+    WITH b AS (SELECT event_type, ts,
+                      UNNEST([time_bucket(INTERVAL '3 hours', ts),
+                              time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours'])
+                        AS window_start
+               FROM events)
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM b GROUP BY window_start, event_type
+    """,
+)
+def streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6h/3h event-time windows computed BY THE STREAMING
+    ENGINE over a replay of the events fixture — the overlap shape
+    (each event updates length/slide = 2 window states, Spark
+    replicates the row into both before the stateful aggregate) the
+    tumbling replay can't exercise. Event-time semantics make the
+    result replay-deterministic, so it carries the SAME oracle as its
+    batch twin ``window_sliding_event_counts``: each event expanded to
+    the two 3h-aligned starts covering it, then a plain group-count.
+    Both engines align window starts to epoch midnight (6h and 3h
+    divide 24h), so the bucket labels agree exactly.
+    """
+    stream, root = _replay_events(spark, sf_dir, "slide")
+    agg = windowed_event_counts(
+        stream, window="6 hours", slide="3 hours", watermark=None
+    ).select("window_start", "event_type", "n_events")
+    _run_to_memory(agg, "stream_replay_sliding", root, "complete")
+    return spark.table("stream_replay_sliding")
