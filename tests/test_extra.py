@@ -200,3 +200,35 @@ def test_count_min_sketch_guarantees(spark):
     # determinism across invocations (fresh plan, same sketch)
     again = QUERIES["sketch_count_min_topk"](spark, SF_ORACLE).collect()
     assert rows == again
+
+
+def test_bloom_filter_guarantees(spark):
+    """The Bloom filter's two-sided contract vs the exact anti join:
+    (a) conservative — every definitely-absent custkey is truly not an
+    active user (zero false negatives for membership means zero false
+    POSITIVES for absence); (b) tight — the keys the filter lets
+    through beyond the true members (false positives) stay under an
+    order-of-magnitude-relaxed geometry bound."""
+    rows = QUERIES["sketch_bloom_nonmember_count"](spark, SF_ORACLE).collect()
+    assert rows, "expected some definitely-absent orders"
+    orders = load_table(spark, SF_ORACLE, "orders")
+    events = load_table(spark, SF_ORACLE, "events")
+    active = {r[0] for r in events.select("user_id").distinct().collect()}
+    per_prio_exact = {}
+    all_keys = orders.select("o_orderpriority", "o_custkey").distinct().collect()
+    for r in all_keys:
+        if r.o_custkey not in active:
+            per_prio_exact.setdefault(r.o_orderpriority, set()).add(r.o_custkey)
+    import math
+
+    n, m, k = len(active), 32768, 4
+    fpr_bound = 10 * (1 - math.exp(-k * n / m)) ** k + 1e-9
+    for r in rows:
+        exact_absent = per_prio_exact.get(r.o_orderpriority, set())
+        # conservative: reported absent <= exact absent ...
+        assert r.custkeys_definitely_absent <= len(exact_absent)
+        # ... and within the FP budget of it
+        missed = len(exact_absent) - r.custkeys_definitely_absent
+        assert missed <= max(2.0, fpr_bound * len(exact_absent)), (
+            r.o_orderpriority, missed, fpr_bound, len(exact_absent),
+        )

@@ -1338,3 +1338,107 @@ def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
     )
     return est.orderBy(F.desc("est_cnt"), "l_suppkey").limit(20)
+
+
+# ------------------------------------------------------ bloom filter
+#: bloom geometry: k seeded hash bits in an m-bit space. Customers at
+#: sf0.01 ~ 1.5k keys -> m=32768, k=4 gives a theoretical FPR of
+#: (1 - e^(-k*n/m))^k ~ 0.0001; the pytest pins an order-of-magnitude
+#: looser ceiling so every SF in the fixture family passes.
+_BLOOM_M = 32768
+_BLOOM_K = 4
+
+
+def bloom_bits_df(df: DataFrame, key: str, m: int = _BLOOM_M, k: int = _BLOOM_K) -> DataFrame:
+    """Build a Bloom filter over ``df[key]`` as a DataFrame op: the
+    distinct set-bit positions ``(bit)``. Each row emits its k seeded
+    bit positions in codegen; ONE distinct collapses to <= m rows —
+    like the CM sketch, the filter's size is independent of the input
+    size, which is the whole point at 100 TB (a billion-key build
+    still broadcasts as at most m/8 bytes of bitmap)."""
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(key), F.lit(r)), F.lit(m)).alias("bit")
+                        for r in range(k)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+@register("sketch_bloom_nonmember_count")  # xxhash64 bits -> rows-only
+def sketch_bloom_nonmember_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER semi-join pruning as an explicit operator: count,
+    per order priority, the orders whose customer is DEFINITELY not an
+    active event user — the filter step a 100 TB pipeline runs BEFORE
+    an expensive join so provably-unmatchable rows never shuffle.
+    Complements the plan-level evidence in tests/test_plans.py (AQE's
+    runtime bloom injection): here the filter is a first-class,
+    inspectable DataFrame op with pinned guarantees. (Direction
+    matters on this fixture: every event user IS a customer, so the
+    filter is built over the small ACTIVE-USER set and probed with the
+    10x-wider order custkey range, where both outcomes are populated.)
+
+    The Bloom contract: NO false negatives ever (a probe passes iff
+    all k of its bits are set, and every member's bits are set by
+    construction), false positives at a rate bounded by the geometry
+    ((1 - e^(-kn/m))^k: ~1e-7 at n=150 active users, still < 1e-3 at
+    10x). So ``definitely_absent`` is exact-or-conservative: every
+    counted order truly has no active customer, while a vanishing
+    fraction of true non-members may slip through to the join — which
+    only costs work, never correctness. The behavioral pytest pins
+    both directions against the exact anti join.
+
+    100 TB plan: the filter build is one map-side-combined distinct to
+    <= m rows; the probe joins the BROADCAST bit table (each probe row
+    emits its k bit positions in codegen; a left-semi broadcast join +
+    per-key match count decides membership) — map-only on the probe
+    side, zero shuffles of the fact stream beyond the final bounded
+    groupBy."""
+    active = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key")).distinct()
+    bits = bloom_bits_df(active, "key")
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    # ONE probe row per (priority, key): the pass condition below is
+    # "all 4 surviving rows came back", which is only the all-bits-set
+    # test if each key emits exactly one set of 4 bit rows — probing
+    # per fact row would let a non-member with >= 4 facts and a single
+    # lucky bit through (count >= k from row multiplicity, not bits).
+    probes = orders.distinct().select(
+        "o_orderpriority",
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(r)), F.lit(_BLOOM_M)).alias("bit")
+                    for r in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("o_orderpriority", "o_custkey")
+        .agg(F.count("*").alias("set_bits"))
+    )
+    # a probe is definitely-absent when < k of its bits are set; keys
+    # hitting zero set bits vanish from `hits` entirely, so rebuild
+    # against the full probe set with a left join.
+    absent = (
+        orders.groupBy("o_orderpriority", "o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .join(hits, ["o_orderpriority", "o_custkey"], "left")
+        .where(F.coalesce(F.col("set_bits"), F.lit(0)) < _BLOOM_K)
+    )
+    return (
+        absent.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("orders_definitely_absent"),
+            F.countDistinct("o_custkey").cast("bigint").alias("custkeys_definitely_absent"),
+        )
+        .orderBy("o_orderpriority")
+    )
