@@ -2195,3 +2195,58 @@ def dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("shared_spans"))
     )
+
+
+# ---------------------------------------------------- character entropy
+_CHAR_ENTROPY_SQL = r"""
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+n AS (SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS n FROM documents),
+c AS (SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS cnt FROM ch GROUP BY doc_id, ch)
+SELECT c.doc_id,
+       round(CAST(-SUM(CAST((cnt / n) * log2(cnt / n) AS DECIMAL(27,15))) AS DOUBLE), 6)
+         AS char_entropy_bits
+FROM c JOIN n ON c.doc_id = n.doc_id
+GROUP BY c.doc_id
+"""
+
+
+@register("text_char_entropy", oracle=_CHAR_ENTROPY_SQL)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    cheap garbage detector a corpus quality pass runs before anything
+    tokenizes: binary blobs and base64 spill read near 6-8 bits/char,
+    key-mashing and repeated-char padding collapse toward 0, natural
+    English sits ~4. Complements the word-level quality panel
+    (text_quality_score) with a signal that needs no tokenizer at all.
+
+    Exactness across engines follows the unigram-logprob recipe: each
+    (doc, char) term (p * log2 p) is computed as the same IEEE double
+    expression on both sides, truncated to DECIMAL(27,15) — absorbing
+    any last-ulp log2 library difference — and summed IN DECIMAL, so
+    the per-doc total is order-independent at any parallelism; the
+    final round(6) is presentation.
+
+    100 TB plan: one map-side-combined count on (doc_id, char) —
+    per-doc alphabet is bounded (<= 256 for bytes, small for text), so
+    partial aggregation collapses each partition to at most
+    |alphabet| rows per doc before the only wide shuffle; the doc
+    length joins back from the source (no second scan of the char
+    explosion); final per-doc fold touches |alphabet| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    n = docs.select("doc_id", F.length("text").cast("double").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        counts.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                (-F.sum((p * F.log2(p)).cast("decimal(27,15)"))).cast("double"), 6
+            ).alias("char_entropy_bits")
+        )
+    )
