@@ -51,6 +51,7 @@ def test_entry_smoke(spark):
     "agg_incremental_merge",     # base+delta mergeable-state algebra
     "checksum_orders_table",     # DECIMAL(38,0) hash-fold accumulation
     "agg_mad_robust_outliers",   # exact-percentile-derived robust stats
+    "text_char_entropy",         # decimal-absorbed log2 term sums
 ])
 def test_results_partition_independent(name, spark):
     """The exact-arithmetic policy's real claim: identical results at
