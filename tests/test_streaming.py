@@ -371,3 +371,54 @@ def test_interval_join_stream_replays_batch(spark, tmp_path):
         for r in interval_join_followups(bl, br, within="6 hours").collect()
     )
     assert got == expect and len(got) > 100
+
+
+def test_stateful_cents_totals_batch_split_invariant(spark, tmp_path):
+    """The custom stateful operator's exactness claim: integer-cents
+    state merges are associative, so the FINAL per-user totals are
+    identical whether the replay runs as one micro-batch or one file
+    per trigger — and equal the batch groupBy answer exactly."""
+    from vector_db_core_spark.streaming.stateful import running_user_totals_cents
+
+    events, landing = _events_landing(spark, tmp_path, n_files=4)
+    schema = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE, user_id BIGINT"
+
+    def run(name, max_files):
+        reader = spark.readStream.schema(schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.parquet(landing)
+        q = (
+            running_user_totals_cents(stream.select("user_id", "value"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.user_id: (r.n_events, r.value_cents)
+            for r in spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("value_cents", "n_events").alias("value_cents"),
+            )
+            .collect()
+        }
+
+    one_batch = run("stateful_one", None)
+    per_file = run("stateful_split", 1)
+    assert one_batch == per_file
+    batch = {
+        r.user_id: (r.n, r.cents)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert one_batch == batch and len(batch) > 0

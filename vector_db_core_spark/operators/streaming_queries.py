@@ -422,3 +422,53 @@ def streaming_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_start", "event_type", "n_events")
     _run_to_memory(agg, "stream_replay_sliding", root, "complete")
     return spark.table("stream_replay_sliding")
+
+
+@register(
+    "streaming_stateful_totals_replay",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator (``applyInPandasWithState``) under the
+    hash gate: per-user running totals whose state is merged by
+    user-defined Python across micro-batches, replayed over the events
+    fixture. The built-in-stateful replays (windows/dedup/joins) can't
+    represent this row — it is the escape-hatch surface itself.
+
+    Hash-exactness comes from the state discipline, not luck: the
+    value total accumulates as BIGINT cents inside the state store
+    (``running_user_totals_cents``), so the final emission per user is
+    bit-identical for ANY micro-batch split, file order, or partition
+    count — the streaming twin of the batch engine's exact-DECIMAL
+    accumulation policy. Update-mode emissions grow monotonically in
+    n_events, so the final state per user is selected with one
+    ``max_by`` over the sink (robust to multi-batch replays where a
+    user is touched repeatedly); cents convert to a DOUBLE total only
+    at the edge, identically in both engines (exact integer / 100.0).
+
+    100 TB plan: state is partitioned by user key in the state store
+    (one shuffle per batch, state size O(distinct keys)); an unbounded
+    production stream would add a GroupStateTimeout eviction policy —
+    the replay drives a closed stream, where NoTimeout is correct."""
+    stream, root = _replay_events(spark, sf_dir, "stateful")
+    from vector_db_core_spark.streaming.stateful import running_user_totals_cents
+
+    updates = running_user_totals_cents(stream.select("user_id", "value"))
+    _run_to_memory(updates, "stream_replay_stateful", root, "update")
+    sink = spark.table("stream_replay_stateful")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            (F.max_by("value_cents", "n_events") / F.lit(100.0))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

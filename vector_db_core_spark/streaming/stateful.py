@@ -53,3 +53,40 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CENTS_OUTPUT_SCHEMA = "user_id BIGINT, n_events BIGINT, value_cents BIGINT"
+CENTS_STATE_SCHEMA = "n BIGINT, cents BIGINT"
+
+
+def _update_totals_cents(key, batches: Iterator["pd.DataFrame"], state: GroupState):
+    """Integer-cents twin of ``_update_totals``: the running value total
+    accumulates as BIGINT cents, so the state merge is associative and
+    EXACT — emissions are bit-identical for any micro-batch split or
+    arrival order, which is what lets the replay carry a full DuckDB
+    hash oracle (float accumulation order would wobble in the last
+    ulp). The same discipline as the batch side's exact-DECIMAL policy
+    (functions/exact.py), applied to streaming state."""
+    import pandas as pd
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+    )
+
+
+def running_user_totals_cents(stream: DataFrame) -> DataFrame:
+    """Per-user exact running (count, cents) across micro-batches —
+    update semantics: each batch emits the keys it touched with their
+    post-batch state."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_totals_cents,
+        outputStructType=CENTS_OUTPUT_SCHEMA,
+        stateStructType=CENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
