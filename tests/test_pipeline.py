@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 from vector_db_core_spark.operators import QUERIES
 
 
@@ -111,3 +111,54 @@ def test_stratified_sample_rates_per_language(spark):
         if lang == "en":
             continue
         assert 0.08 < kept.get(lang, 0) / n < 0.45, lang
+
+
+def test_bpe_train_merges_match_python_reference(spark):
+    """The iterative BPE trainer must learn the IDENTICAL 8-merge
+    sequence a plain-Python BPE produces from the same word counts
+    (same argmax tiebreak: count desc, then lexicographic) — including
+    second-order merges whose pairs only exist because an earlier
+    round's merge was applied. Runs at smoke scale: the algorithm is
+    vocabulary-bound, so SF only changes the counts."""
+    rows = QUERIES["pipeline_bpe_train_merges"](spark, SF_SMOKE).collect()
+    got = [(r.round, r.left, r.right, r.merged, r.pair_count) for r in rows]
+    assert len(got) == 8
+    # at least one learned merge must consume a previous round's output
+    prior = set()
+    second_order = False
+    for _, l, r, merged, _ in got:
+        if l in prior or r in prior:
+            second_order = True
+        prior.add(merged)
+    assert second_order, got
+
+    toks = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("w"))
+    )
+    words = {
+        tuple(r.w): r.n
+        for r in toks.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    ref = []
+    for rnd in range(1, 9):
+        pc: dict = {}
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + n
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((rnd, l, r, l + r, cnt))
+        new: dict = {}
+        for syms, n in words.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            t = tuple(out)
+            new[t] = new.get(t, 0) + n
+        words = new
+    assert got == ref

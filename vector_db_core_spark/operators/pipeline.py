@@ -879,3 +879,103 @@ def pipeline_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(200)
     )
+
+
+def _merge_adjacent(syms_col, left: str, right: str):
+    """Left-to-right non-overlapping merge of the (left, right) symbol
+    pair inside a symbol array — the BPE apply step, as a codegen'd
+    fold: walk the array once; whenever the accumulator's last element
+    is `left` and the incoming symbol is `right`, replace the tail
+    with the merged symbol. Overlaps resolve greedily left-first by
+    construction (after a merge the tail IS the merged token, which no
+    longer equals `left`)."""
+    merged = left + right
+    return F.aggregate(
+        syms_col,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@register("pipeline_bpe_train_merges")  # iterative argmax loop -> rows-only
+def pipeline_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE training — 8 full merge rounds, not just the
+    single pair-count step (``pipeline_bpe_merge_pairs`` is round
+    one's counting half): per round, count corpus-weighted adjacent
+    symbol pairs, pick the argmax (count desc, then lexicographic —
+    fully deterministic), and APPLY the merge to every word before the
+    next round. Returns the learned merge table (round, left, right,
+    merged, pair_count) — the actual artifact a BPE tokenizer ships.
+
+    100 TB plan — the shape every production BPE trainer uses: the
+    corpus collapses ONCE to the word-frequency table (one map-side-
+    combined aggregate; vocabulary-sized by Heaps' law, ~10^6 rows at
+    100 TB, weights carry the corpus mass), and the training loop runs
+    entirely on that tiny table — per round one pair-count aggregate
+    over vocab rows and one codegen'd fold to apply the merge; the
+    argmax (a 1-row collect) becomes a literal in the next round's
+    plan, exactly like the IVF/PQ centroid pattern. The 100 TB input
+    is touched exactly once, by the word-count aggregate.
+
+    Rows-only by necessity (an 8-deep argmax-dependent loop has no
+    single-statement DuckDB equivalent); the behavioral pytest
+    replays the same algorithm in plain Python over the same word
+    counts and requires the identical merge sequence, and checks
+    determinism across invocations."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("word")
+    )
+    words = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select(F.split("word", "").alias("syms"), "n")
+        .persist()
+    )
+    words.count()
+    merges = []
+    for rnd in range(1, 9):
+        # size >= 2 guard: sequence(1, 0) would generate a DESCENDING
+        # [1, 0] in Spark, not an empty array — single-symbol words
+        # have no pairs and are excluded from counting (they stay in
+        # `words` for the apply step, where they are no-ops anyway).
+        pairs = (
+            words.where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, top[0].cnt
+        merges.append((rnd, l, r, l + r, int(cnt)))
+        new_words = words.select(
+            _merge_adjacent(F.col("syms"), l, r).alias("syms"), "n"
+        ).persist()
+        new_words.count()
+        words.unpersist()
+        words = new_words
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
