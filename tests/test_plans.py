@@ -632,3 +632,13 @@ def test_count_min_probe_broadcasts_sketch(spark):
     plan = _plan_simple(QUERIES["sketch_count_min_topk"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_tfidf_rerank_is_cartesian_free(spark):
+    """The two-stage rerank composes the banded-LSH candidate plan
+    with weight joins keyed on (doc, term) — every join in the final
+    plan must be an equi join (no cartesian/broadcast-nested-loop
+    anywhere, the same contract pinned for the LSH stage alone)."""
+    plan = _plan_simple(QUERIES["sim_tfidf_rerank_pairs"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
