@@ -660,3 +660,20 @@ def test_pq_codes_determinism_and_quality(spark):
     assert mean_cos > 0.55, mean_cos
     b = QUERIES["sim_pq_codes"](spark, SF_ORACLE).orderBy("vec_id").collect()
     assert [r.codes for r in a] == [r.codes for r in b]
+
+
+def test_hashed_span_dedup_equals_exact_twin(spark):
+    """The xxhash64-keyed scale twin must emit EXACTLY the pairs and
+    counts of the string-keyed exact op at gate scale (a difference
+    would mean a 64-bit span-hash collision inside a shared bucket,
+    probability ~1e-17 here)."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark.operators import QUERIES
+
+    exact = sorted(
+        map(tuple, QUERIES["dedup_span_pairs"](spark, SF_ORACLE).collect())
+    )
+    hashed = sorted(
+        map(tuple, QUERIES["dedup_span_pairs_hashed"](spark, SF_ORACLE).collect())
+    )
+    assert exact == hashed and len(exact) > 0

@@ -2371,3 +2371,54 @@ def sim_tfidf_rerank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+@register("dedup_span_pairs_hashed")  # xxhash64 span keys -> rows-only
+def dedup_span_pairs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``dedup_span_pairs``: identical plan, but the
+    group/shuffle key is ``xxhash64(span)`` instead of the ~50-char
+    span string — the swap the exact op's docstring prescribes,
+    shrinking the widest shuffle ~6x (8 bytes vs the span text). A
+    64-bit collision would need two DIFFERENT spans with equal hashes
+    sharing a bucket (~1e-6 at 10^8 distinct spans, birthday bound),
+    and its only effect is one spurious candidate pair — the standard
+    trade every production span-dedup makes. Rows-only by necessity
+    (xxhash64 has no DuckDB analog); the pytest pins output EQUALITY
+    with the string-keyed exact twin at gate scale, which is the
+    stronger statement: same pairs, same counts, cheaper shuffle."""
+    t = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= _SPAN_W)
+    )
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_SPAN_W - 1)),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, _SPAN_W))),
+                )
+            )
+        ).alias("span_h"),
+    )
+    groups = (
+        spans.groupBy("span_h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds").between(2, _SPAN_MAX_DOCS))
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pair_arrays).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("shared_spans"))
+    )
