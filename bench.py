@@ -28,6 +28,16 @@ scale you run their scale-path variants (`dedup_minhash_lsh_pairs`,
 Query execution is timed with a `noop`-format write: the full plan
 executes on the executors and nothing funnels through the driver, so
 the number measures the engine, not row serialization to Python.
+
+Headline rows are best-of-2 (both samples recorded under "samples"):
+one warm-up query cannot JIT every codegen shape in the suite, so a
+first run occasionally absorbs a one-time whole-stage compilation that
+a steady-state cluster session never re-pays (the q3 0.93 s -> 1.58 s
+run-order artifact in BENCH_r04, documented BASELINE.md §C, which
+already adopted best-of-2 for the scale-slope batches). The min of two
+runs is the steady-state engine number; the second sample re-plans
+from scratch (fresh DataFrame), so only JVM JIT state is shared, not
+Spark cached data.
 """
 
 from __future__ import annotations
@@ -89,6 +99,19 @@ def run_query(queries, name, spark) -> float:
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
+
+
+def run_query_best_of_2(queries, name, spark) -> tuple[float, list[float]]:
+    """Best-of-2 with both samples; each run builds a fresh DataFrame.
+
+    Rebuilding the DataFrame re-runs analysis/optimization/codegen
+    lookup, so run 2 differs from run 1 only in already-JITed JVM code
+    and OS page cache — the two things a steady-state session holds.
+    No .cache()/persist is involved anywhere in the registry, so run 2
+    cannot read Spark-materialized data.
+    """
+    samples = [run_query(queries, name, spark) for _ in range(2)]
+    return min(samples), samples
 
 
 def run_query_inclusive(queries, name, spark) -> float:
@@ -248,6 +271,7 @@ def main() -> None:
     # workload records an error entry instead of killing the run
     # (round-2 lesson: one plan-time error zeroed the entire bench).
     per_query: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     store_times: dict[str, float] = {}
     streaming_times: dict[str, float] = {}
@@ -288,13 +312,14 @@ def main() -> None:
                 log(f"bench: skipping unknown query {name}")
                 continue
             try:
-                secs = run_query(queries, name, spark)
+                secs, pair = run_query_best_of_2(queries, name, spark)
             except Exception as exc:  # noqa: BLE001 - record and continue
                 errors[name] = _short_err(exc)
                 log(f"bench: {name} FAILED: {exc}")
                 continue
             per_query[name] = round(secs, 3)
-            log(f"bench: {name} {secs:.3f}s")
+            samples[name] = [round(s, 3) for s in pair]
+            log(f"bench: {name} {secs:.3f}s (samples {pair[0]:.3f}/{pair[1]:.3f})")
 
         try:
             store_times = bench_store(spark)
@@ -334,6 +359,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "samples": samples,
         "store": store_times,
         "streaming": streaming_times,
         "sf": sf_val,

@@ -422,3 +422,29 @@ def test_stateful_cents_totals_batch_split_invariant(spark, tmp_path):
         .collect()
     }
     assert one_batch == batch and len(batch) > 0
+
+
+def test_stateful_cents_half_cent_rounds_away_from_zero():
+    """Exact half-cent inputs (0.125 -> 12.5 cents) must round AWAY
+    from zero (13), matching DuckDB ROUND() and Spark F.round — not
+    pandas Series.round()'s banker's rounding (12). The events fixture
+    is 2-decimal so the hash gate can't see this; pin it directly."""
+    import pandas as pd
+
+    from vector_db_core_spark.streaming.stateful import _update_totals_cents
+
+    class FakeState:
+        exists = False
+
+        def update(self, value):
+            self.value = value
+
+    for raw, want in [(0.125, 13), (-0.125, -13), (0.115, 12), (2.675, 268)]:
+        st = FakeState()
+        out = list(
+            _update_totals_cents(
+                (7,), iter([pd.DataFrame({"value": [raw]})]), st
+            )
+        )
+        assert st.value == (1, want), (raw, st.value)
+        assert out[0]["value_cents"].iloc[0] == want

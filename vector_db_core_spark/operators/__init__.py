@@ -24,121 +24,89 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
 #: The 50 queries surfaced to the driver's correctness window.
 #:
-#: Round-4 rotation: rounds 1-3 hash-checked 49 distinct oracled
-#: queries; this window is composed ENTIRELY of oracled queries the
-#: hard gate has never seen (the round-3 judge's top task), so the
-#: union of green rows across rounds covers 99 of 112 oracled queries
-#: — the max reachable with a 50-slot window (49 + 50). No repeat
-#: sentinel: fixture drift (the round-2 failure mode) is covered by
-#: tests/test_fixture_schema.py plus the events/documents/embeddings
-#: readers already inside this window. The 13 oracled queries left
-#: outside both windows remain green in the local pytest replica
-#: (tests/test_oracle.py, all 112): window_tumbling_event_counts
-#: (oracle identical to the green streaming tumbling replay),
-#: topk_orders_by_price, window_rank_dense_rank,
-#: window_ntile_percentile_ranks, distinct_market_segments,
-#: cube_status_priority, case_bucketize_orders (swapped for
-#: scalar_conditional below), scalar_edit_distance,
-#: agg_boolean_filtered, agg_collect_sorted_sets, text_vocabulary_topn,
-#: text_boilerplate_phrases, join_broadcast_brand_volume (benched
-#: every round in bench.py).
-#: Round-5 rotation backlog: after r4's run, 56 oracled queries will
-#: still never have earned a driver hash row — the 13 left out of the
-#: r3+r4 windows, the 20 earlier round-4 additions, the 13
-#: late-round-4 TPC-H round-out shapes (warehouse.py: q2/q4/q8/q9/q10/
-#: q11/q12/q14/q15/q16/q19/q20/q21), and the 10 post-rotation
-#: additions (scd2_user_event_intervals, checksum_orders_table,
-#: pipeline_kfold_assign, timeseries_multi_grain_rollup,
-#: attribution_last_touch, agg_incremental_merge,
-#: profile_lineitem_key_skew, agg_equidepth_histogram,
-#: streaming_interval_left_outer_replay, dedup_span_pairs, and any
-#: later ones — recount at rotation time). The window holds 50 slots, so r5 covers 50 of
-#: these and r6 mops up the rest. Recompute the exact list with:
-#:   covered = {r3 hash_match green} | set(DRIVER_WINDOW_r4)
-#:   backlog = [n for n in ORACLE if n not in covered]
-#: (the 33 pre-TPC-H names as of 2026-08-14: topk_orders_by_price,
-#: window_rank_dense_rank, window_ntile_percentile_ranks,
-#: window_tumbling_event_counts, distinct_market_segments,
-#: cube_status_priority, scalar_edit_distance,
-#: scalar_conditional_functions, agg_collect_sorted_sets,
-#: agg_boolean_filtered, text_vocabulary_topn, text_boilerplate_phrases,
-#: join_broadcast_brand_volume, the q7/q13/q17/q18/q22 shapes,
-#: agg_higher_moments, window_value_frames, window_range_trailing_7d,
-#: dedup_containment_pairs, dedup_cluster_survivors,
-#: pipeline_{contamination_score, bpe_merge_pairs, length_buckets,
-#: tokenizer_apply, curriculum_phases, full_prep_report},
-#: multimodal_decode_features, text_hashing_vectorizer,
-#: merge_upsert_orders, streaming_static_join_replay). Lead r5's window
-#: with ALL of them — the union across rounds then covers every oracled
-#: query; fill remaining slots with high-value repeats.
+#: Round-5 rotation: after r4's perfect 50/50 run, 104 distinct oracled
+#: queries had ever earned a driver hash row, leaving exactly 62 never
+#: driver-checked (all 62 hash-verified by the round-4 judge at sf0.01
+#: and by tools/oracle_sweep.py at sf0.1). This window holds 50 of
+#: those 62 — ZERO repeats from rounds 1-4 (the r4 window accidentally
+#: repeated 13; this one is computed mechanically):
+#:   covered = union of hash_match rows across CORRECTNESS_r0{1..4}.json
+#:   backlog = [n for n in ORACLE if n not in covered]   # == 62
+#: Fixture drift (the round-2 failure mode) is covered by
+#: tests/test_fixture_schema.py; everything outside the window stays
+#: green in the local pytest oracle replica (tests/test_oracle.py).
+#:
+#: ROUND-6 PLAN (mechanical mop-up — the 12 backlog entries deferred
+#: from this window; putting them first in r6's window closes the
+#: driver debt at 166/166 oracled queries ever-hash-green):
+#:   text_vocabulary_topn, text_boilerplate_phrases, text_char_entropy,
+#:   text_hashing_vectorizer, window_ntile_percentile_ranks,
+#:   window_tumbling_event_counts, scalar_edit_distance,
+#:   scalar_conditional_functions, agg_collect_sorted_sets,
+#:   agg_boolean_filtered, agg_equidepth_histogram, pipeline_pps_sample
+#: Fill r6's remaining 38 slots with any queries oracled AFTER this
+#: rotation (recompute the backlog with the two-liner above), then
+#: high-value repeats (one per operator family) as drift sentinels.
 DRIVER_WINDOW = (
-    # relational: joins the gate has never checked
-    "join_anti_customers_without_orders",
-    "join_right_outer_big_spenders",
-    "join_full_outer_wealth_by_nation",
-    # windows
-    "window_lag_lead_delta",
-    "window_sliding_event_counts",
-    "window_zscore_outliers",
-    # set ops
-    "set_intersect_custkeys",
-    "set_except_inactive_custkeys",
-    # grouping
-    "grouping_sets_status_priority",
-    # aggregates
-    "agg_stddev_variance",
-    "agg_corr_covar_lineitem",
-    "agg_argminmax_orders",
-    "agg_histogram_price_bins",
-    "agg_linear_regression",
-    # TPC-H + subquery
-    "q6_forecast_revenue",
-    "subquery_scalar_above_avg_parts",
-    # scalar function families
-    "scalar_date_functions",
-    "scalar_hash_functions",
-    "scalar_array_functions",
-    "scalar_map_functions",
-    "scalar_bitwise_functions",
-    "case_bucketize_orders",
-    # reshape
-    "unpivot_nation_measures",
-    # time series
-    "timeseries_gap_filled_daily_revenue",
-    "timeseries_locf_daily_value",
-    # behavioral analytics
-    "cohort_daily_retention",
-    # profiling / co-occurrence
-    "profile_orders_columns",
-    "assoc_part_pairs_in_orders",
-    # dedup family
-    "dedup_canonical_documents",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_incremental_minhash",
-    # text-analysis family
-    "text_quality_score",
-    "text_token_count_bpe",
-    "text_fingerprint",
-    "text_lang_id_heuristic",
-    "text_unigram_logprob",
-    "text_repetition_ratio",
-    "text_bigram_lm",
-    "text_word_pmi",
-    # similarity family
-    "sim_embedding_near_pairs",
-    "sim_quantize_embeddings",
-    # Structured Streaming replays new this round (session windows +
-    # watermark dedup; tumbling + interval-join went green in r3)
-    "streaming_session_counts_replay",
-    "streaming_dedup_watermark_replay",
-    # data-pipeline ops never driver-checked
-    "pipeline_corpus_curation",
-    "pipeline_normalize_text",
-    "pipeline_shuffle_shards",
-    "pipeline_stratified_sample",
-    "pipeline_pii_scrub",
-    "pipeline_url_domain_stats",
-    "pipeline_domain_cap_sample",
+    # reference surface: snapshot/time-travel read (new in r4)
+    "ref_snapshot_asof",
+    # TPC-H round-out — all 18 shapes the hard gate has never sampled
+    "q2_min_cost_supplier",
+    "q4_order_priority_checking",
+    "q7_nation_volume_shipping",
+    "q8_national_market_share",
+    "q9_product_type_profit",
+    "q10_returned_item_customers",
+    "q11_important_part_values",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_order_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_share_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_wealthy_customers",
+    # warehouse / CDC / data-quality analytics
+    "merge_upsert_orders",
+    "scd2_user_event_intervals",
+    "join_point_in_time_versions",
+    "checksum_orders_table",
+    "quality_expectations_orders",
+    "agg_incremental_merge",
+    # advanced aggregates / windows
+    "agg_higher_moments",
+    "agg_mad_robust_outliers",
+    "window_value_frames",
+    "window_range_trailing_7d",
+    # time series / behavioral
+    "timeseries_multi_grain_rollup",
+    "timeseries_active_users",
+    "attribution_last_touch",
+    "profile_lineitem_key_skew",
+    # dedup / similarity heavies
+    "dedup_containment_pairs",
+    "dedup_cluster_survivors",
+    "dedup_span_pairs",
+    "sim_tfidf_rerank_pairs",
+    # multimodal decode under the hash gate
+    "multimodal_decode_features",
+    # pipeline tail (BPE, tokenizer, curriculum, k-fold, report)
+    "pipeline_contamination_score",
+    "pipeline_bpe_merge_pairs",
+    "pipeline_length_buckets",
+    "pipeline_tokenizer_apply",
+    "pipeline_curriculum_phases",
+    "pipeline_kfold_assign",
+    "pipeline_full_prep_report",
+    # Structured Streaming replays never driver-sampled
+    "streaming_static_join_replay",
+    "streaming_interval_left_outer_replay",
+    "streaming_append_window_replay",
+    "streaming_sliding_counts_replay",
+    "streaming_stateful_totals_replay",
 )
 
 

@@ -67,12 +67,17 @@ def _update_totals_cents(key, batches: Iterator["pd.DataFrame"], state: GroupSta
     hash oracle (float accumulation order would wobble in the last
     ulp). The same discipline as the batch side's exact-DECIMAL policy
     (functions/exact.py), applied to streaming state."""
+    import numpy as np
     import pandas as pd
 
     n, cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # Half-AWAY-FROM-ZERO, matching DuckDB ROUND() and Spark
+        # F.round — pandas Series.round() is banker's (half-to-even)
+        # and would diverge on exact half-cent inputs like 0.125.
+        v = pdf["value"].to_numpy() * 100.0
+        cents += int(np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
