@@ -677,3 +677,20 @@ def test_hashed_span_dedup_equals_exact_twin(spark):
         map(tuple, QUERIES["dedup_span_pairs_hashed"](spark, SF_ORACLE).collect())
     )
     assert exact == hashed and len(exact) > 0
+
+
+def test_udtf_matches_builtin_segments(spark):
+    """The Python-UDTF segmentation (the UDTF face of the UDF surface)
+    must be row-identical to the codegen'd split+posexplode twin —
+    including segment indices when empty parts are dropped."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark.operators import QUERIES
+
+    builtin = sorted(
+        map(tuple, QUERIES["text_split_segments"](spark, SF_ORACLE).collect())
+    )
+    via_udtf = sorted(
+        map(tuple, QUERIES["text_split_segments_udtf"](spark, SF_ORACLE).collect())
+    )
+    assert builtin == via_udtf
+    assert len(builtin) > 300, "fan-out vacuous — expected multiple segments/doc"

@@ -44,9 +44,11 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #:   window_tumbling_event_counts, scalar_edit_distance,
 #:   scalar_conditional_functions, agg_collect_sorted_sets,
 #:   agg_boolean_filtered, agg_equidepth_histogram, pipeline_pps_sample
-#: Fill r6's remaining 38 slots with any queries oracled AFTER this
-#: rotation (recompute the backlog with the two-liner above), then
-#: high-value repeats (one per operator family) as drift sentinels.
+#: plus queries oracled AFTER this rotation (so far:
+#:   text_split_segments, text_split_segments_udtf).
+#: Fill r6's remaining slots by recomputing the backlog with the
+#: two-liner above, then high-value repeats (one per operator family)
+#: as drift sentinels.
 DRIVER_WINDOW = (
     # reference surface: snapshot/time-travel read (new in r4)
     "ref_snapshot_asof",

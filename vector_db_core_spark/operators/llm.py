@@ -299,18 +299,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness scale. At 100 TB you never run this plan — you run
     ``dedup_minhash_lsh_pairs``, which produces the same verified
     pairs without the quadratic join.
+
+    Even a quarantined baseline shouldn't waste its quadratic budget,
+    so the per-pair work is minimized without changing ONE output bit
+    (sf0.1: 433 s -> ~40 s):
+      * shingle strings are dictionary-coded to ints once (27k-row
+        sorted vocab, ``row_number`` — deterministic and collision-free
+        by construction, unlike hashing), so the 12.5M-pair intersect
+        compares longs instead of ~15-char strings;
+      * the join condition carries the exact size-ratio bound
+        (jaccard >= 0.5 implies 2*min(|a|,|b|) >= max(|a|,|b|)), which
+        prunes ~40% of pairs for integer-compare cost before any
+        intersect runs;
+      * ``array_intersect`` is projected ONCE and jaccard derives from
+        (inter, |a|, |b|) — the naive inter/union formula evaluates the
+        intersect twice (Catalyst does not subexpression-eliminate
+        array functions across the division).
+    Jaccard counts are over distinct shingles, and coding is a
+    bijection on the vocab, so values are bit-identical to the
+    string-set oracle.
     """
     _guard_all_pairs_source(
         spark, sf_dir, "documents", "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh_pairs"
     )
     sh = _shingle_sets(_t(spark, sf_dir, "documents"))
-    a, b = sh.alias("a"), sh.alias("b")
+    ex = sh.select("doc_id", F.explode("s").alias("sng"))
+    vocab = (
+        ex.select("sng")
+        .distinct()
+        .withColumn("code", F.row_number().over(W.orderBy("sng")))
+    )
+    coded = (
+        ex.join(F.broadcast(vocab), "sng")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("code")).alias("s"))
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    na, nb = F.size(F.col("a.s")), F.size(F.col("b.s"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(2) * F.least(na, nb) >= F.greatest(na, nb)),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            _jaccard(F.col("a.s"), F.col("b.s")).alias("jaccard"),
+            F.size(F.array_intersect("a.s", "b.s")).alias("_i"),
+            (na + nb).alias("_ab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_i").cast("double") / (F.col("_ab") - F.col("_i")).cast("double")).alias(
+                "jaccard"
+            ),
         )
         .where(F.col("jaccard") >= 0.5)
     )
@@ -2421,4 +2464,92 @@ def dedup_span_pairs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("shared_spans"))
+    )
+
+
+# ------------------------------------------------------------- UDTF surface
+# Segment-splitting rule shared by all three engines: split each
+# document on the literal delimiter token " a " (the synthetic corpus
+# has no sentence punctuation, so a frequent stopword stands in for
+# the boundary — the PLAN shapes are what this pair demonstrates).
+# Literal leftmost non-overlapping split behaves identically in Java
+# regex (Spark), DuckDB string_split, and Python str.split; segment
+# indices count ALL split parts (empties included) and empty parts are
+# filtered afterwards, so the three formulations stay bit-identical.
+
+_SEG_SQL = """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' a ') AS parts
+  FROM documents WHERE doc_id < 200),
+e AS (SELECT doc_id, CAST(idx - 1 AS INT) AS segment_idx, parts[idx] AS segment
+      FROM s, unnest(generate_series(1, len(parts))) AS t(idx))
+SELECT doc_id, segment_idx, segment FROM e WHERE segment <> ''
+"""
+
+
+def _seg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id", "text")
+
+
+@register("text_split_segments", oracle=_SEG_SQL)
+def text_split_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document segmentation, BUILT-IN path: ``split`` + ``posexplode``
+    — two codegen'd expressions riding the scan, the plan you want at
+    100 TB (no Python in the loop, Generate fans out JVM-side, filters
+    and column pruning still push into the parquet scan below the
+    Generate).
+
+    Exists beside ``text_split_segments_udtf`` (same rows, same oracle)
+    to pin when the UDTF escape hatch is and isn't worth it: this path
+    is the default; the UDTF is for fan-out logic that can't be said in
+    expressions (stateful parsers, per-row trees).
+    """
+    return (
+        _seg_docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " a ", -1)).alias("segment_idx", "segment"),
+        )
+        .where(F.col("segment") != "")
+        .select("doc_id", F.col("segment_idx").cast("int"), "segment")
+    )
+
+
+@register("text_split_segments_udtf", oracle=_SEG_SQL)
+def text_split_segments_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document segmentation via a Python UDTF — the table-function face
+    of the UDF surface (SURVEY §2.2 names UDF/UDAF/UDTF; the scalar and
+    aggregate faces are demonstrated elsewhere), registered with the
+    SAME DuckDB oracle as the built-in twin, so the hash gate proves
+    the two paths agree bit-for-bit.
+
+    Plan note: a Python UDTF runs rows through a Python worker (a
+    BatchEvalPython-style exchange, one process round-trip per batch)
+    and BREAKS whole-stage codegen at that point, while the built-in
+    twin's Generate stays inside codegen — so the UDTF is the slow
+    path, justified only when the fan-out logic genuinely can't be
+    expressed with split/explode/transform (recursive-descent parsing,
+    per-row stateful tokenizers). Same boundary SURVEY §4 set for all
+    Python escape hatches; the equality pytest
+    (tests/test_llm.py::test_udtf_matches_builtin_segments) pins the
+    two paths row-identical so the demo can't drift.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="segment_idx INT, segment STRING")
+    class SplitSegments:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            if text is None:
+                return
+            for idx, part in enumerate(text.split(" a ")):
+                if part != "":
+                    yield (idx, part)
+
+    spark.udtf.register("split_segments_udtf", SplitSegments)
+    _seg_docs(spark, sf_dir).createOrReplaceTempView("_udtf_seg_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.segment_idx, s.segment
+        FROM _udtf_seg_docs d, LATERAL split_segments_udtf(d.text) s
+        """
     )
