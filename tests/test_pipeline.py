@@ -162,3 +162,27 @@ def test_bpe_train_merges_match_python_reference(spark):
             new[t] = new.get(t, 0) + n
         words = new
     assert got == ref
+
+
+def test_cluster_safe_folds_colocate_near_dups(spark):
+    """The leakage guarantee itself: every MinHash-verified near-dup
+    pair must land in the SAME fold under cluster-safe assignment —
+    and the plain content-keyed kfold must NOT already guarantee this
+    (otherwise the op is redundant)."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark.operators import QUERIES
+
+    pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, SF_ORACLE).collect()
+    assert len(pairs) > 0
+    safe = {
+        r.doc_id: r.fold
+        for r in QUERIES["pipeline_cluster_safe_folds"](spark, SF_ORACLE).collect()
+    }
+    assert all(safe[p.doc_a] == safe[p.doc_b] for p in pairs)
+    plain = {
+        r.doc_id: r.fold
+        for r in QUERIES["pipeline_kfold_assign"](spark, SF_ORACLE).collect()
+    }
+    assert any(plain[p.doc_a] != plain[p.doc_b] for p in pairs), (
+        "fixture's near-dups are all exact twins — leak demo vacuous"
+    )

@@ -191,12 +191,27 @@ def fast_tfidf_rerank(con):
     return rel.fetchall(), [c[0] for c in rel.description]
 
 
+def fast_cluster_safe_folds(con):
+    """pipeline_cluster_safe_folds: fold = md5-fold of the cluster
+    rep's text; labels from union-find, folds from DuckDB's own md5."""
+    labels = _cluster_labels(con)
+    own = dict(
+        con.sql(
+            "SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 6))::BIGINT % 5 AS INT)"
+            " FROM documents"
+        ).fetchall()
+    )
+    out = [(d, labels.get(d, d), own[labels.get(d, d)]) for d in own]
+    return out, ["doc_id", "fold_key_doc_id", "fold"]
+
+
 FAST_ORACLES = {
     "dedup_ngram_jaccard_pairs": fast_jaccard_pairs,
     "dedup_minhash_lsh_pairs": fast_jaccard_pairs,
     "dedup_connected_clusters": fast_connected_clusters,
     "dedup_cluster_survivors": fast_cluster_survivors,
     "sim_tfidf_rerank_pairs": fast_tfidf_rerank,
+    "pipeline_cluster_safe_folds": fast_cluster_safe_folds,
 }
 
 

@@ -45,7 +45,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #:   scalar_conditional_functions, agg_collect_sorted_sets,
 #:   agg_boolean_filtered, agg_equidepth_histogram, pipeline_pps_sample
 #: plus queries oracled AFTER this rotation (so far:
-#:   text_split_segments, text_split_segments_udtf).
+#:   text_split_segments, text_split_segments_udtf,
+#:   streaming_minhash_dedup_replay, pipeline_cluster_safe_folds).
 #: Fill r6's remaining slots by recomputing the backlog with the
 #: two-liner above, then high-value repeats (one per operator family)
 #: as drift sentinels.

@@ -979,3 +979,67 @@ def pipeline_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
     )
+
+
+def _cluster_safe_oracle() -> str:
+    from vector_db_core_spark.operators.llm import _JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH RECURSIVE p AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src),
+    rep AS (SELECT d.doc_id, COALESCE(l.cluster_rep, d.doc_id) AS rep
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+    SELECT r.doc_id,
+           CAST(r.rep AS BIGINT) AS fold_key_doc_id,
+           CAST(('0x' || substr(md5(dd.text), 1, 6))::BIGINT % 5 AS INT) AS fold
+    FROM rep r JOIN documents dd ON dd.doc_id = r.rep
+    """
+
+
+@register("pipeline_cluster_safe_folds", oracle=_cluster_safe_oracle())
+def pipeline_cluster_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE k-fold assignment: fold = content hash of the
+    document's near-dup CLUSTER REPRESENTATIVE, not of the document
+    itself — so near-duplicates (not just exact copies) always land in
+    the same fold. Plain content-keyed folds (``pipeline_kfold_assign``)
+    only co-locate exact twins; a paraphrased or whitespace-perturbed
+    copy of a train doc landing in the validation fold silently
+    inflates eval scores, which is THE classic split leak in
+    LLM-training corpora. Emits (doc_id, fold_key_doc_id, fold) —
+    fold_key_doc_id is the rep whose text keyed the fold, for audit.
+
+    Scale shape: the corpus NEVER shuffles. Cluster labels are bounded
+    by the near-dup count (tiny); the rep's fold is computed on a
+    labels ⋈ corpus broadcast equi-join (corpus side map-only), the
+    (doc_id -> rep_fold) table stays tiny and broadcasts back, and
+    singletons take the map-only hash of their own text. Same
+    cluster-labels input as ``dedup_cluster_survivors`` — one daily
+    labels table feeds both survivors and splits.
+    """
+    from vector_db_core_spark.operators.llm import dedup_connected_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fold_of = lambda c: (  # noqa: E731 - tiny local expression builder
+        F.conv(F.substring(F.md5(c), 1, 6), 16, 10).cast("long") % 5
+    ).cast("int")
+
+    labels = dedup_connected_clusters(spark, sf_dir)  # (doc_id, cluster_rep), tiny
+    rep_folds = (
+        labels.select("cluster_rep").distinct()
+        .join(docs, F.col("cluster_rep") == F.col("doc_id"))
+        .select("cluster_rep", fold_of(F.col("text")).alias("rep_fold"))
+    )
+    member_folds = labels.join(F.broadcast(rep_folds), "cluster_rep").select(
+        "doc_id", F.col("cluster_rep").alias("fold_key_doc_id"), F.col("rep_fold")
+    )
+    return docs.join(F.broadcast(member_folds), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("fold_key_doc_id", "doc_id").cast("bigint").alias("fold_key_doc_id"),
+        F.coalesce("rep_fold", fold_of(F.col("text"))).alias("fold"),
+    )

@@ -472,3 +472,123 @@ def streaming_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "streaming_minhash_dedup_replay",
+    oracle=r"""
+    WITH sh AS (SELECT doc_id,
+                       CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 3
+                            THEN list_distinct(list_transform(
+                                   generate_series(1, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) - 2),
+                                   i -> array_to_string((list_filter(string_split_regex(text, '\s+'), x -> x <> ''))[i:i+2], ' ')))
+                            ELSE [array_to_string(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), ' ')] END AS s
+                FROM documents),
+    p AS (SELECT a.doc_id AS batch_doc_id, b.doc_id AS corpus_doc_id,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+    SELECT batch_doc_id, corpus_doc_id, jaccard FROM p WHERE jaccard >= 0.5
+    """,
+)
+def streaming_minhash_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-ingest near-dedup as a real Structured Streaming
+    pipeline: arriving documents (``doc_id % 10 == 0``, landed as 4
+    files and streamed one file per trigger — genuinely multi-batch)
+    are MinHash-signed per row, band-keyed, stream-static-joined
+    against the standing corpus's materialized band table, and
+    LSH hits are Jaccard-verified — all inside micro-batches. The
+    streaming twin of ``dedup_incremental_minhash`` (same 16x4 banding,
+    same verify, same exact cross-side oracle), proving the engine's
+    flagship dedup runs against a LIVE ingest feed, not just batch.
+
+    Plan/scale notes:
+      * the stream side is STATELESS — per-row signature expressions
+        (tokens -> shingles -> xxhash64 set -> 64-slot MinHash -> band
+        keys) plus two stream-static equi-joins; no watermark, no state
+        store, so ingest memory is O(micro-batch), corpus-independent;
+      * the static band/signature tables are the ones a daily job
+        maintains (built once here, as ``dedup_incremental_minhash``
+        documents); only matching (band, key) buckets join — per-batch
+        cost is O(|batch| + hits), never O(|corpus|);
+      * band multiplicity (a pair colliding in several bands) is
+        collapsed AFTER the memory sink by a batch ``distinct()`` —
+        verified jaccard is identical on every collision of a pair, so
+        this is pure dedup of equal rows (production would instead
+        route hits through ``dropDuplicatesWithinWatermark`` on the
+        pair key or dedup in the downstream consumer).
+
+    Registered with the full hash oracle: stream replay of a finite
+    landing dir under ``availableNow`` is deterministic, and hash-set
+    jaccard equals string-set jaccard (bijective xxhash64 coding on
+    this vocabulary; the same argument every MinHash op here relies
+    on).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from vector_db_core_spark.functions.text import (
+        lsh_band_keys,
+        minhash_sig_of_set,
+        shingles_of_tokens,
+        tokens,
+    )
+    from vector_db_core_spark.operators.llm import _jaccard, _shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+
+    # static side: (doc_id, hs, sig) once, bands exploded — the
+    # materialized daily-job tables
+    corpus_sets = (
+        _shingle_hashes(corpus)
+        .groupBy("doc_id")
+        .agg(F.collect_set("_b").alias("hs"))
+        .withColumn("sig", minhash_sig_of_set(F.col("hs"), num_hashes=64))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus_bands = corpus_sets.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
+    ).select("corpus_doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    corpus_verify = corpus_sets.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("hs").alias("corpus_hs")
+    )
+
+    # landing zone: the arriving batch as 4 files, one per trigger
+    key = f"mhdedup_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    root = os.path.join(_REPLAY_ROOT, key)
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    batch_docs = docs.where(F.col("doc_id") % 10 == 0)
+    batch_docs.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    hs = F.array_distinct(
+        F.transform(shingles_of_tokens(tokens("text"), 3), lambda s: F.xxhash64(s))
+    )
+    signed = stream.select(
+        F.col("doc_id").alias("batch_doc_id"), hs.alias("batch_hs")
+    ).withColumn("sig", minhash_sig_of_set(F.col("batch_hs"), num_hashes=64))
+    banded = signed.select(
+        "batch_doc_id",
+        "batch_hs",
+        F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
+    ).select("batch_doc_id", "batch_hs", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    hits = (
+        banded.join(corpus_bands, ["band", "key"])  # stream-static, stateless
+        .join(corpus_verify, "corpus_doc_id")  # stream-static, stateless
+        .select(
+            "batch_doc_id",
+            "corpus_doc_id",
+            _jaccard(F.col("batch_hs"), F.col("corpus_hs")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+    _run_to_memory(hits, "stream_replay_minhash_dedup", root, "append")
+    corpus_sets.unpersist()
+    return spark.table("stream_replay_minhash_dedup").distinct()
