@@ -105,6 +105,30 @@ def fast_jaccard_pairs(con):
     return out, ["doc_a", "doc_b", "jaccard"]
 
 
+def fast_incremental_jaccard(con):
+    """Batch(doc_id%10==0) x corpus(doc_id%10!=0) Jaccard >= 0.5 — the
+    oracle of dedup_incremental_minhash AND streaming_minhash_dedup_replay
+    (rectangular variant of fast_jaccard_pairs)."""
+    import numpy as np
+
+    doc_ids, sizes, a = _shingle_matrix(con)
+    ids = np.asarray(doc_ids)
+    bmask = ids % 10 == 0
+    out = []
+    bidx = np.nonzero(bmask)[0]
+    cidx = np.nonzero(~bmask)[0]
+    ac = a[cidx]
+    for lo in range(0, len(bidx), 2048):
+        rows = bidx[lo : lo + 2048]
+        inter = (a[rows] @ ac.T).astype(np.int64)
+        for k, i in enumerate(rows):
+            union = sizes[i] + sizes[cidx] - inter[k]
+            jac = inter[k].astype(np.float64) / union.astype(np.float64)
+            for m in np.nonzero(jac >= 0.5)[0]:
+                out.append((int(ids[i]), int(ids[cidx[m]]), float(jac[m])))
+    return out, ["batch_doc_id", "corpus_doc_id", "jaccard"]
+
+
 def _cluster_labels(con) -> dict[int, int]:
     """Union-find over the Jaccard pairs -> {doc_id: min-of-component}
     for every doc that appears in at least one edge (the same node set
@@ -212,6 +236,8 @@ FAST_ORACLES = {
     "dedup_cluster_survivors": fast_cluster_survivors,
     "sim_tfidf_rerank_pairs": fast_tfidf_rerank,
     "pipeline_cluster_safe_folds": fast_cluster_safe_folds,
+    "dedup_incremental_minhash": fast_incremental_jaccard,
+    "streaming_minhash_dedup_replay": fast_incremental_jaccard,
 }
 
 
