@@ -35,6 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
     events = load_table(spark, "/root/testdata/sf0.001", "events")
     return (
+        # event_id is used as the ordinal surrogate DELIBERATELY: on
+        # this fixture it is the dense 0-based insertion ordinal, so it
+        # stands in for the store's `rowid` contract column without
+        # building a store in the smoke path. Don't "fix" it to rowid —
+        # the raw fixture has no rowid column.
         events.where(F.col("event_id").between(0, 799))
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
