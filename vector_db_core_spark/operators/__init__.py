@@ -46,7 +46,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #:   agg_boolean_filtered, agg_equidepth_histogram, pipeline_pps_sample
 #: plus queries oracled AFTER this rotation (so far:
 #:   text_split_segments, text_split_segments_udtf,
-#:   streaming_minhash_dedup_replay, pipeline_cluster_safe_folds).
+#:   streaming_minhash_dedup_replay, pipeline_cluster_safe_folds,
+#:   pipeline_mixture_token_budget, text_bigram_fluency).
 #: Fill r6's remaining slots by recomputing the backlog with the
 #: two-liner above, then high-value repeats (one per operator family)
 #: as drift sentinels.

@@ -2553,3 +2553,76 @@ def text_split_segments_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_seg_docs d, LATERAL split_segments_udtf(d.text) s
         """
     )
+
+
+@register(
+    "text_bigram_fluency",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+               FROM documents),
+    g AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+          FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+    c AS (SELECT w1, w2, COUNT(*) AS c FROM g GROUP BY w1, w2),
+    r AS (SELECT w1, w2, c,
+                 SUM(c) OVER (PARTITION BY w1) AS w1_total
+          FROM c)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(ln(CAST(r.c AS DOUBLE) / CAST(r.w1_total AS DOUBLE))
+                               AS DECIMAL(27,15))) AS DOUBLE)
+                 / -COUNT(*), 6) AS avg_nll
+    FROM g JOIN r ON g.w1 = r.w1 AND g.w2 = r.w2
+    GROUP BY g.doc_id
+    """,
+)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score per document: average negative
+    log-likelihood of the doc's adjacent token pairs under the
+    corpus-trained conditional model P(w2|w1) — the step UP from
+    unigram scoring (``text_unigram_logprob``): unigrams can't see
+    scrambled word order, bigram NLL can, which is what separates
+    fluent text from bag-of-frequent-words garbage. Self-trained
+    (the LM table and the scored docs are the same corpus), the
+    standard bootstrap for a first-pass quality filter.
+
+    Plan: one explode builds the (doc, w1, w2) pair stream; the LM is
+    the bigram-count aggregate plus a window over the ALREADY-aggregated
+    (vocabulary-sized) table — the same two-shuffle shape as
+    ``text_bigram_lm``; scoring joins the pair stream back to the tiny
+    LM table (broadcast at real vocab sizes) and aggregates per doc.
+    Exactness: conditional probabilities divide exact BIGINTs; per-pair
+    ``ln`` outputs are absorbed to DECIMAL(27,15) before the per-doc
+    sum (the unigram-ln recipe), so the aggregate is
+    parallelism/order-independent; round(6) absorbs last-ulp ``ln``
+    differences between libms.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    pairs = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.element_at("w", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    g = t.select("doc_id", F.explode(pairs).alias("p")).select("doc_id", "p.w1", "p.w2")
+    lm = (
+        g.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .withColumn("w1_total", F.sum("c").over(W.partitionBy("w1")))
+    )
+    nll = F.log(F.col("c").cast("double") / F.col("w1_total").cast("double")).cast(
+        "decimal(27,15)"
+    )
+    return (
+        g.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(nll).cast("double") / -F.count("*"), 6).alias("avg_nll"),
+        )
+    )

@@ -1043,3 +1043,98 @@ def pipeline_cluster_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("fold_key_doc_id", "doc_id").cast("bigint").alias("fold_key_doc_id"),
         F.coalesce("rep_fold", fold_of(F.col("text"))).alias("fold"),
     )
+
+
+@register(
+    "pipeline_mixture_token_budget",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, 'src0' AS source, text
+      FROM documents WHERE doc_id % 2 = 0),
+    t AS (SELECT doc_id, source, text,
+                 len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS n_tokens
+          FROM corpus),
+    per_src AS (SELECT source, SUM(n_tokens) AS src_tokens FROM t GROUP BY source),
+    tot AS (SELECT SUM(src_tokens) AS total_tokens,
+                   COUNT(*) AS n_sources
+            FROM per_src),
+    rates AS (SELECT source,
+                     least(1.0, (2.0 * total_tokens)
+                                / (CAST(n_sources AS DOUBLE) * CAST(src_tokens AS DOUBLE)))
+                       AS keep_rate
+              FROM per_src, tot)
+    SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           round(r.keep_rate, 6) AS keep_rate
+    FROM t JOIN rates r USING (source)
+    WHERE CAST(('0x' || substr(md5(t.text), 1, 6))::BIGINT AS DOUBLE)
+          < r.keep_rate * 16777216.0
+    """,
+)
+def pipeline_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGETED source mixing — the Dolma/Pile-style rebalancing
+    pass: every source may contribute at most 2x its fair share of the
+    corpus's tokens; oversized sources are down-sampled to an
+    acceptance rate of ``min(1, 2*total/(n_sources*src_tokens))`` and
+    small sources pass whole. The budget is RELATIVE (fair share of the
+    observed total), never an absolute count — absolute thresholds are
+    the class of knob that silently empties or saturates as the corpus
+    grows (the q11 lesson, BASELINE.md). The fixture's sources are
+    near-uniform (max/fair = 1.1 — a 2x cap would never bind, the same
+    vacuity trap), so an oversized source is INJECTED by construction,
+    exactly like the dedup family plants duplicates: every even doc_id
+    is re-keyed into src0, making src0 ~10x its fair share AT EVERY
+    SCALE (the injection is proportional, not absolute) — the cap
+    demonstrably bites and keeps biting at sf0.1/sf1/sf10.
+
+    The acceptance draw is the content hash (first 24 bits of
+    md5(text) as a uniform draw on [0, 2^24)), so the mixture is
+    reproducible across reruns/engines and exact duplicates share a
+    fate — same discipline as ``pipeline_source_mixture``'s fixed-rate
+    coin; this op adds the measured, budget-derived rate.
+
+    100 TB plan: pass 1 aggregates per-source token counts (source
+    cardinality is tiny — the shuffle carries one row per source);
+    the rate table broadcasts back and pass 2 is a map-only filter
+    riding the scan. No corpus shuffle, no sampling state. Rates are
+    exact double arithmetic on exact BIGINT counts, bit-identical in
+    both engines.
+    """
+    from vector_db_core_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.lit("src0").alias("source"),
+            "text",
+        )
+    )
+    t = corpus.select(
+        "doc_id", "source", "text", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    per_src = t.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"), F.count("*").alias("n_sources")
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(2.0) * F.col("total_tokens"))
+            / (F.col("n_sources").cast("double") * F.col("src_tokens").cast("double")),
+        ).alias("keep_rate"),
+    )
+    draw = F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("long").cast("double")
+    return (
+        t.join(F.broadcast(rates), "source")
+        .where(draw < F.col("keep_rate") * F.lit(16777216.0))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+    )
