@@ -694,3 +694,71 @@ def test_udtf_matches_builtin_segments(spark):
     )
     assert builtin == via_udtf
     assert len(builtin) > 300, "fan-out vacuous — expected multiple segments/doc"
+
+
+def test_gopher_flags_discriminate_on_fixture(spark):
+    """The Gopher rule suite must be non-vacuous here: the word-count
+    and stop-word rules each pass AND fail real documents, the keep
+    decision is exactly the conjunction of the five flags, and the
+    fixture-vacuous rules (alpha/symbol — single-line word-soup text)
+    pass everywhere as documented in the docstring."""
+    rows = QUERIES["text_gopher_quality_flags"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    wc = [r.pass_word_count for r in rows]
+    st = [r.pass_stopwords for r in rows]
+    assert any(wc) and not all(wc)
+    assert any(st) and not all(st)
+    assert all(r.pass_alpha_ratio and r.pass_symbol_ratio for r in rows)
+    for r in rows:
+        assert r.gopher_keep == (
+            r.pass_word_count
+            and r.pass_mean_word_len
+            and r.pass_stopwords
+            and r.pass_alpha_ratio
+            and r.pass_symbol_ratio
+        )
+    kept = sum(1 for r in rows if r.gopher_keep)
+    assert 0 < kept < 500
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup's dominance rule gives the paper's two guarantees —
+    verify them against a numpy re-derivation of every within-cell
+    cosine: (1) no two KEPT vectors in one cell are within tau; (2)
+    every PRUNED vector names a dominator in its cell that is within
+    tau and better-ranked (lower centroid_sim, vec_id tiebreak); (3)
+    output is one row per corpus vector regardless of clustering."""
+    import numpy as np
+
+    tau = 0.35
+    rows = QUERIES["sim_semdedup_prune"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    assert {r.vec_id for r in rows} == set(range(500))
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    }
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    rank_key = {r.vec_id: (r.centroid_sim, r.vec_id) for r in rows}
+
+    pruned = [r for r in rows if r.action == "prune"]
+    assert pruned, "fixture has within-cell near-dups; prune set must be non-empty"
+    for cell, members in by_cell.items():
+        keep = [r.vec_id for r in members if r.action == "keep"]
+        for i, a in enumerate(keep):
+            for b in keep[i + 1 :]:
+                assert cos(a, b) < tau, f"kept near-dup pair {a},{b} in cell {cell}"
+    for r in pruned:
+        assert r.pruned_by is not None and r.n_dominators >= 1
+        assert cos(r.vec_id, r.pruned_by) >= tau - 1e-12
+        # centroid_sim is rounded to 6 dp in the output while the rank
+        # used the unrounded value, so allow a half-ulp-of-rounding tie
+        a, b = rank_key[r.pruned_by], rank_key[r.vec_id]
+        assert a < b or abs(a[0] - b[0]) <= 1e-6, (r.pruned_by, r.vec_id)

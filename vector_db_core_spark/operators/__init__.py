@@ -47,7 +47,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: plus queries oracled AFTER this rotation (so far:
 #:   text_split_segments, text_split_segments_udtf,
 #:   streaming_minhash_dedup_replay, pipeline_cluster_safe_folds,
-#:   pipeline_mixture_token_budget, text_bigram_fluency).
+#:   pipeline_mixture_token_budget, text_bigram_fluency,
+#:   text_gopher_quality_flags, pipeline_url_normalize_dedup).
 #: Fill r6's remaining slots by recomputing the backlog with the
 #: two-liner above, then high-value repeats (one per operator family)
 #: as drift sentinels.

@@ -2626,3 +2626,188 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(nll).cast("double") / -F.count("*"), 6).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "text_gopher_quality_flags",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                        (a, b) -> a + b) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+                 CAST(len(list_filter(toks,
+                        x -> x IN ('the','be','to','of','and','that','have','with')))
+                      AS INT) AS stopword_hits,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                      AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS alpha_word_ratio,
+                 CAST(len(regexp_extract_all(text, '#')) +
+                      len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS symbol_word_ratio
+          FROM t)
+    SELECT doc_id, n_words, mean_word_len, stopword_hits,
+           alpha_word_ratio, symbol_word_ratio,
+           (n_words BETWEEN 50 AND 100000) AS pass_word_count,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS pass_mean_word_len,
+           (stopword_hits >= 2) AS pass_stopwords,
+           (alpha_word_ratio >= 0.8) AS pass_alpha_ratio,
+           (symbol_word_ratio <= 0.1) AS pass_symbol_ratio,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND (stopword_hits >= 2)
+            AND (alpha_word_ratio >= 0.8)
+            AND (symbol_word_ratio <= 0.1)) AS gopher_keep
+    FROM s
+    """,
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveWeb rule-based quality filter (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A) — the published
+    heuristic suite behind most web-corpus curation stacks, as
+    per-rule boolean flags plus the conjunctive keep decision, so a
+    pipeline can audit WHICH rule dropped a document (the thing the
+    single-score ``text_quality_score`` cannot answer).
+
+    Rules carried (published thresholds): word count in [50, 1e5];
+    mean word length in [3, 10]; >= 2 stop words; >= 80% of words
+    contain an alphabetic character; symbol-to-word ratio ('#' or
+    '...') <= 0.1. The remaining Gopher rules are line-shaped
+    (bullet/ellipsis line starts, duplicate lines) — this fixture's
+    documents are single-line word streams, so those rules are
+    structurally vacuous here and live with the repetition family
+    (``text_repetition_ratio``) instead. On this fixture the word-count
+    and stop-word rules genuinely discriminate (277/500 and 224/500
+    pass at sf0.01 — pinned non-vacuous in tests/test_llm.py).
+
+    Plan/scale: pure per-row projection over the scan — no shuffle, no
+    UDF, whole-stage codegen'd; at 100 TB this is the map pass that
+    runs fused with ingest. Exactness: ratios are int/int divisions in
+    double (identical IEEE ops both engines); flags compare those
+    exact doubles, so even the boundaries hash-match.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    mwl = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long"))
+        .cast("double")
+        / n.cast("double")
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin("the", "be", "to", "of", "and", "that", "have", "with"))
+    )
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n.cast(
+        "double"
+    )
+    sym = (
+        F.regexp_count(F.col("text"), F.lit("#")) + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    ).cast("double") / n.cast("double")
+    s = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stop_hits.alias("stopword_hits"),
+        alpha.alias("alpha_word_ratio"),
+        sym.alias("symbol_word_ratio"),
+    )
+    p_wc = F.col("n_words").between(50, 100000)
+    p_mwl = F.col("mean_word_len").between(3.0, 10.0)
+    p_stop = F.col("stopword_hits") >= 2
+    p_alpha = F.col("alpha_word_ratio") >= 0.8
+    p_sym = F.col("symbol_word_ratio") <= 0.1
+    return s.select(
+        "*",
+        p_wc.alias("pass_word_count"),
+        p_mwl.alias("pass_mean_word_len"),
+        p_stop.alias("pass_stopwords"),
+        p_alpha.alias("pass_alpha_ratio"),
+        p_sym.alias("pass_symbol_ratio"),
+        (p_wc & p_mwl & p_stop & p_alpha & p_sym).alias("gopher_keep"),
+    )
+
+
+@register("sim_semdedup_prune")  # seeded KMeans cells → rows-only check
+def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster with k-means, then
+    inside each cluster prune every vector that has a semantically
+    near-identical neighbor (cosine >= tau), keeping the most diverse
+    representative. The published recipe for trimming semantically
+    redundant web data before LLM training (the paper's LAION/C4 runs
+    drop 20-50% of examples at minimal quality cost).
+
+    Faithful choices: within-cluster-only comparison (cross-cluster
+    near-dups are the accepted approximation that makes the op
+    sub-quadratic — the paper's own design); the kept representative
+    is the member with the LOWEST cosine to its centroid (the paper
+    keeps low-centroid-similarity examples to bias the survivors
+    toward diversity). One deliberate deviation, documented: the
+    paper prunes greedily-sequentially inside a cluster; we use the
+    one-round DOMINANCE rule — a vector is pruned iff some
+    better-ranked vector in its cell is within tau of it (rank =
+    centroid-cosine ascending, vec_id tiebreak). Dominance needs one
+    self-join instead of a sequential scan, is order- and
+    partitioning-independent, and yields the same two invariants the
+    paper's greedy gives (pinned in tests/test_llm.py): no two KEPT
+    vectors in a cell are within tau, and every PRUNED vector names a
+    better-ranked dominator within tau.
+
+    Plan/scale: seeded KMeans (k=16 here; k scales ~n/target_cell_size
+    at 100 TB, the paper uses 50k cells for LAION) broadcasts a tiny
+    centroid model; cell assignment is one map pass; the quadratic
+    work is confined to within-cell self-joins where the cell size is
+    the knob — exactly the IVF trick ``sim_ann_ivf_topk`` uses.
+    Rows-only (KMeans has no DuckDB twin): output is one row per
+    corpus vector with action in {{'keep','prune'}}, so the row count
+    is input-stable regardless of clustering.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    tau = 0.35  # fixture near-dup regime (cosine 0.35+, like sim_embedding_near_pairs)
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("fv", array_to_vector(F.col("v")))
+    )
+    model = KMeans(k=16, seed=42, featuresCol="fv", predictionCol="cell").fit(e)
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = spark.createDataFrame(centroids, "cell INT, cv ARRAY<DOUBLE>")
+    ranked = (
+        model.transform(e)
+        .select("vec_id", "v", "cell")
+        .join(F.broadcast(cdf), "cell")
+        .select("vec_id", "v", "cell", cosine_similarity(F.col("v"), F.col("cv")).alias("csim"))
+        .withColumn(
+            "rank",
+            F.row_number().over(W.partitionBy("cell").orderBy(F.col("csim").asc(), "vec_id")),
+        )
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.rank") < F.col("b.rank"))
+            & (cosine_similarity(F.col("a.v"), F.col("b.v")) >= tau),
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(
+            F.count("*").cast("int").alias("n_dominators"),
+            F.min_by(F.col("a.vec_id"), F.col("a.rank")).alias("pruned_by"),
+        )
+    )
+    return (
+        ranked.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.round("csim", 6).alias("centroid_sim"),
+            F.coalesce("n_dominators", F.lit(0)).alias("n_dominators"),
+            "pruned_by",
+            F.when(F.col("n_dominators").isNull(), "keep").otherwise("prune").alias("action"),
+        )
+    )

@@ -1138,3 +1138,121 @@ def pipeline_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round("keep_rate", 6).alias("keep_rate"),
         )
     )
+
+
+@register(
+    "pipeline_url_normalize_dedup",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN upper('cdn' || CAST((doc_id % 200) % 10 AS VARCHAR) || '.example.org')
+                      ELSE 'cdn' || CAST((doc_id % 200) % 10 AS VARCHAR) || '.example.org' END)
+             || '/item/' || CAST(doc_id % 200 AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN concat_ws('&',
+                       nullif(CASE doc_id % 4
+                              WHEN 0 THEN 'utm_source=feed&utm_medium=rss'
+                              WHEN 1 THEN 'ref=share'
+                              WHEN 2 THEN 'fbclid=x' || CAST(doc_id AS VARCHAR)
+                              ELSE '' END, ''),
+                       nullif(CASE WHEN (doc_id % 200) % 4 = 0 THEN 'page=2' ELSE '' END, '')) <> ''
+                 THEN '?' || concat_ws('&',
+                       nullif(CASE doc_id % 4
+                              WHEN 0 THEN 'utm_source=feed&utm_medium=rss'
+                              WHEN 1 THEN 'ref=share'
+                              WHEN 2 THEN 'fbclid=x' || CAST(doc_id AS VARCHAR)
+                              ELSE '' END, ''),
+                       nullif(CASE WHEN (doc_id % 200) % 4 = 0 THEN 'page=2' ELSE '' END, ''))
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS raw
+      FROM documents),
+    n AS (
+      SELECT doc_id, raw,
+             'https://'
+             || lower(regexp_extract(raw, '^https?://([^/?#]+)', 1))
+             || regexp_replace(regexp_extract(raw, '^https?://[^/?#]+([^?#]*)', 1), '/+$', '')
+             || (CASE WHEN len(list_filter(string_split(regexp_extract(raw, '\?([^#]*)', 1), '&'),
+                          p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid)='))) > 0
+                 THEN '?' || array_to_string(
+                        list_sort(list_filter(string_split(regexp_extract(raw, '\?([^#]*)', 1), '&'),
+                          p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid)='))), '&')
+                 ELSE '' END) AS canonical_url
+      FROM w)
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_raw_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM n GROUP BY canonical_url
+    """,
+)
+def pipeline_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first pass of every web-crawl
+    pipeline: the same page arrives under http/https, cased hosts,
+    trailing slashes, tracking parameters (utm_*, ref, fbclid) and
+    fragments, and naive exact-URL dedup misses all of it. The fixture
+    has no URL column, so a deterministic MESSY url is synthesized per
+    document (scheme/case/slash/tracking/fragment variants keyed off
+    doc_id — the ``pipeline_url_domain_stats`` convention), then
+    canonicalized the way a crawler does: lowercase scheme+host, strip
+    fragment, strip trailing slash, drop tracking params but KEEP real
+    query params (page=2 survives) sorted for order stability, force
+    https. Grouping by the canonical form recovers the ~200 real pages
+    behind 500+ raw spellings (at sf0.01: 200 canonical urls, each
+    seen under multiple raw variants — the oracle hash checks every
+    canonical string byte-for-byte).
+
+    Plan/scale: per-row regexp surgery on the scan (codegen, no UDF),
+    then ONE groupBy on the canonical url with map-side combine; at
+    100 TB the canonical-url keyspace is the dedup key domain itself,
+    the same shuffle any exact dedup pays. COUNT(DISTINCT raw) adds
+    the standard two-phase distinct under the same key — no extra
+    shuffle of the corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    item = F.col("doc_id") % 200
+    host = F.concat(F.lit("cdn"), (item % 10).cast("string"), F.lit(".example.org"))
+    host_cased = F.when(F.col("doc_id") % 3 == 0, F.upper(host)).otherwise(host)
+    scheme = F.when(F.col("doc_id") % 2 == 0, "http").otherwise("https")
+    variant = (
+        F.when(F.col("doc_id") % 4 == 0, "utm_source=feed&utm_medium=rss")
+        .when(F.col("doc_id") % 4 == 1, "ref=share")
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("fbclid=x"), F.col("doc_id").cast("string")))
+        .otherwise("")
+    )
+    real = F.when(item % 4 == 0, "page=2").otherwise("")
+    qs = F.concat_ws("&", F.nullif(variant, F.lit("")), F.nullif(real, F.lit("")))
+    raw = F.concat(
+        scheme,
+        F.lit("://"),
+        host_cased,
+        F.lit("/item/"),
+        item.cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "#section-2").otherwise(""),
+    )
+    w = docs.select("doc_id", raw.alias("raw"))
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(F.col("raw"), r"\?([^#]*)", 1), "&"),
+            lambda p: (p != "") & (~p.rlike("^(utm_[a-z]+|ref|fbclid)=")),
+        )
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(F.col("raw"), r"^https?://([^/?#]+)", 1)),
+        F.regexp_replace(F.regexp_extract(F.col("raw"), r"^https?://[^/?#]+([^?#]*)", 1), "/+$", ""),
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(""),
+    )
+    return (
+        w.select("doc_id", "raw", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("raw").alias("n_raw_variants"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
