@@ -2811,3 +2811,93 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_dominators").isNull(), "keep").otherwise("prune").alias("action"),
         )
     )
+
+
+@register(
+    "sim_knn_label_vote",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    p AS (SELECT a.vec_id AS query_id, a.label AS true_label,
+                 b.vec_id AS neighbor_id, b.label AS neighbor_label,
+                 {_COS_AB} AS cosine_sim
+          FROM e a JOIN e b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 10),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM p),
+    v AS (SELECT query_id, true_label, neighbor_label,
+                 CAST(COUNT(*) AS INT) AS n_votes,
+                 MAX(cosine_sim) AS best_sim
+          FROM r WHERE rank <= 5
+          GROUP BY query_id, true_label, neighbor_label),
+    w AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY n_votes DESC, best_sim DESC, neighbor_label) AS vr
+          FROM v)
+    SELECT query_id, CAST(true_label AS INT) AS true_label,
+           CAST(neighbor_label AS INT) AS predicted_label, n_votes, best_sim
+    FROM w WHERE vr = 1
+    """,
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote over the exact cosine
+    top-5 — the canonical APPLIED end-task of the similarity family
+    (auto-labeling / weak supervision over an embedding corpus): each
+    query takes the plurality label of its 5 nearest neighbors, ties
+    broken by best cosine then label — fully deterministic, so the
+    whole pipeline (scoring, ranking, voting, tie-breaks) sits under
+    the hash gate, which none of the ANN variants can offer.
+
+    Plan: reuses ``sim_cosine_topk``'s scale shape — broadcast query
+    set, map-side scoring, TWO-PHASE top-k (per-partition prune to
+    <= k before the only wide shuffle) — then the vote is a groupBy
+    over <= k rows per query and a one-row-per-query window. At
+    100 TB the neighbor lists come from the ANN index
+    (``sim_ann_lsh_topk`` candidates, exact re-rank) and the vote
+    stage is unchanged — approximation lives in candidate selection
+    only, never in the vote.
+    """
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cosine_similarity(F.col("qv"), F.col("v")).alias("cosine_sim"),
+    )
+    local = W.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    final = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    knn = (
+        scored.withColumn("lrank", F.row_number().over(local))
+        .where(F.col("lrank") <= 5)
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= 5)
+    )
+    votes = knn.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").cast("int").alias("n_votes"),
+        F.max("cosine_sim").alias("best_sim"),
+    )
+    vw = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("best_sim").desc(), F.col("neighbor_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("neighbor_label").cast("int").alias("predicted_label"),
+            "n_votes",
+            "best_sim",
+        )
+    )
