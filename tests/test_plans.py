@@ -642,3 +642,48 @@ def test_tfidf_rerank_is_cartesian_free(spark):
     plan = _plan_simple(QUERIES["sim_tfidf_rerank_pairs"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_flags_map_only(spark):
+    """The Gopher rule suite is a pure projection riding the scan: no
+    Exchange, no Python, and the wide unused columns pruned away."""
+    plan = _plan(QUERIES["text_gopher_quality_flags"](spark, SF_ORACLE))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_url_normalize_dedup_single_agg_no_python(spark):
+    """URL canonicalization is codegen'd regexp surgery plus the one
+    dedup-key aggregation: the only exchanges are the two-phase
+    distinct-count aggregation on canonical_url (partial/final of one
+    logical shuffle boundary) — no Python, no join, no extra shuffle
+    of the corpus."""
+    df = QUERIES["pipeline_url_normalize_dedup"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "Join" not in plan
+    simple = _plan_simple(df)
+    exchanges = [ln for ln in simple.splitlines() if "Exchange" in ln]
+    assert 1 <= len(exchanges) <= 2
+    assert all("canonical_url" in ln for ln in exchanges)
+
+
+def test_knn_vote_two_phase_topk_and_broadcast_queries(spark):
+    """The vote pipeline keeps sim_cosine_topk's scale contract: query
+    set broadcast (corpus never shuffles for the join), per-partition
+    local rank prunes to <= k before the single wide top-k shuffle."""
+    df = QUERIES["sim_knn_label_vote"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert plan.count("SortMergeJoin") == 0
+    # local-rank phase: the first window exchange keys on
+    # (query_id, spark_partition_id) — materialized as _w0 — so the
+    # global top-k exchange only ever sees <= k rows per partition
+    simple = _plan_simple(df)
+    assert any(
+        "hashpartitioning(query_id" in ln and "_w0" in ln
+        for ln in simple.splitlines()
+        if "Exchange" in ln
+    )
