@@ -393,3 +393,43 @@ def test_snapshot_survives_compaction(spark, tmp_path):
     store.compact(n_files=2)
     after = [(r.a, r.b) for r in store.snapshot(cut).collect()]
     assert before == after and len(after) == cut
+
+
+def test_export_ordered_tiles_range_without_shuffle(spark, tmp_path):
+    """export_ordered's contract: per-file spans tile 0..n-1 exactly
+    (validated by ordered_spans), the concatenated frames replay the
+    corpus in insertion order with no Exchange anywhere in any plan,
+    and the property survives compact()."""
+    from vector_db_core_spark.store import OrdinalStore
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT, b STRING")
+    for batch in range(4):
+        df = spark.createDataFrame(
+            [(batch * 100 + i, f"r{batch}_{i}") for i in range(100)], "a INT, b STRING"
+        ).repartition(8)
+        store.pushx(df)
+
+    def replay():
+        out, expected_lo = [], 0
+        for lo, hi, frame in store.export_ordered():
+            assert lo == expected_lo
+            expected_lo = hi + 1
+            plan = frame._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            rows = frame.select("rowid", "a").collect()
+            assert [r.rowid for r in rows] == list(range(lo, hi + 1))
+            out.extend(r.a for r in rows)
+        assert expected_lo == 400
+        return out
+
+    ordered_a = replay()
+    # rowid order is partition order at push time (repartition(8)
+    # scrambles `a`), but each batch's 100 values stay within that
+    # batch's rowid block and nothing is lost or duplicated
+    assert sorted(ordered_a) == list(range(400))
+    for batch in range(4):
+        block = ordered_a[batch * 100 : (batch + 1) * 100]
+        assert sorted(block) == list(range(batch * 100, (batch + 1) * 100))
+
+    store.compact(n_files=3)
+    assert replay() == ordered_a
