@@ -762,3 +762,48 @@ def test_semdedup_invariants(spark):
         # used the unrounded value, so allow a half-ulp-of-rounding tie
         a, b = rank_key[r.pruned_by], rank_key[r.vec_id]
         assert a < b or abs(a[0] - b[0]) <= 1e-6, (r.pruned_by, r.vec_id)
+
+
+def test_resize_image_nearest_neighbor_roundtrip():
+    """resize_image must decode, resample with the floor convention,
+    and re-encode netpbm that our own decoder round-trips — for gray
+    netpbm, RGB PPM, and BMP inputs; numpy re-derives the expectation.
+    Bad payloads and bad targets stay declared errors."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_db_core_spark.functions.multimodal import (
+        UnsupportedMediaError,
+        decode_image,
+        resize_image,
+    )
+
+    # 4x4 gray ramp → 2x2 picks rows/cols 0,2
+    raster = bytes(range(16))
+    out = resize_image(b"P5\n4 4\n255\n" + raster, 2, 2)
+    assert out.startswith(b"P5\n2 2\n255\n")
+    assert list(out[len(b"P5\n2 2\n255\n"):]) == [0, 2, 8, 10]
+
+    # upscale is index replication under the same convention
+    up = resize_image(b"P5\n2 1\n255\n" + bytes([7, 9]), 4, 1)
+    assert list(up[len(b"P5\n4 1\n255\n"):]) == [7, 7, 9, 9]
+
+    # RGB PPM → P6, channels move together
+    px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]  # 2x2 RGB
+    out = resize_image(_ppm(2, 2, px), 1, 1)
+    img = decode_image(out)
+    assert (img["width"], img["height"], img["channels"]) == (1, 1, 3)
+    assert list(img["pixels"]) == [255, 0, 0]
+
+    # BMP input resizes through the same kernel; verify vs numpy
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    out = decode_image(resize_image(_bmp24(2, 2, rows), 2, 1))
+    ref = np.array(px, dtype=np.uint8).reshape(2, 2, 3)[[0]][:, [0, 1]]
+    assert list(out["pixels"]) == list(ref.tobytes())
+
+    with _pytest.raises(UnsupportedMediaError):
+        resize_image(b"\x00garbage", 2, 2)
+    with _pytest.raises(UnsupportedMediaError):
+        resize_image(b"P5\n4 4\n255\n" + raster, 0, 2)
+    with _pytest.raises(UnsupportedMediaError):
+        resize_image(b"P5\n4 4\n255\n" + raster[:3], 2, 2)  # truncated

@@ -374,6 +374,43 @@ def extract_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL raster resize: decode (``decode_image`` — pillow or the
+    pure-python netpbm/BMP/PNG path), nearest-neighbor resample with
+    the floor convention ``src = floor(dst * src_dim / dst_dim)``
+    (pure integer index math — no rounding ambiguity, so the result
+    is byte-exact on any engine and SQL-re-derivable for the oracle),
+    and re-encode as binary netpbm (P5 gray / P6 RGB), which our own
+    decoder round-trips. Raises :class:`UnsupportedMediaError` for
+    payloads ``decode_image`` can't handle — compose with
+    ``stub_resize`` when totality matters more than pixels.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    if width <= 0 or height <= 0:
+        raise UnsupportedMediaError(f"invalid target {width}x{height}")
+    if payload is not None and bytes(payload[:2]) in (b"P5", b"P6"):
+        # netpbm stays on the pure-python decoder even when pillow is
+        # importable: pillow's convert("RGB") would promote P5 gray to
+        # 3 channels and the re-encoded bytes would depend on the
+        # environment — this keeps gray-in → gray-out everywhere.
+        try:
+            w, h, ch, pixels = _decode_netpbm(bytes(payload))
+        except (ValueError, IndexError) as exc:
+            raise UnsupportedMediaError(f"malformed netpbm payload: {exc}") from exc
+        img = {"width": w, "height": h, "channels": ch, "pixels": pixels}
+    else:
+        img = decode_image(payload)
+    w, h, ch = img["width"], img["height"], img["channels"]
+    raster = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    out = raster[ys][:, xs]
+    magic = b"P5" if ch == 1 else b"P6"
+    header = magic + b"\n%d %d\n255\n" % (width, height)
+    return header + out.tobytes()
+
+
 def stub_resize(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic stand-in for a raster resize: clamps the payload
     to ``width * height`` bytes (a real resizer decodes, resamples and

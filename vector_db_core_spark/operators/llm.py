@@ -2901,3 +2901,56 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_sim",
         )
     )
+
+
+_RESIZE_THUMB_SQL = """
+WITH h AS (SELECT doc_id, md5(text) || md5(reverse(text)) AS hx FROM documents)
+SELECT doc_id,
+       4 AS out_width, 2 AS out_height,
+       upper(substr(hx, 1, 2) || substr(hx, 5, 2) || substr(hx, 9, 2) ||
+             substr(hx, 13, 2) || substr(hx, 33, 2) || substr(hx, 37, 2) ||
+             substr(hx, 41, 2) || substr(hx, 45, 2)) AS raster_hex
+FROM h
+"""
+
+
+@register("multimodal_resize_thumbnail", oracle=_RESIZE_THUMB_SQL)
+def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raster resize under the hash gate — the thumbnailing pass
+    of a media curation pipeline, on the ``multimodal_decode_features``
+    construction: every document becomes the same content-derived 8x4
+    grayscale netpbm, then ``resize_media`` runs the Arrow-batched
+    ``mapInPandas`` path with the REAL resizer
+    (``functions.multimodal.resize_image``: decode -> nearest-neighbor
+    resample -> netpbm re-encode) down to 4x2, and the query emits the
+    resized raster bytes as hex. Nearest-neighbor with the floor
+    convention ``src = floor(dst * src_dim / dst_dim)`` picks source
+    pixel (2y, 2x) for every target (y, x) here, so the 8 output bytes
+    are raster positions 0,2,4,6,16,18,20,22 — which the oracle
+    re-derives directly from the md5 hex. Real decoder, real
+    resampler, real re-encode, byte-exact across engines.
+
+    100 TB: scan -> project -> mapInPandas -> project, shuffle-free,
+    payload bytes never leave the executor that read them; the
+    metadata columns (width/height) are rewritten in the same pass —
+    the schema discipline a media pipeline needs so downstream
+    consumers trust dimensions without re-decoding.
+    """
+    from vector_db_core_spark.functions.multimodal import resize_image, resize_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hexs = F.concat(F.md5("text"), F.md5(F.reverse(F.col("text"))))
+    imgs = docs.select(
+        "doc_id",
+        F.concat(F.lit(b"P5\n8 4\n255\n"), F.unhex(hexs)).alias("payload"),
+        F.lit(8).alias("width"),
+        F.lit(4).alias("height"),
+    )
+    resized = resize_media(imgs, width=4, height=2, resizer=resize_image)
+    # strip the fixed 11-byte "P5\n4 2\n255\n" header → 8 raster bytes
+    return resized.select(
+        "doc_id",
+        F.col("width").alias("out_width"),
+        F.col("height").alias("out_height"),
+        F.substring(F.hex("payload"), 23, 16).alias("raster_hex"),
+    )
