@@ -49,7 +49,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #:   streaming_minhash_dedup_replay, pipeline_cluster_safe_folds,
 #:   pipeline_mixture_token_budget, text_bigram_fluency,
 #:   text_gopher_quality_flags, pipeline_url_normalize_dedup,
-#:   sim_knn_label_vote, multimodal_resize_thumbnail).
+#:   sim_knn_label_vote, multimodal_resize_thumbnail,
+#:   text_top_bigram_char_fraction).
 #: Fill r6's remaining slots by recomputing the backlog with the
 #: two-liner above, then high-value repeats (one per operator family)
 #: as drift sentinels.

@@ -2954,3 +2954,81 @@ def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("out_height"),
         F.substring(F.hex("payload"), 23, 16).alias("raster_hex"),
     )
+
+
+@register(
+    "text_top_bigram_char_fraction",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, n_chars,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+               FROM documents),
+    g AS (SELECT doc_id, n_chars, w[i] AS w1, w[i + 1] AS w2
+          FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)),
+    c AS (SELECT doc_id, n_chars, w1, w2, CAST(COUNT(*) AS INT) AS c
+          FROM g GROUP BY doc_id, n_chars, w1, w2),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, w1, w2) AS rn
+          FROM c)
+    SELECT doc_id,
+           w1 || ' ' || w2 AS top_bigram,
+           c AS top_count,
+           CAST(c * (length(w1) + length(w2) + 1) AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS char_fraction,
+           (CAST(c * (length(w1) + length(w2) + 1) AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) <= 0.20) AS pass_top_bigram
+    FROM r WHERE rn = 1
+    """,
+)
+def text_top_bigram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule: fraction of a document's characters
+    occupied by occurrences of its MOST FREQUENT word bigram
+    (Rae et al. 2021 App. A caps it at 0.20 — boilerplate and
+    template spam repeat one phrase until it dominates the byte
+    count, which per-word measures like ``text_repetition_ratio``
+    underweight). Completes the rule family next to
+    ``text_gopher_quality_flags``'s word-shape rules: characters per
+    occurrence = len(w1) + len(w2) + 1 (the joining space), over the
+    fixture's ``n_chars``.
+
+    Plan: the bigram pair stream (one explode), a per-doc pair count
+    with map-side combine, and the argmax as a per-doc window with
+    fully deterministic tie-breaks (count desc, then lexicographic) —
+    two shuffles, both keyed on doc_id (+bigram), no join back to the
+    corpus because ``n_chars`` rides the aggregation key. Integer
+    counts and int/int double division — hash-exact on both engines.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "n_chars", tokens(F.col("text")).alias("w"))
+    pairs = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.element_at("w", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    g = t.select("doc_id", "n_chars", F.explode(pairs).alias("p")).select(
+        "doc_id", "n_chars", "p.w1", "p.w2"
+    )
+    c = g.groupBy("doc_id", "n_chars", "w1", "w2").agg(
+        F.count("*").cast("int").alias("c")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("c").desc(), "w1", "w2")
+    )
+    frac = (
+        F.col("c") * (F.length("w1") + F.length("w2") + 1)
+    ).cast("double") / F.col("n_chars").cast("double")
+    return (
+        c.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w1", "w2").alias("top_bigram"),
+            F.col("c").alias("top_count"),
+            frac.alias("char_fraction"),
+            (frac <= 0.20).alias("pass_top_bigram"),
+        )
+    )
