@@ -746,7 +746,27 @@ def test_semdedup_invariants(spark):
     by_cell: dict[int, list] = {}
     for r in rows:
         by_cell.setdefault(r.cell, []).append(r)
-    rank_key = {r.vec_id: (r.centroid_sim, r.vec_id) for r in rows}
+
+    # Re-derive the UNROUNDED centroid cosine in numpy: the operator's
+    # k-means has converged on this fixture, so each model centroid
+    # equals the mean of its final members' embeddings — cross-checked
+    # below against the rounded output value for every row. This makes
+    # the dominator-rank assertion STRICT (the old <=1e-6 tolerance
+    # for 6-dp output rounding could also absorb a genuine inversion
+    # between members whose centroid_sim differ by <=1e-6).
+    cent = {
+        cell: np.mean([emb[r.vec_id] for r in members], axis=0)
+        for cell, members in by_cell.items()
+    }
+    unrounded = {}
+    for r in rows:
+        c, v = cent[r.cell], emb[r.vec_id]
+        unrounded[r.vec_id] = float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+        assert abs(unrounded[r.vec_id] - r.centroid_sim) <= 5.1e-7, (
+            r.vec_id,
+            "member-mean centroid disagrees with model centroid — k-means "
+            "did not converge; the strict rank re-derivation is invalid",
+        )
 
     pruned = [r for r in rows if r.action == "prune"]
     assert pruned, "fixture has within-cell near-dups; prune set must be non-empty"
@@ -758,10 +778,10 @@ def test_semdedup_invariants(spark):
     for r in pruned:
         assert r.pruned_by is not None and r.n_dominators >= 1
         assert cos(r.vec_id, r.pruned_by) >= tau - 1e-12
-        # centroid_sim is rounded to 6 dp in the output while the rank
-        # used the unrounded value, so allow a half-ulp-of-rounding tie
-        a, b = rank_key[r.pruned_by], rank_key[r.vec_id]
-        assert a < b or abs(a[0] - b[0]) <= 1e-6, (r.pruned_by, r.vec_id)
+        # strict (csim, vec_id) ordering on the unrounded values
+        a = (unrounded[r.pruned_by], r.pruned_by)
+        b = (unrounded[r.vec_id], r.vec_id)
+        assert a < b, (r.pruned_by, r.vec_id)
 
 
 def test_resize_image_nearest_neighbor_roundtrip():

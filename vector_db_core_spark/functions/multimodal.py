@@ -249,11 +249,15 @@ def decode_image(payload: bytes) -> dict:
     ValueError/IndexError into a running job — one corrupt row in a
     100 TB corpus must not kill the pipeline).
     """
-    import struct  # noqa: PLC0415
-    import zlib  # noqa: PLC0415
-
     if payload is None or len(payload) < 2:
         raise UnsupportedMediaError("empty payload")
+    if _pure_decodable(payload):
+        # engine-independent path FIRST: any format the pure decoder
+        # recognizes decodes the same way whether or not pillow is
+        # installed (pillow's convert("RGB") would promote gray
+        # sources to 3 channels, making downstream bytes depend on
+        # the environment).
+        return _decode_pure(bytes(payload))
     pil = _pil_image_module()
     if pil is not None:  # pragma: no cover - pillow absent here
         import io  # noqa: PLC0415
@@ -269,14 +273,34 @@ def decode_image(payload: bytes) -> dict:
             "channels": 3,
             "pixels": img.tobytes(),
         }
+    return _decode_pure(bytes(payload))
+
+
+def _pure_decodable(payload: bytes) -> bool:
+    """True when the pure-python decoder recognizes the magic bytes
+    (netpbm P5/P6, BMP, PNG) — i.e. the payload decodes identically
+    with or without pillow installed."""
+    if payload is None or len(payload) < 2:
+        return False
+    head = bytes(payload[:8])
+    return head[:2] in (b"P5", b"P6", b"BM") or head == _PNG_SIG
+
+
+def _decode_pure(payload: bytes) -> dict:
+    """Pure-python decode dispatch (no pillow): netpbm P5/P6,
+    uncompressed BMP, non-interlaced 8-bit PNG. Same return contract
+    and error discipline as :func:`decode_image`."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
     magic = bytes(payload[:2])
     try:
         if magic in (b"P5", b"P6"):
-            w, h, ch, raster = _decode_netpbm(bytes(payload))
+            w, h, ch, raster = _decode_netpbm(payload)
         elif magic == b"BM":
-            w, h, ch, raster = _decode_bmp(bytes(payload))
+            w, h, ch, raster = _decode_bmp(payload)
         elif bytes(payload[:8]) == _PNG_SIG:
-            w, h, ch, raster = _decode_png(bytes(payload))
+            w, h, ch, raster = _decode_png(payload)
         else:
             raise UnsupportedMediaError(
                 f"no decoder for payload with magic {magic!r}: pillow is not "
@@ -375,32 +399,26 @@ def extract_features(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL raster resize: decode (``decode_image`` — pillow or the
-    pure-python netpbm/BMP/PNG path), nearest-neighbor resample with
-    the floor convention ``src = floor(dst * src_dim / dst_dim)``
-    (pure integer index math — no rounding ambiguity, so the result
-    is byte-exact on any engine and SQL-re-derivable for the oracle),
-    and re-encode as binary netpbm (P5 gray / P6 RGB), which our own
-    decoder round-trips. Raises :class:`UnsupportedMediaError` for
-    payloads ``decode_image`` can't handle — compose with
-    ``stub_resize`` when totality matters more than pixels.
+    """REAL raster resize: decode (``decode_image``), nearest-neighbor
+    resample with the floor convention ``src = floor(dst * src_dim /
+    dst_dim)`` (pure integer index math — no rounding ambiguity), and
+    re-encode as binary netpbm (P5 gray / P6 RGB), which our own
+    decoder round-trips. Byte-exactness scope: for every pure-python-
+    decodable format (netpbm P5/P6, uncompressed BMP, non-interlaced
+    8-bit PNG — everything in this repo's fixtures) ``decode_image``
+    uses the pure decoder UNCONDITIONALLY, so gray stays 1-channel and
+    the output bytes are identical with or without pillow installed;
+    formats only pillow can read decode via ``convert("RGB")`` and are
+    byte-stable per environment, not across them. Raises
+    :class:`UnsupportedMediaError` for payloads ``decode_image`` can't
+    handle — compose with ``stub_resize`` when totality matters more
+    than pixels.
     """
     import numpy as np  # noqa: PLC0415
 
     if width <= 0 or height <= 0:
         raise UnsupportedMediaError(f"invalid target {width}x{height}")
-    if payload is not None and bytes(payload[:2]) in (b"P5", b"P6"):
-        # netpbm stays on the pure-python decoder even when pillow is
-        # importable: pillow's convert("RGB") would promote P5 gray to
-        # 3 channels and the re-encoded bytes would depend on the
-        # environment — this keeps gray-in → gray-out everywhere.
-        try:
-            w, h, ch, pixels = _decode_netpbm(bytes(payload))
-        except (ValueError, IndexError) as exc:
-            raise UnsupportedMediaError(f"malformed netpbm payload: {exc}") from exc
-        img = {"width": w, "height": h, "channels": ch, "pixels": pixels}
-    else:
-        img = decode_image(payload)
+    img = decode_image(payload)
     w, h, ch = img["width"], img["height"], img["channels"]
     raster = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, ch)
     ys = (np.arange(height) * h) // height

@@ -24,96 +24,87 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
 #: The 50 queries surfaced to the driver's correctness window.
 #:
-#: Round-5 rotation: after r4's perfect 50/50 run, 104 distinct oracled
-#: queries had ever earned a driver hash row, leaving exactly 62 never
-#: driver-checked (all 62 hash-verified by the round-4 judge at sf0.01
-#: and by tools/oracle_sweep.py at sf0.1). This window holds 50 of
-#: those 62 — ZERO repeats from rounds 1-4 (the r4 window accidentally
-#: repeated 13; this one is computed mechanically):
-#:   covered = union of hash_match rows across CORRECTNESS_r0{1..4}.json
-#:   backlog = [n for n in ORACLE if n not in covered]   # == 62
+#: Round-6 rotation (mechanical, per the r5 verdict):
+#:   covered = union of hash_match rows across CORRECTNESS_r0{1..5}.json
+#:   backlog = [n for n in ORACLE if n not in covered]   # == 23
+#: The 23 backlog entries (12 deferred from the r5 window + the 11
+#: operators added in round 5) go FIRST; a green run makes distinct
+#: ever-driver-green == 177/177, i.e. every oracled query in the
+#: registry has at least one driver hash row. The remaining 27 slots
+#: are drift sentinels: group the 154 covered queries into operator
+#: families (prefix, TPC-H collapsed to one family), take each
+#: family's OLDEST-green member, rank families by that round
+#: ascending, keep 27. The seven families dropped by the cut
+#: (profile, unpivot, attribution, checksum, merge, quality, scd2)
+#: are exactly the freshest — all first green in r4/r5.
 #: Fixture drift (the round-2 failure mode) is covered by
 #: tests/test_fixture_schema.py; everything outside the window stays
 #: green in the local pytest oracle replica (tests/test_oracle.py).
 #:
-#: ROUND-6 PLAN (mechanical mop-up — the 12 backlog entries deferred
-#: from this window; putting them first in r6's window closes the
-#: driver debt at 166/166 oracled queries ever-hash-green):
-#:   text_vocabulary_topn, text_boilerplate_phrases, text_char_entropy,
-#:   text_hashing_vectorizer, window_ntile_percentile_ranks,
-#:   window_tumbling_event_counts, scalar_edit_distance,
-#:   scalar_conditional_functions, agg_collect_sorted_sets,
-#:   agg_boolean_filtered, agg_equidepth_histogram, pipeline_pps_sample
-#: plus queries oracled AFTER this rotation (so far:
-#:   text_split_segments, text_split_segments_udtf,
-#:   streaming_minhash_dedup_replay, pipeline_cluster_safe_folds,
-#:   pipeline_mixture_token_budget, text_bigram_fluency,
-#:   text_gopher_quality_flags, pipeline_url_normalize_dedup,
-#:   sim_knn_label_vote, multimodal_resize_thumbnail,
-#:   text_top_bigram_char_fraction).
-#: Fill r6's remaining slots by recomputing the backlog with the
-#: two-liner above, then high-value repeats (one per operator family)
-#: as drift sentinels.
+#: ROUND-7 PLAN: the backlog is empty after a green r6 run, so the
+#: whole window becomes sentinels — recompute `covered` with
+#: CORRECTNESS_r06.json included, then per family take the member
+#: whose LAST green row is oldest (use max(round) per name, not min)
+#: so rotation pressure spreads across rounds; queries oracled after
+#: this rotation (new r6 operators) go first, as always.
 DRIVER_WINDOW = (
-    # reference surface: snapshot/time-travel read (new in r4)
-    "ref_snapshot_asof",
-    # TPC-H round-out — all 18 shapes the hard gate has never sampled
-    "q2_min_cost_supplier",
-    "q4_order_priority_checking",
-    "q7_nation_volume_shipping",
-    "q8_national_market_share",
-    "q9_product_type_profit",
-    "q10_returned_item_customers",
-    "q11_important_part_values",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_order_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_share_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_wealthy_customers",
-    # warehouse / CDC / data-quality analytics
-    "merge_upsert_orders",
-    "scd2_user_event_intervals",
-    "join_point_in_time_versions",
-    "checksum_orders_table",
-    "quality_expectations_orders",
-    "agg_incremental_merge",
-    # advanced aggregates / windows
-    "agg_higher_moments",
-    "agg_mad_robust_outliers",
-    "window_value_frames",
-    "window_range_trailing_7d",
-    # time series / behavioral
-    "timeseries_multi_grain_rollup",
-    "timeseries_active_users",
-    "attribution_last_touch",
-    "profile_lineitem_key_skew",
-    # dedup / similarity heavies
-    "dedup_containment_pairs",
-    "dedup_cluster_survivors",
-    "dedup_span_pairs",
-    "sim_tfidf_rerank_pairs",
-    # multimodal decode under the hash gate
-    "multimodal_decode_features",
-    # pipeline tail (BPE, tokenizer, curriculum, k-fold, report)
-    "pipeline_contamination_score",
-    "pipeline_bpe_merge_pairs",
-    "pipeline_length_buckets",
-    "pipeline_tokenizer_apply",
-    "pipeline_curriculum_phases",
-    "pipeline_kfold_assign",
-    "pipeline_full_prep_report",
-    # Structured Streaming replays never driver-sampled
-    "streaming_static_join_replay",
-    "streaming_interval_left_outer_replay",
-    "streaming_append_window_replay",
-    "streaming_sliding_counts_replay",
-    "streaming_stateful_totals_replay",
+    # --- 23-query backlog: never driver-checked before this round ---
+    # text analysis tail (r5 additions + r5-deferred)
+    "text_vocabulary_topn",
+    "text_boilerplate_phrases",
+    "text_char_entropy",
+    "text_hashing_vectorizer",
+    "text_split_segments",
+    "text_split_segments_udtf",
+    "text_bigram_fluency",
+    "text_gopher_quality_flags",
+    "text_top_bigram_char_fraction",
+    # windows / scalars / aggregates deferred from r5
+    "window_ntile_percentile_ranks",
+    "window_tumbling_event_counts",
+    "scalar_edit_distance",
+    "scalar_conditional_functions",
+    "agg_collect_sorted_sets",
+    "agg_boolean_filtered",
+    "agg_equidepth_histogram",
+    # similarity / multimodal (r5 additions)
+    "sim_knn_label_vote",
+    "multimodal_resize_thumbnail",
+    # data-pipeline (r5 additions + deferred)
+    "pipeline_pps_sample",
+    "pipeline_cluster_safe_folds",
+    "pipeline_mixture_token_budget",
+    "pipeline_url_normalize_dedup",
+    # streaming (r5 addition)
+    "streaming_minhash_dedup_replay",
+    # --- 27 drift sentinels: one per family, oldest green first ---
+    "agg_stats_lineitem",             # r1
+    "case_bucketize_orders",          # r1
+    "cube_status_priority",           # r1
+    "distinct_market_segments",       # r1
+    "group_topk_orders_per_customer", # r1
+    "join_anti_customers_without_orders",  # r1
+    "json_extract_props",             # r1
+    "ref_getall",                     # r1
+    "rollup_returnflag_status",       # r1
+    "scalar_date_functions",          # r1
+    "set_except_inactive_custkeys",   # r1
+    "topk_orders_by_price",           # r1
+    "q1_pricing_summary",             # r1 (TPC-H family)
+    "window_lag_lead_delta",          # r1
+    "dedup_canonical_documents",      # r2
+    "sim_cosine_topk",                # r2
+    "text_fingerprint",               # r2
+    "funnel_view_click_purchase",     # r3
+    "multimodal_binary_metadata",     # r3
+    "pipeline_chunk_tokens",          # r3
+    "pivot_status_by_priority",       # r3
+    "streaming_interval_join_replay", # r3
+    "subquery_exists_priority_counts",  # r3
+    "timeseries_ewma_daily_value",    # r3
+    "assoc_part_pairs_in_orders",     # r4
+    "cohort_daily_retention",         # r4
+    "grouping_sets_status_priority",  # r4
 )
 
 
