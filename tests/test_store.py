@@ -433,3 +433,72 @@ def test_export_ordered_tiles_range_without_shuffle(spark, tmp_path):
 
     store.compact(n_files=3)
     assert replay() == ordered_a
+
+
+def test_read_ordered_single_frame_no_sort_no_exchange(spark, tmp_path):
+    """read_ordered() returns ONE DataFrame honoring getall(ordered)'s
+    row order with neither Sort nor Exchange in the executed plan
+    (in-contract layout: every file under one split), and survives
+    compact(). getall(ordered=True) is the semantic oracle."""
+    from vector_db_core_spark.store import OrdinalStore
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT, b STRING")
+    for batch in range(4):
+        df = spark.createDataFrame(
+            [(batch * 100 + i, f"r{batch}_{i}") for i in range(100)], "a INT, b STRING"
+        ).repartition(8)
+        store.pushx(df)
+
+    def check():
+        frame = store.read_ordered()
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Sort" not in plan, plan
+        got = [(r.rowid, r.a, r.b) for r in frame.collect()]
+        want = [(r.rowid, r.a, r.b) for r in store.getall(ordered=True).collect()]
+        assert got == want and len(got) == 400
+        # global order without an ORDER BY: rowids arrive 0..n-1
+        assert [g[0] for g in got] == list(range(400))
+
+    check()
+    store.compact(n_files=3)
+    check()
+
+
+def test_read_ordered_oversize_file_falls_back_locally(spark, tmp_path):
+    """A file bigger than one split can't promise scan order, so ONLY
+    that file drops to coalesce(1)+local sort — correctness holds and
+    there is still no Exchange anywhere."""
+    from pyspark.sql import functions as F
+
+    from vector_db_core_spark.store import OrdinalStore
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT")
+    store.pushx(spark.range(5000).select(F.col("id").cast("int").alias("a")))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # force every file "oversize" so the fallback path is the one under test
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        frame = store.read_ordered()
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Sort" in plan  # the documented file-local fallback
+        assert [r.rowid for r in frame.collect()] == list(range(5000))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_read_ordered_empty_store_matches_getall(spark, tmp_path):
+    """Never-written store: read_ordered raises the same declared
+    condition getall does (no data directory yet) — parity, not a
+    silent empty frame."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from vector_db_core_spark.store import OrdinalStore
+
+    store = OrdinalStore(spark, str(tmp_path / "s"), schema="a INT")
+    with pytest.raises(AnalysisException):
+        store.getall()
+    with pytest.raises(AnalysisException):
+        store.read_ordered()

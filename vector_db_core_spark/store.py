@@ -539,6 +539,70 @@ class OrdinalStore:
                 self.spark.read.schema(sch).parquet(s.file),
             )
 
+    def read_ordered(self) -> DataFrame:
+        """ONE DataFrame in global rowid order with NO Sort and NO
+        Exchange in the plan — the reference's ``getall`` contract
+        (vector_engine.rs:47-53, insertion order) at ``export_ordered``
+        cost, for consumers that want a single frame rather than the
+        per-file iterator.
+
+        Construction: each file is read as its OWN single-file scan
+        and the scans are unioned in span order. Union concatenates
+        its children's partitions in child order, and a single-file
+        scan whose file fits in one split (``<= spark.sql.files.
+        maxPartitionBytes`` — the write path sizes files below this)
+        is exactly one partition whose rows come back in on-disk
+        order, which IS rowid order (``sortWithinPartitions`` on
+        write, validated by ``ordered_spans``). So partition i of the
+        result is file i, rows ordered within and across partitions —
+        global order with zero shuffle and zero sort, where
+        ``getall(ordered=True)`` pays a range-sampling re-scan plus a
+        full-data exchange (22x the unordered scan at 10M rows,
+        BASELINE.md §D). A file larger than one split CANNOT promise
+        scan-order rows (Spark packs splits by size, not offset), so
+        only that file drops to a file-local ``coalesce(1)`` +
+        partition-local sort — still no exchange anywhere.
+
+        Plan-pinned (no Sort/Exchange on in-contract layouts) in
+        tests/test_store.py, plus row-order equality vs
+        ``getall(ordered=True)``. At 100 TB the union has one child
+        per file — plan size is linear in file count, the same
+        listing-scale concern ``stats()`` documents; ``compact()``
+        first if the store is fragmented.
+        """
+        from functools import reduce  # noqa: PLC0415
+        from urllib.parse import unquote, urlparse  # noqa: PLC0415
+
+        spans = self.ordered_spans()
+        if not spans:
+            return self._df()
+        sch = self._df().schema
+        max_split = self._conf_bytes("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+        frames = []
+        for s in spans:
+            frame = self.spark.read.schema(sch).parquet(s.file)
+            local = unquote(urlparse(s.file).path) if "://" in s.file or s.file.startswith("file:") else s.file
+            try:
+                oversize = os.path.getsize(local) > max_split
+            except OSError:
+                oversize = True  # can't prove single-split → keep it correct
+            if oversize:
+                frame = frame.coalesce(1).sortWithinPartitions(ROWID)
+            frames.append(frame)
+        return reduce(DataFrame.unionByName, frames)
+
+    def _conf_bytes(self, key: str, default: int) -> int:
+        """Parse a Spark size conf ('128MB', '134217728b', plain int)."""
+        raw = str(self.spark.conf.get(key, str(default))).strip().lower()
+        mult = 1
+        for suffix, m in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+                          ("kb", 1 << 10), ("t", 1 << 40), ("g", 1 << 30),
+                          ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+            if raw.endswith(suffix):
+                raw, mult = raw[: -len(suffix)], m
+                break
+        return int(raw) * mult
+
     def snapshot(self, as_of_count: int, ordered: bool = True) -> DataFrame:
         """Time-travel read: the store exactly as it was when it held
         ``as_of_count`` rows. Append-only storage makes snapshots free
