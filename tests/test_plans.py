@@ -687,3 +687,20 @@ def test_knn_vote_two_phase_topk_and_broadcast_queries(spark):
         for ln in simple.splitlines()
         if "Exchange" in ln
     )
+
+
+def test_semdedup_fixed_cells_equi_join_dominance(spark):
+    """The oracled SemDeDup twin must confine its quadratic work the
+    same way the k-means variant does: the dominance self-join is an
+    EQUI join keyed on cell (never a cartesian/nested-loop over the
+    corpus), and the only nested-loop anywhere is the deliberate
+    16-row broadcast centroid assignment."""
+    plan = _plan_simple(QUERIES["sim_semdedup_fixed_cells"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    joins = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+    assert any("cell" in ln for ln in joins), joins
+    # nested-loop joins are ONLY the 16-row broadcast centroid
+    # assignment, which the dominance self-join's lineage replays once
+    # per side — bounded by construction, not a corpus-squared shape
+    bnl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnl) <= 2

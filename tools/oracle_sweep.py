@@ -229,7 +229,64 @@ def fast_cluster_safe_folds(con):
     return out, ["doc_id", "fold_key_doc_id", "fold"]
 
 
+def fast_semdedup_fixed_cells(con):
+    """sim_semdedup_fixed_cells: fixed-centroid assignment + dominance
+    with the left-fold cosine replayed DIM-SEQUENTIALLY in numpy (acc
+    starts at 0.0 and adds one dimension's product at a time —
+    bit-identical to list_reduce / F.aggregate, unlike np.dot's
+    pairwise summation)."""
+    import numpy as np
+
+    tau = 0.35
+    rows = con.sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    v = np.array([r[1] for r in rows], dtype=np.float64)
+    n, dim = v.shape
+
+    def seq_norm(mat):
+        acc = np.zeros(mat.shape[0])
+        for d in range(dim):
+            acc += mat[:, d] * mat[:, d]
+        return np.sqrt(acc)
+
+    def seq_dot(a_mat, b_mat):  # (p, q) pairwise fold, sequential over dims
+        acc = np.zeros((a_mat.shape[0], b_mat.shape[0]))
+        for d in range(dim):
+            acc += a_mat[:, d][:, None] * b_mat[:, d][None, :]
+        return acc
+
+    norms = seq_norm(v)
+    cmask = ids < 16
+    cells_ids, cv, cnorm = ids[cmask], v[cmask], norms[cmask]
+    csim_all = seq_dot(v, cv) / (norms[:, None] * cnorm[None, :])
+    pick = np.argmax(csim_all, axis=1)  # first max == lowest cell id on ties
+    cell = cells_ids[pick]
+    csim = csim_all[np.arange(n), pick]
+
+    out = []
+    for c in cells_ids:
+        mi = np.nonzero(cell == c)[0]
+        order = sorted(range(len(mi)), key=lambda k: (csim[mi[k]], ids[mi[k]]))
+        mem = mi[order]  # rank order: csim asc, vec_id
+        pc = seq_dot(v[mem], v[mem]) / (norms[mem][:, None] * norms[mem][None, :])
+        for bpos in range(len(mem)):
+            doms = [apos for apos in range(bpos) if pc[apos, bpos] >= tau]
+            b = mem[bpos]
+            if doms:
+                out.append(
+                    (int(ids[b]), int(c), float(csim[b]), len(doms),
+                     int(ids[mem[doms[0]]]), "prune")
+                )
+            else:
+                out.append((int(ids[b]), int(c), float(csim[b]), 0, None, "keep"))
+    cols = ["vec_id", "cell", "centroid_sim", "n_dominators", "pruned_by", "action"]
+    return out, cols
+
+
 FAST_ORACLES = {
+    "sim_semdedup_fixed_cells": fast_semdedup_fixed_cells,
     "dedup_ngram_jaccard_pairs": fast_jaccard_pairs,
     "dedup_minhash_lsh_pairs": fast_jaccard_pairs,
     "dedup_connected_clusters": fast_connected_clusters,

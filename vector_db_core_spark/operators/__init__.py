@@ -41,12 +41,12 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: tests/test_fixture_schema.py; everything outside the window stays
 #: green in the local pytest oracle replica (tests/test_oracle.py).
 #:
-#: ROUND-7 PLAN: the backlog is empty after a green r6 run, so the
-#: whole window becomes sentinels — recompute `covered` with
-#: CORRECTNESS_r06.json included, then per family take the member
-#: whose LAST green row is oldest (use max(round) per name, not min)
-#: so rotation pressure spreads across rounds; queries oracled after
-#: this rotation (new r6 operators) go first, as always.
+#: ROUND-7 PLAN: recompute `covered` with CORRECTNESS_r06.json
+#: included; queries oracled AFTER this rotation go first (so far:
+#:   sim_semdedup_fixed_cells),
+#: then sentinels — per family take the member whose LAST green row
+#: is oldest (use max(round) per name, not min) so rotation pressure
+#: spreads across rounds.
 DRIVER_WINDOW = (
     # --- 23-query backlog: never driver-checked before this round ---
     # text analysis tail (r5 additions + r5-deferred)

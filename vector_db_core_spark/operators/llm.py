@@ -2813,6 +2813,116 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_FIXED_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16),
+sc AS (SELECT e.vec_id, e.v, c.cell, {_duck_cosine("e.v", "c.cv")} AS csim
+       FROM e CROSS JOIN c),
+asg AS (SELECT vec_id, v, cell, csim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell) AS rn
+        FROM sc),
+r AS (SELECT vec_id, v, cell, csim,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY csim ASC, vec_id) AS rank
+      FROM asg WHERE rn = 1),
+d AS (SELECT b.vec_id AS vec_id,
+             CAST(COUNT(*) AS INT) AS n_dominators,
+             arg_min(a.vec_id, a.rank) AS pruned_by
+      FROM r a JOIN r b ON a.cell = b.cell AND a.rank < b.rank
+             AND {_duck_cosine("a.v", "b.v")} >= 0.35
+      GROUP BY b.vec_id)
+SELECT r.vec_id, r.cell, r.csim AS centroid_sim,
+       COALESCE(d.n_dominators, 0) AS n_dominators, d.pruned_by,
+       CASE WHEN d.pruned_by IS NULL THEN 'keep' ELSE 'prune' END AS action
+FROM r LEFT JOIN d ON r.vec_id = d.vec_id
+"""
+
+
+@register("sim_semdedup_fixed_cells", oracle=_SEMDEDUP_FIXED_ORACLE)
+def sim_semdedup_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's PRUNE DECISION under the hash gate: identical
+    pipeline to ``sim_semdedup_prune`` (assign → rank by centroid
+    cosine asc → one-round dominance at tau) but with DETERMINISTIC
+    SQL-expressible cells — the 16 lowest-vec_id vectors serve as
+    fixed centroids and every vector joins the centroid it is most
+    cosine-similar to (ties → lowest cell id). k-means itself has no
+    DuckDB twin, so the rows-only variant pins its invariants in
+    pytest; THIS twin swaps only the clustering step and hash-matches
+    everything downstream of it — the ranking, the dominance
+    self-join, the dominator attribution, and the keep/prune verdict
+    — against a DuckDB window-SQL re-derivation (the r5 verdict's
+    task 5). centroid_sim is emitted UNROUNDED: both engines compute
+    the identical left-fold dot/norm (``_duck_dot`` mirrors
+    ``F.aggregate``'s seed-first order), the same bit-reproducibility
+    contract ``sim_cosine_topk`` relies on.
+
+    Plan/scale: the centroid table is 16 rows (broadcast); assignment
+    is one map-side cross join + per-vector argmax window; quadratic
+    work is confined within cells exactly like the k-means variant,
+    and the all-pairs cap guards the correctness-scale contract.
+    Production keeps ``sim_semdedup_prune`` where k grows with n —
+    fixed k=16 here exists to make the decision SQL-checkable.
+    """
+    tau = 0.35
+    e = _assert_all_pairs_scale(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "sim_semdedup_fixed_cells",
+        "sim_semdedup_prune",
+    )
+    cent = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cell", cosine_similarity(F.col("v"), F.col("cv")).alias("csim")
+    )
+    ranked = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cell", "csim")
+        .withColumn(
+            "rank",
+            F.row_number().over(W.partitionBy("cell").orderBy(F.col("csim").asc(), "vec_id")),
+        )
+    )
+    # one LEFT join from every member to its (possibly absent)
+    # dominators folds the dominance detection AND the verdict into a
+    # single pass — `ranked` appears twice in the lineage, not three
+    # times as a dominated-set + re-join shape would cost
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        b.join(
+            a,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.rank") < F.col("b.rank"))
+            & (cosine_similarity(F.col("a.v"), F.col("b.v")) >= tau),
+            "left",
+        )
+        .groupBy(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.cell").alias("cell"),
+            F.col("b.csim").alias("centroid_sim"),
+        )
+        .agg(
+            F.count(F.col("a.vec_id")).cast("int").alias("n_dominators"),
+            F.min_by(F.col("a.vec_id"), F.col("a.rank")).alias("pruned_by"),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "centroid_sim",
+            "n_dominators",
+            "pruned_by",
+            F.when(F.col("pruned_by").isNull(), "keep").otherwise("prune").alias("action"),
+        )
+    )
+
+
 @register(
     "sim_knn_label_vote",
     oracle=f"""
