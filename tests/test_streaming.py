@@ -448,3 +448,45 @@ def test_stateful_cents_half_cent_rounds_away_from_zero():
         )
         assert st.value == (1, want), (raw, st.value)
         assert out[0]["value_cents"].iloc[0] == want
+
+
+def test_instream_minhash_dedup_nonvacuous_and_duplicate_free(spark):
+    """streaming_minhash_dedup_instream's dropDuplicatesWithinWatermark
+    must be LOAD-BEARING: (1) a batch re-derivation of the same banded
+    candidate pipeline shows pairs really do collide in more than one
+    band on this fixture (so something must collapse them), and (2)
+    the table the in-stream query returns — the sink contents
+    verbatim, no post-sink distinct — contains each pair exactly
+    once."""
+    from vector_db_core_spark.functions.text import lsh_band_keys, minhash_sig_of_set
+    from vector_db_core_spark.operators import QUERIES
+    from vector_db_core_spark.operators.llm import _shingle_hashes
+    from vector_db_core_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+
+    def bands(side, alias):
+        return (
+            _shingle_hashes(side)
+            .groupBy("doc_id")
+            .agg(F.collect_set("_b").alias("hs"))
+            .withColumn("sig", minhash_sig_of_set(F.col("hs"), num_hashes=64))
+            .select(
+                F.col("doc_id").alias(alias),
+                F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
+            )
+            .select(alias, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        )
+
+    collisions = (
+        bands(docs.where(F.col("doc_id") % 10 == 0), "batch_doc_id")
+        .join(bands(docs.where(F.col("doc_id") % 10 != 0), "corpus_doc_id"), ["band", "key"])
+        .groupBy("batch_doc_id", "corpus_doc_id")
+        .count()
+    )
+    multi = collisions.where(F.col("count") > 1).count()
+    assert multi > 0, "fixture has no multi-band collisions — dedup would be vacuous"
+
+    rows = QUERIES["streaming_minhash_dedup_instream"](spark, SF_ORACLE).collect()
+    pairs = [(r.batch_doc_id, r.corpus_doc_id) for r in rows]
+    assert len(pairs) == len(set(pairs)) and pairs

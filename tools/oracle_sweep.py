@@ -295,6 +295,7 @@ FAST_ORACLES = {
     "pipeline_cluster_safe_folds": fast_cluster_safe_folds,
     "dedup_incremental_minhash": fast_incremental_jaccard,
     "streaming_minhash_dedup_replay": fast_incremental_jaccard,
+    "streaming_minhash_dedup_instream": fast_incremental_jaccard,
 }
 
 

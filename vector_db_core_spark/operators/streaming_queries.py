@@ -474,9 +474,7 @@ def streaming_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register(
-    "streaming_minhash_dedup_replay",
-    oracle=r"""
+_MINHASH_STREAM_ORACLE = r"""
     WITH sh AS (SELECT doc_id,
                        CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 3
                             THEN list_distinct(list_transform(
@@ -490,40 +488,23 @@ def streaming_stateful_totals_replay(spark: SparkSession, sf_dir: str) -> DataFr
                    AS jaccard
           FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
     SELECT batch_doc_id, corpus_doc_id, jaccard FROM p WHERE jaccard >= 0.5
-    """,
-)
-def streaming_minhash_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONTINUOUS-ingest near-dedup as a real Structured Streaming
-    pipeline: arriving documents (``doc_id % 10 == 0``, landed as 4
-    files and streamed one file per trigger — genuinely multi-batch)
-    are MinHash-signed per row, band-keyed, stream-static-joined
-    against the standing corpus's materialized band table, and
-    LSH hits are Jaccard-verified — all inside micro-batches. The
-    streaming twin of ``dedup_incremental_minhash`` (same 16x4 banding,
-    same verify, same exact cross-side oracle), proving the engine's
-    flagship dedup runs against a LIVE ingest feed, not just batch.
+    """
 
-    Plan/scale notes:
-      * the stream side is STATELESS — per-row signature expressions
-        (tokens -> shingles -> xxhash64 set -> 64-slot MinHash -> band
-        keys) plus two stream-static equi-joins; no watermark, no state
-        store, so ingest memory is O(micro-batch), corpus-independent;
-      * the static band/signature tables are the ones a daily job
-        maintains (built once here, as ``dedup_incremental_minhash``
-        documents); only matching (band, key) buckets join — per-batch
-        cost is O(|batch| + hits), never O(|corpus|);
-      * band multiplicity (a pair colliding in several bands) is
-        collapsed AFTER the memory sink by a batch ``distinct()`` —
-        verified jaccard is identical on every collision of a pair, so
-        this is pure dedup of equal rows (production would instead
-        route hits through ``dropDuplicatesWithinWatermark`` on the
-        pair key or dedup in the downstream consumer).
 
-    Registered with the full hash oracle: stream replay of a finite
-    landing dir under ``availableNow`` is deterministic, and hash-set
-    jaccard equals string-set jaccard (bijective xxhash64 coding on
-    this vocabulary; the same argument every MinHash op here relies
-    on).
+def _minhash_stream_hits(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> tuple[DataFrame, DataFrame, str]:
+    """Shared construction for the two streaming MinHash dedup
+    replays: arriving documents (``doc_id % 10 == 0``, landed as 4
+    files, one per trigger) are MinHash-signed per row, band-keyed,
+    stream-static-joined against the standing corpus's materialized
+    band table, and LSH hits Jaccard-verified — all inside
+    micro-batches. Returns ``(hits, corpus_sets, root)``; the caller
+    runs ``hits`` to a sink and unpersists ``corpus_sets``. ``hits``
+    still carries band MULTIPLICITY (a pair colliding in several
+    bands appears once per collision, same verified jaccard) — how
+    each registered query collapses that is exactly what
+    distinguishes them.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -556,7 +537,7 @@ def streaming_minhash_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     # landing zone: the arriving batch as 4 files, one per trigger
-    key = f"mhdedup_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    key = f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     root = os.path.join(_REPLAY_ROOT, key)
     shutil.rmtree(root, ignore_errors=True)
     landing = os.path.join(root, "landing")
@@ -589,6 +570,85 @@ def streaming_minhash_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .where(F.col("jaccard") >= 0.5)
     )
+    return hits, corpus_sets, root
+
+
+@register("streaming_minhash_dedup_replay", oracle=_MINHASH_STREAM_ORACLE)
+def streaming_minhash_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-ingest near-dedup as a real Structured Streaming
+    pipeline: arriving documents (``doc_id % 10 == 0``, landed as 4
+    files and streamed one file per trigger — genuinely multi-batch)
+    are MinHash-signed per row, band-keyed, stream-static-joined
+    against the standing corpus's materialized band table, and
+    LSH hits are Jaccard-verified — all inside micro-batches. The
+    streaming twin of ``dedup_incremental_minhash`` (same 16x4 banding,
+    same verify, same exact cross-side oracle), proving the engine's
+    flagship dedup runs against a LIVE ingest feed, not just batch.
+
+    Plan/scale notes:
+      * the stream side is STATELESS — per-row signature expressions
+        (tokens -> shingles -> xxhash64 set -> 64-slot MinHash -> band
+        keys) plus two stream-static equi-joins; no watermark, no state
+        store, so ingest memory is O(micro-batch), corpus-independent;
+      * the static band/signature tables are the ones a daily job
+        maintains (built once here, as ``dedup_incremental_minhash``
+        documents); only matching (band, key) buckets join — per-batch
+        cost is O(|batch| + hits), never O(|corpus|);
+      * band multiplicity (a pair colliding in several bands) is
+        collapsed AFTER the memory sink by a batch ``distinct()`` —
+        verified jaccard is identical on every collision of a pair, so
+        this is pure dedup of equal rows; the PRODUCTION form that
+        collapses it in-stream is registered beside this one as
+        ``streaming_minhash_dedup_instream``.
+
+    Registered with the full hash oracle: stream replay of a finite
+    landing dir under ``availableNow`` is deterministic, and hash-set
+    jaccard equals string-set jaccard (bijective xxhash64 coding on
+    this vocabulary; the same argument every MinHash op here relies
+    on).
+    """
+    hits, corpus_sets, root = _minhash_stream_hits(spark, sf_dir, "mhdedup")
     _run_to_memory(hits, "stream_replay_minhash_dedup", root, "append")
     corpus_sets.unpersist()
     return spark.table("stream_replay_minhash_dedup").distinct()
+
+
+@register("streaming_minhash_dedup_instream", oracle=_MINHASH_STREAM_ORACLE)
+def streaming_minhash_dedup_instream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION emission form of the streaming MinHash dedup:
+    identical candidate pipeline to ``streaming_minhash_dedup_replay``
+    (same landing zone, same 16x4 banding, same stream-static joins,
+    same verify, same oracle), but band multiplicity collapses
+    INSIDE the stream via ``dropDuplicatesWithinWatermark`` on the
+    pair key — no post-sink batch ``distinct()``; what the sink
+    receives IS the deduplicated pair feed a downstream consumer
+    would see. The returned table is the sink contents verbatim, so
+    the hash oracle itself proves the in-stream dedup did its job
+    (collisions in >1 band are real on this fixture — pinned
+    non-vacuous in tests/test_streaming.py).
+
+    State/scale notes:
+      * a pair's duplicate hits can only co-occur within ONE trigger
+        here (each arriving doc lives in exactly one landing file), so
+        ANY watermark horizon bounds correctly; production picks the
+        horizon that covers its re-delivery window, and the state
+        store holds only pair keys inside it — O(recent hits), evicted
+        by the watermark, vs the unbounded state a plain
+        ``dropDuplicates`` would accumulate;
+      * event time is the arrival timestamp a landing zone stamps on
+        ingest (deterministic here — derived from doc_id — so the
+        replay stays hash-checkable);
+      * everything upstream stays stateless; the dedup is the only
+        stateful operator, keyed exactly on what it guarantees:
+        (batch_doc_id, corpus_doc_id).
+    """
+    hits, corpus_sets, root = _minhash_stream_hits(spark, sf_dir, "mhdedup_is")
+    deduped = (
+        hits.withColumn("ingest_ts", F.timestamp_micros(F.col("batch_doc_id")))
+        .withWatermark("ingest_ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["batch_doc_id", "corpus_doc_id"])
+        .select("batch_doc_id", "corpus_doc_id", "jaccard")
+    )
+    _run_to_memory(deduped, "stream_replay_minhash_dedup_instream", root, "append")
+    corpus_sets.unpersist()
+    return spark.table("stream_replay_minhash_dedup_instream")
