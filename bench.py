@@ -85,6 +85,14 @@ HEADLINE = [
     "q21_waiting_supplier",
     "q10_returned_item_customers",
     "scd2_user_event_intervals",
+    # round-6 additions (r5 verdict task 3): track the round-5/6
+    # curation operators round-over-round like everything else
+    "pipeline_url_normalize_dedup",
+    "text_gopher_quality_flags",
+    "pipeline_mixture_token_budget",
+    "multimodal_resize_thumbnail",
+    "sim_knn_label_vote",
+    "text_top_bigram_char_fraction",
 ]
 
 STORE_ROWS = 1_000_000
@@ -338,6 +346,11 @@ def main() -> None:
             "streaming_session_counts_replay",
             "streaming_dedup_watermark_replay",
             "streaming_interval_join_replay",
+            # round-6: the flagship dedup against a live ingest feed,
+            # in both emission forms (post-sink distinct vs in-stream
+            # dropDuplicatesWithinWatermark)
+            "streaming_minhash_dedup_replay",
+            "streaming_minhash_dedup_instream",
         ):
             if name not in queries:
                 continue

@@ -17,8 +17,23 @@ document/embedding gains 9 exact twins, which deliberately stress-tests
 the dedup family's candidate generation (identical docs share all LSH
 bands) rather than diluting it.
 
-Usage: python tools/make_scaled_fixture.py [dest_dir] [copies]
-  (defaults: /tmp/vdbc_sf1, 10 copies)
+``--perturb`` (round-6, the r5 verdict's task 2): verbatim twins
+degenerate pair-emitting ops — with 100 copies every 8-token span sits
+in ~100 docs and the 20-doc boilerplate cap classifies the WHOLE
+fixture as boilerplate (0 rows), and every LSH pair is a trivial
+jaccard=1.0 twin. With the flag, copy i>0 of ``documents.text`` gets
+deterministic token-level edits keyed off (original doc_id, copy
+index, token position): ~5% of tokens DROPPED (hash%20==0) and ~5%
+REWRITTEN to a copy-marked novel token (hash%20==1). Copies become
+NEAR-dups (copy↔original 3-gram jaccard ≈0.7, copy↔copy ≈0.55 —
+straddling the 0.5 threshold like organic paraphrase families), span
+doc-frequencies spread below/above the boilerplate cap instead of all
+landing on one side, and n_chars is recomputed so the fixture keeps
+its schema invariants. No randomness — same inputs, same fixture,
+bit-for-bit.
+
+Usage: python tools/make_scaled_fixture.py [dest_dir] [copies] [--perturb]
+  (defaults: /tmp/vdbc_sf1, 10 copies, verbatim)
 """
 
 from __future__ import annotations
@@ -60,7 +75,34 @@ SCALED = [
 SHARED = ["region", "nation"]
 
 
-def build(dest: str, copies: int) -> None:
+def _perturbed_documents_select(i: int) -> str:
+    """Copy ``i`` of documents with deterministic token edits.
+
+    Token j of original doc d in copy i is dropped when
+    ``hash(d, i, j) % 20 == 0`` and rewritten to ``tok~<i%7>`` when
+    ``% 20 == 1`` — ~10% of tokens edited total, independent across
+    copies, reproducible everywhere (DuckDB's hash is stable).
+    """
+    off = i * OFFSETS["doc_id"]
+    edit = f"hash(doc_id, {i}, z[2]) % 20"
+    text_expr = f"""array_to_string(
+        list_transform(
+          list_filter(list_zip(_w, generate_series(1, len(_w))),
+                      z -> {edit} != 0),
+          z -> CASE WHEN {edit} = 1
+                    THEN z[1] || '~{i % 7}' ELSE z[1] END),
+        ' ')"""
+    return f"""
+      SELECT doc_id, text, lang, source,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM (SELECT doc_id + {off} AS doc_id, {text_expr} AS text, lang, source
+            FROM (SELECT *,
+                         list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '') AS _w
+                  FROM '{SRC}/documents.parquet'))"""
+
+
+def build(dest: str, copies: int, perturb: bool = False) -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     for t in SHARED:
@@ -75,6 +117,9 @@ def build(dest: str, copies: int) -> None:
         ]
         selects = []
         for i in range(copies):
+            if perturb and t == "documents" and i:
+                selects.append(_perturbed_documents_select(i))
+                continue
             exprs = ", ".join(
                 f"{c} + {i * OFFSETS[c]} AS {c}" if c in OFFSETS and i else c
                 for c in cols
@@ -87,6 +132,8 @@ def build(dest: str, copies: int) -> None:
 
 
 if __name__ == "__main__":
-    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vdbc_sf1"
-    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    build(dest, copies)
+    args = [a for a in sys.argv[1:] if a != "--perturb"]
+    perturb = len(args) != len(sys.argv) - 1
+    dest = args[0] if args else "/tmp/vdbc_sf1"
+    copies = int(args[1]) if len(args) > 1 else 10
+    build(dest, copies, perturb)
