@@ -827,3 +827,38 @@ def test_resize_image_nearest_neighbor_roundtrip():
         resize_image(b"P5\n4 4\n255\n" + raster, 0, 2)
     with _pytest.raises(UnsupportedMediaError):
         resize_image(b"P5\n4 4\n255\n" + raster[:3], 2, 2)  # truncated
+
+
+def test_top_ngram_fractions_discriminate_and_agree_with_numpy(spark):
+    """The top-3/4-gram caps must be non-vacuous (both pass and fail
+    real docs at each n) and the argmax must agree with a pure-python
+    re-derivation on a sample of documents (count desc, lexicographic
+    tie-break)."""
+    rows = QUERIES["text_top_ngram_char_fractions"](spark, SF_ORACLE).collect()
+    by_n = {}
+    for r in rows:
+        by_n.setdefault(r.n, []).append(r)
+    assert set(by_n) == {3, 4}
+    for n, rs in by_n.items():
+        flags = [r.pass_cap for r in rs]
+        assert any(flags) and not all(flags), f"n={n} vacuous"
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+        if r.doc_id < 40
+    }
+    got = {(r.doc_id, r.n): r for r in rows if r.doc_id < 40}
+    for doc_id, text in docs.items():
+        w = [t for t in text.split() if t]
+        for n in (3, 4):
+            if len(w) < n:
+                assert (doc_id, n) not in got
+                continue
+            counts = {}
+            for i in range(len(w) - n + 1):
+                s = " ".join(w[i : i + n])
+                counts[s] = counts.get(s, 0) + 1
+            top = min(counts, key=lambda s: (-counts[s], s))
+            r = got[(doc_id, n)]
+            assert r.top_ngram == top and r.top_count == counts[top], (doc_id, n)

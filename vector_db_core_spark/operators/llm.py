@@ -3142,3 +3142,89 @@ def text_top_bigram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
             (frac <= 0.20).alias("pass_top_bigram"),
         )
     )
+
+
+@register(
+    "text_top_ngram_char_fractions",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS w FROM documents),
+    g AS (SELECT doc_id, n_chars, 3 AS n, array_to_string(w[i:i+2], ' ') AS s
+          FROM t, UNNEST(generate_series(1, len(w) - 2)) AS u(i)
+          UNION ALL
+          SELECT doc_id, n_chars, 4 AS n, array_to_string(w[i:i+3], ' ') AS s
+          FROM t, UNNEST(generate_series(1, len(w) - 3)) AS u(i)),
+    c AS (SELECT doc_id, n_chars, n, s, CAST(COUNT(*) AS INT) AS c
+          FROM g GROUP BY doc_id, n_chars, n, s),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                       ORDER BY c DESC, s) AS rn
+          FROM c)
+    SELECT doc_id, n, s AS top_ngram, c AS top_count,
+           CAST(c * length(s) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             AS char_fraction,
+           (CAST(c * length(s) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+            <= CASE n WHEN 3 THEN 0.18 ELSE 0.16 END) AS pass_cap
+    FROM r WHERE rn = 1
+    """,
+)
+def text_top_ngram_char_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules, n-gram tail (Rae et al. 2021 App. A):
+    fraction of a document's characters occupied by its MOST FREQUENT
+    word 3-gram (cap 0.18) and 4-gram (cap 0.16), one output row per
+    (doc, n) — completing the top-n-gram family next to
+    ``text_top_bigram_char_fraction`` (n=2, cap 0.20). The remaining
+    App. A repetition rules — duplicate line / paragraph fractions and
+    duplicate 5..10-gram char fractions — are STRUCTURALLY VACUOUS on
+    this fixture (single-line documents; zero within-doc duplicate
+    5-grams or 10-grams at sf0.01, measured), so carrying them would
+    ship all-constant oracles; at production they compose the same
+    gram-stream plan with a (count-1)-weighted sum instead of an
+    argmax. Short docs can exceed a cap with a single occurrence
+    (4-gram chars > 16% of a tiny doc) — the published pipeline
+    applies these AFTER the 50-word minimum, which is exactly how
+    ``text_gopher_quality_flags.pass_word_count`` composes here.
+
+    Plan/scale: BOTH gram sizes ride ONE corpus scan — per row the
+    3-gram and 4-gram strings concatenate into a single
+    array<struct<n,s>> and explode once (a union of two per-n
+    branches would scan the corpus twice; at 100 TB the scan is the
+    cost), then a per-(doc, n, gram) count with map-side combine and
+    a per-(doc, n) argmax window with deterministic tie-breaks
+    (count desc, gram lexicographic) — the identical two-shuffle
+    shape as the bigram rule, both keyed on doc_id(+n). Integer
+    counts, int/int double division: hash-exact.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "n_chars", tokens(F.col("text")).alias("w"))
+
+    def grams(n: int):
+        return F.when(
+            F.size("w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"), F.array_join(F.slice("w", i, n), " ").alias("s")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,s:string>>"))
+
+    g = t.select(
+        "doc_id", "n_chars", F.explode(F.concat(grams(3), grams(4))).alias("p")
+    ).select("doc_id", "n_chars", "p.n", "p.s")
+    c = g.groupBy("doc_id", "n_chars", "n", "s").agg(F.count("*").cast("int").alias("c"))
+    rn = F.row_number().over(
+        W.partitionBy("doc_id", "n").orderBy(F.col("c").desc(), "s")
+    )
+    frac = (F.col("c") * F.length("s")).cast("double") / F.col("n_chars").cast("double")
+    cap = F.when(F.col("n") == 3, F.lit(0.18)).otherwise(F.lit(0.16))
+    return (
+        c.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n",
+            F.col("s").alias("top_ngram"),
+            F.col("c").alias("top_count"),
+            frac.alias("char_fraction"),
+            (frac <= cap).alias("pass_cap"),
+        )
+    )
