@@ -126,7 +126,21 @@ def build(dest: str, copies: int, perturb: bool = False) -> None:
             )
             selects.append(f"SELECT {exprs} FROM '{SRC}/{t}.parquet'")
         union = " UNION ALL ".join(selects)
-        con.execute(f"COPY ({union}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)")
+        # Small ROW_GROUP_SIZE: DuckDB's default (122,880 rows) packs a
+        # 500k-doc table into 5 giant row groups in ONE file, so Spark's
+        # byte-range splits collapse to 1-2 non-empty scan tasks and any
+        # CPU-heavy projection above the scan (interpreted higher-order
+        # span/gram generation) runs single-threaded — a fixture-layout
+        # artifact, not a plan property. Production corpora are many
+        # ~128 MB files with many row groups; small row groups restore
+        # that splittability (observed: the ~sf10 span ladder fell from
+        # 12+ min single-task to parallel with this alone). documents/
+        # embeddings get 2k rows per group so even the ~sf1 point scans
+        # with ~32-way parallelism; the scan-bound fact tables take 16k.
+        rg = 2048 if t in ("documents", "embeddings") else 16384
+        con.execute(
+            f"COPY ({union}) TO '{dest}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
+        )
         n = con.sql(f"SELECT count(*) FROM '{dest}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
