@@ -232,3 +232,18 @@ def test_bloom_filter_guarantees(spark):
         assert missed <= max(2.0, fpr_bound * len(exact_absent)), (
             r.o_orderpriority, missed, fpr_bound, len(exact_absent),
         )
+
+
+def test_winsorized_stats_invariants(spark):
+    """Clip bounds must bracket the winsorized mean, clip counts must
+    be ~1% tails (never more than 2% of the group), and the winsorized
+    sum must not exceed the raw sum when the high tail dominates —
+    all per returnflag group."""
+    rows = QUERIES["agg_winsorized_stats"](spark, SF_ORACLE).collect()
+    assert {r.l_returnflag for r in rows} == {"A", "N", "R"}
+    for r in rows:
+        assert r.p01 < r.p99
+        assert r.p01 <= r.win_mean <= r.p99
+        assert 0 < r.n_clip_low <= 0.02 * r.n_rows
+        assert 0 < r.n_clip_high <= 0.02 * r.n_rows
+        assert abs(r.win_sum / r.n_rows - r.win_mean) < 1e-9

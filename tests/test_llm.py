@@ -862,3 +862,79 @@ def test_top_ngram_fractions_discriminate_and_agree_with_numpy(spark):
             top = min(counts, key=lambda s: (-counts[s], s))
             r = got[(doc_id, n)]
             assert r.top_ngram == top and r.top_count == counts[top], (doc_id, n)
+
+
+def test_span_novelty_consistent_with_span_pairs(spark):
+    """Cross-operator invariant: a document participates in at least
+    one ``dedup_span_pairs`` pair IFF duplicated spans exist for it —
+    every paired doc must show dup_spans >= 1 here (the pair op's cap
+    can only hide HOT spans, i.e. spans this op still counts as
+    duplicated), and fractions stay in [0, 1]."""
+    nov = {r.doc_id: r for r in QUERIES["text_span_novelty"](spark, SF_ORACLE).collect()}
+    assert nov, "no documents scored"
+    for r in nov.values():
+        assert 0 <= r.dup_spans <= r.n_spans
+        assert 0.0 <= r.dup_fraction <= 1.0
+    paired = set()
+    for p in QUERIES["dedup_span_pairs"](spark, SF_ORACLE).collect():
+        paired.add(p.doc_a)
+        paired.add(p.doc_b)
+    no_dup = [d for d in paired if nov[d].dup_spans == 0]
+    assert not no_dup, f"paired docs with zero duplicated spans: {no_dup[:5]}"
+
+
+def test_hard_negatives_numpy_rederivation(spark):
+    """For every query: exactly 3 negatives, all with a different
+    label, ranked by exact cosine — re-derived in numpy for query 0."""
+    import numpy as np
+
+    rows = QUERIES["sim_hard_negatives"](spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for qid, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3]
+        assert all(r.negative_label != r.query_label for r in rs)
+        sims = [r.cosine_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+    emb = {
+        r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+        for r in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()
+    }
+    qv, qlab = emb[0]
+    scored = []
+    for vid, (v, lab) in emb.items():
+        if lab == qlab:
+            continue
+        cs = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        scored.append((-cs, vid))
+    expect = [vid for _, vid in sorted(scored)[:3]]
+    got = [r.negative_id for r in sorted(by_q[0], key=lambda r: r.rank)]
+    assert got == expect
+
+
+def test_frame_sample_reassembles_payload_prefix(spark):
+    """Frames must be the stub sampler's exact byte slices: 4 frames
+    per media row, their concatenation a prefix of the payload, md5s
+    re-derived in hashlib for a sample of documents."""
+    import hashlib
+
+    rows = QUERIES["multimodal_frame_sample"](spark, SF_ORACLE).collect()
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r.media_id, []).append(r)
+    texts = {
+        r.doc_id: r.text.encode()
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    }
+    assert set(by_m) == set(texts)
+    for mid, payload in list(texts.items())[:50]:
+        rs = sorted(by_m[mid], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rs] == [0, 1, 2, 3]
+        step = max(1, len(payload) // 4)
+        for r in rs:
+            fr = payload[r.frame_idx * step : (r.frame_idx + 1) * step]
+            assert r.frame_len == len(fr)
+            assert r.frame_md5 == hashlib.md5(fr).hexdigest()

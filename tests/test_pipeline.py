@@ -186,3 +186,46 @@ def test_cluster_safe_folds_colocate_near_dups(spark):
     assert any(plain[p.doc_a] != plain[p.doc_b] for p in pairs), (
         "fixture's near-dups are all exact twins — leak demo vacuous"
     )
+
+
+def test_dsir_weights_numpy_rederivation(spark):
+    """Re-derive the smoothed unigram log-ratio weights in pure python
+    for a sample of documents and require exact integer equality of
+    the micro-unit scores — plus the directional sanity check that the
+    average per-token weight of 'en' documents exceeds that of non-en
+    documents (the weight must actually point toward the target)."""
+    import math
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect()
+    c_src, c_tgt = {}, {}
+    n_src = n_tgt = 0
+    for d in docs:
+        for t in d.text.split():
+            if not t:
+                continue
+            c_src[t] = c_src.get(t, 0) + 1
+            n_src += 1
+            if d.lang == "en":
+                c_tgt[t] = c_tgt.get(t, 0) + 1
+                n_tgt += 1
+    v = len(c_src)
+    w = {
+        t: round(
+            (
+                math.log((c_tgt.get(t, 0) + 1) / float(n_tgt + v))
+                - math.log((c + 1) / float(n_src + v))
+            )
+            * 1e6
+        )
+        for t, c in c_src.items()
+    }
+    got = {r.doc_id: r for r in QUERIES["pipeline_dsir_weights"](spark, SF_ORACLE).collect()}
+    en_avg, other_avg = [], []
+    for d in docs:
+        toks = [t for t in d.text.split() if t]
+        r = got[d.doc_id]
+        assert r.n_toks == len(toks)
+        if d.doc_id < 60:
+            assert r.logw_micro == sum(w[t] for t in toks), d.doc_id
+        (en_avg if d.lang == "en" else other_avg).append(r.logw_micro / r.n_toks)
+    assert sum(en_avg) / len(en_avg) > sum(other_avg) / len(other_avg)

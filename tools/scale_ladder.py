@@ -49,6 +49,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry.queries()
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     def one(name: str, sf: str) -> tuple[float, int]:
         # INCLUSIVE timing (callable + sink), always: streaming replays
         # and iterative ops (BPE training, label propagation) do their
@@ -56,11 +59,21 @@ def main() -> None:
         # would measure an 8-row materialization and report a flat
         # slope for any input size. For lazy queries the callable adds
         # only plan-construction milliseconds.
+        #
+        # Output rows come from an Observation riding the SAME noop
+        # save — never a separate df.count(): a second execution of a
+        # heavy interpreted-eval plan in the same JVM was measured up
+        # to 25x slower than the identically-shaped save it followed
+        # (nondeterministic JIT/profile pathology, span ops at ~sf1+),
+        # turning a 10 s measurement point into a 10 min wall stall.
         t0 = time.perf_counter()
         df = queries[name](spark, sf)
-        df.write.mode("overwrite").format("noop").save()
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).format("noop").save()
         secs = time.perf_counter() - t0
-        return secs, df.count()
+        return secs, obs.get["rows"]
 
     for name in names:
         try:

@@ -1732,3 +1732,71 @@ def agg_equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH b AS (SELECT l_returnflag,
+                      round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+                      round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+               FROM lineitem GROUP BY l_returnflag),
+    c AS (SELECT l.l_returnflag, p01, p99,
+                 least(greatest(l_extendedprice, p01), p99) AS cx,
+                 CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END AS lo,
+                 CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END AS hi
+          FROM lineitem l JOIN b USING (l_returnflag))
+    SELECT l_returnflag, p01, p99,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(lo) AS BIGINT) AS n_clip_low,
+           CAST(SUM(hi) AS BIGINT) AS n_clip_high,
+           CAST(SUM(CAST(cx AS DECIMAL(27,6))) AS DOUBLE) AS win_sum,
+           CAST(SUM(CAST(cx AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS win_mean
+    FROM c GROUP BY l_returnflag, p01, p99
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED aggregates per group: clip ``l_extendedprice`` at the
+    group's exact p01/p99 before summing — the robust-statistics twin
+    of ``agg_mad_robust_outliers`` (that one FLAGS outliers, this one
+    BOUNDS their influence), and the standard guard for training-data
+    feature stats where a handful of corrupt rows would otherwise own
+    the mean. Outputs the clip bounds, how many rows hit each cap, and
+    the winsorized sum/mean.
+
+    Exactness: bounds are quantized to 6 dp the moment they leave the
+    percentile (the only interpolated float), so every clipped value
+    is either an original <= 2 dp double or a 6 dp bound — the
+    DECIMAL(27,6) sum is then exact and order-independent
+    (``functions/exact.py`` discipline), and the mean is one division
+    of identical inputs. Clip counts are integers.
+
+    Plan/scale: two passes over the group — pass 1 is the exact
+    percentile (sort-based; at 100 TB swap ``approx_percentile``, the
+    ``agg_approx_percentile`` pairing, with NO change to pass 2); the
+    bounds table is group-cardinality-sized so pass 2 re-acquires it
+    with a BROADCAST join and aggregates map-side-combined. No
+    row-level state beyond the group key anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.01), 6).alias("p01"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
+    )
+    x = F.col("l_extendedprice")
+    c = li.join(F.broadcast(b), "l_returnflag").select(
+        "l_returnflag",
+        "p01",
+        "p99",
+        F.least(F.greatest(x, F.col("p01")), F.col("p99")).alias("cx"),
+        (x < F.col("p01")).cast("long").alias("lo"),
+        (x > F.col("p99")).cast("long").alias("hi"),
+    )
+    win_sum = F.sum(F.col("cx").cast("decimal(27,6)")).cast("double")
+    return c.groupBy("l_returnflag", "p01", "p99").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("lo").alias("n_clip_low"),
+        F.sum("hi").alias("n_clip_high"),
+        win_sum.alias("win_sum"),
+        (win_sum / F.count("*").cast("double")).alias("win_mean"),
+    )

@@ -1256,3 +1256,107 @@ def pipeline_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
     )
+
+
+_DSIR_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+#: DuckDB twin of the DSIR weight: per-token smoothed log-ratio
+#: quantized to integer micro-units, multiplied by term frequency and
+#: summed per document. The scalars (target/source token totals and
+#: vocabulary size) are subquery literals, exactly like the Spark
+#: plan's driver-side metadata counts.
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_DSIR_TOKS}) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+stats AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS c_src,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+  FROM tok GROUP BY term),
+scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+  FROM tok),
+w AS (
+  SELECT term,
+         CAST(round((ln((c_tgt + 1) / CAST(n_tgt + v AS DOUBLE))
+                   - ln((c_src + 1) / CAST(n_src + v AS DOUBLE))) * 1e6)
+              AS BIGINT) AS w_micro
+  FROM stats, scal)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_toks,
+       CAST(SUM(tf.tf * w.w_micro) AS BIGINT) AS logw_micro
+FROM tf JOIN w USING (term)
+GROUP BY tf.doc_id
+"""
+
+
+@register("pipeline_dsir_weights", oracle=_DSIR_SQL)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by how much more likely its bag of tokens is
+    under a TARGET distribution (here: the ``lang='en'`` slice, the
+    paper's "formal text" stand-in) than under the full SOURCE corpus
+    — the weight that importance-resamples a raw crawl toward a
+    curated target. Per-token weight is the add-1-smoothed unigram
+    log-ratio ``ln p_tgt(t) - ln p_src(t)``; a document's weight is
+    the tf-weighted sum (the paper's hashed-ngram features reduce to
+    exactly this bag-of-unigrams on a whitespace corpus).
+
+    Exactness discipline (the ``sim_tfidf_rerank_pairs`` pattern):
+    the ONLY float op is the two ln() calls, evaluated ONCE per
+    distinct vocabulary term and immediately quantized to integer
+    micro-units; every downstream product and sum is then BIGINT, so
+    the per-document score is bit-identical at any parallelism and
+    any plan shape on both engines.
+
+    100 TB plan: ONE corpus scan feeds the (doc, term) tf aggregate
+    (map-side combined); token stats reduce FROM tf's input stream in
+    the same shuffle family (term-keyed); the weight table is
+    vocabulary-sized, so the tf-to-weight join broadcasts; corpus
+    scalars (token totals, |V|) are driver-side metadata counts that
+    enter the plan as literals. Two shuffles total (term, then
+    doc_id) — no pair joins, no second corpus scan. Selection
+    downstream is "resample ∝ exp(logw)"; the deterministic
+    top-fraction variant composes with ``pipeline_pps_sample``'s
+    hash-threshold trick."""
+    from vector_db_core_spark.functions.text import tokens
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    stats = tok.groupBy("term").agg(
+        F.count("*").alias("c_src"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("c_tgt"),
+    )
+    n_src, n_tgt, v = (
+        stats.agg(
+            F.sum("c_src"), F.sum("c_tgt"), F.count("*")
+        ).first()
+    )
+    w = stats.select(
+        "term",
+        F.round(
+            (
+                F.log((F.col("c_tgt") + 1) / F.lit(float(n_tgt + v)))
+                - F.log((F.col("c_src") + 1) / F.lit(float(n_src + v)))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    return (
+        tf.join(F.broadcast(w), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            F.sum(F.col("tf") * F.col("w_micro")).alias("logw_micro"),
+        )
+    )
