@@ -938,3 +938,20 @@ def test_frame_sample_reassembles_payload_prefix(spark):
             fr = payload[r.frame_idx * step : (r.frame_idx + 1) * step]
             assert r.frame_len == len(fr)
             assert r.frame_md5 == hashlib.md5(fr).hexdigest()
+
+
+def test_quality_threshold_sweep_monotone(spark):
+    """Per lang: pass_rate must be 1.0 at threshold 0 (the score is a
+    sum of non-negative terms), monotonically non-increasing in the
+    threshold, and strictly below 1 by the top step (the sweep must
+    actually discriminate)."""
+    rows = QUERIES["text_quality_threshold_sweep"](spark, SF_ORACLE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.step] = r
+    for lang, steps in by_lang.items():
+        assert sorted(steps) == list(range(10)), lang
+        assert steps[0].n_pass == steps[0].n_docs
+        rates = [steps[i].pass_rate for i in range(10)]
+        assert all(a >= b for a, b in zip(rates, rates[1:])), (lang, rates)
+        assert rates[9] < 1.0, lang

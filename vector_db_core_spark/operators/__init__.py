@@ -46,7 +46,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #:   sim_semdedup_fixed_cells, streaming_minhash_dedup_instream,
 #:   text_top_ngram_char_fractions, text_span_novelty,
 #:   sim_hard_negatives, pipeline_dsir_weights,
-#:   multimodal_frame_sample, agg_winsorized_stats),
+#:   multimodal_frame_sample, agg_winsorized_stats,
+#:   text_quality_threshold_sweep),
 #: then sentinels — per family take the member whose LAST green row
 #: is oldest (use max(round) per name, not min) so rotation pressure
 #: spreads across rounds.

@@ -3453,3 +3453,74 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_payload").alias("frame_len"),
         F.md5("frame_payload").alias("frame_md5"),
     )
+
+
+@register(
+    "text_quality_threshold_sweep",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE))
+               + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+                                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS q
+          FROM t),
+    g AS (SELECT lang, q, i AS step FROM s, UNNEST(generate_series(0, 9)) AS u(i))
+    SELECT lang, CAST(step AS INT) AS step,
+           round(step / 10.0, 1) AS threshold,
+           CAST(SUM(CASE WHEN q >= step / 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN q >= step / 10.0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+    FROM g GROUP BY lang, step
+    """,
+)
+def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION SWEEP over the quality filter: per (lang,
+    threshold in 0.0..0.9) the keep-rate the ``text_quality_score``
+    classifier would produce — the table a curation team reads to pick
+    an operating point (and to spot a threshold that silently drops a
+    whole language, the classic multilingual-filter failure the
+    sweep's per-lang breakdown exists to catch).
+
+    Plan/scale: one corpus scan computes the score per doc (identical
+    expression to text_quality_score, shared derivation); a 10-way
+    threshold fan-out rides the SAME scan (explode of a literal
+    sequence — 10x rows of a 2-column projection, far cheaper than 10
+    scans), then one map-side-combined groupBy over (lang, step) —
+    output is |langs| x 10 rows. Integer counts, one int/int division:
+    hash-exact. The CASE boundary (q >= step/10) is stable because
+    both engines evaluate the identical double expression on identical
+    int inputs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double") / n.cast("double")
+    q = (
+        F.lit(0.5) * ttr
+        + F.lit(0.3) * (F.lit(1.0) - stop)
+        + F.lit(0.2) * F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    )
+    s = docs.select("lang", q.alias("q"))
+    g = s.select("lang", "q", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("step"))
+    thr = F.col("step").cast("double") / 10.0
+    return (
+        g.groupBy("lang", "step")
+        .agg(
+            F.sum((F.col("q") >= thr).cast("long")).alias("n_pass"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "lang",
+            F.col("step").cast("int").alias("step"),
+            F.round(F.col("step").cast("double") / 10.0, 1).alias("threshold"),
+            "n_pass",
+            "n_docs",
+            (F.col("n_pass").cast("double") / F.col("n_docs").cast("double")).alias(
+                "pass_rate"
+            ),
+        )
+    )
