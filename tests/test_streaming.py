@@ -490,3 +490,49 @@ def test_instream_minhash_dedup_nonvacuous_and_duplicate_free(spark):
     rows = QUERIES["streaming_minhash_dedup_instream"](spark, SF_ORACLE).collect()
     pairs = [(r.batch_doc_id, r.corpus_doc_id) for r in rows]
     assert len(pairs) == len(set(pairs)) and pairs
+
+
+def test_ewma_state_fold_repairs_out_of_order_days():
+    """The order-sensitive contract: a batch delivering an EARLIER day
+    after later days were already folded must repair every downstream
+    EWMA value — final state equals the one-shot fold of the full
+    series, bit for bit (pure-integer steps)."""
+    import pandas as pd
+
+    from vector_db_core_spark.streaming.stateful import _update_ewma
+
+    class MiniState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def feed(state, rows):
+        pdf = pd.DataFrame(rows, columns=["day_i", "value"])
+        return list(_update_ewma(("click",), iter([pdf]), state))[-1]
+
+    # one-shot: days 1..4
+    s1 = MiniState()
+    full = feed(s1, [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)])
+
+    # split + out-of-order: days {1,3,4} then the late day 2
+    s2 = MiniState()
+    feed(s2, [(1, 10.0), (3, 30.0), (4, 40.0)])
+    repaired = feed(s2, [(2, 20.0)])
+
+    assert list(full.day_i) == list(repaired.day_i) == [1, 2, 3, 4]
+    assert list(full.ewma_cents) == list(repaired.ewma_cents)
+    assert list(full.daily_cents) == list(repaired.daily_cents)
+    # and the fold really is the integer recursion
+    e, expect = 0, []
+    for v in [1000, 2000, 3000, 4000]:
+        e = (3 * v + 7 * e + 5) // 10
+        expect.append(e)
+    assert list(full.ewma_cents) == expect

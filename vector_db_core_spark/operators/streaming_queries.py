@@ -652,3 +652,74 @@ def streaming_minhash_dedup_instream(spark: SparkSession, sf_dir: str) -> DataFr
     _run_to_memory(deduped, "stream_replay_minhash_dedup_instream", root, "append")
     corpus_sets.unpersist()
     return spark.table("stream_replay_minhash_dedup_instream")
+
+
+_EWMA_STREAM_SQL = """
+    WITH RECURSIVE
+    d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2),
+    o AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY day) AS INT) AS rn
+          FROM d),
+    r AS (
+      SELECT event_type, day, cents, rn, (3 * cents + 5) // 10 AS e
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.day, o.cents, o.rn,
+             (3 * o.cents + 7 * r.e + 5) // 10 AS e
+      FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           cents / 100.0 AS daily_value,
+           e / 100.0 AS ewma_value
+    FROM r
+    """
+
+
+@register("streaming_ewma_daily_replay", oracle=_EWMA_STREAM_SQL)
+def streaming_ewma_daily_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE custom stateful streaming op under the full
+    hash gate: per-event-type daily EWMA (alpha = 0.3) maintained by
+    ``applyInPandasWithState`` across micro-batches — the sequential
+    fold no built-in stateful operator expresses (each day's value
+    depends on ALL prior days, so watermark-windowed aggs and
+    ``streaming_stateful_totals_replay``'s order-INDEPENDENT state
+    both can't). State = the per-day cent totals (bounded: one entry
+    per calendar day per type); each batch merges its days in place —
+    late data repairs the fold — and emits the recomputed series
+    stamped with ``n_days``, from which the replay keeps the latest
+    fold per (type, day) with one ``max_by``.
+
+    Exactness is the whole design: the smoothing step is pure integer
+    (``e = (3*v + 7*e + 5) // 10`` on cents — alpha as a rational, the
+    half-round folded into floor division), so no float ever enters
+    state and ANY batch split or arrival order replays bit-identically
+    — and the oracle runs the IDENTICAL integer recursion as a DuckDB
+    RECURSIVE CTE (the batch twin ``timeseries_ewma_daily_value``
+    instead factorizes the float recursion into window algebra; this
+    is the streaming-grade discipline). Cents to DOUBLE only at the
+    edge, identically in both engines.
+
+    100 TB plan: state store partitioned by event_type (one shuffle
+    per batch), state size O(types x days) — production adds
+    watermark-based day finalization + timeout eviction; the closed
+    replay drives NoTimeout, same as the totals replay."""
+    stream, root = _replay_events(spark, sf_dir, "ewma")
+    from vector_db_core_spark.streaming.stateful import ewma_daily_cents
+
+    src = stream.select(
+        "event_type", F.unix_date(F.to_date("ts")).alias("day_i"), "value"
+    )
+    updates = ewma_daily_cents(src)
+    _run_to_memory(updates, "stream_replay_ewma", root, "update")
+    sink = spark.table("stream_replay_ewma")
+    final = sink.groupBy("event_type", "day_i").agg(
+        F.max_by("daily_cents", "n_days").alias("daily_cents"),
+        F.max_by("ewma_cents", "n_days").alias("ewma_cents"),
+    )
+    return final.select(
+        "event_type",
+        F.date_from_unix_date("day_i").cast("timestamp_ntz").alias("day"),
+        (F.col("daily_cents") / F.lit(100.0)).alias("daily_value"),
+        (F.col("ewma_cents") / F.lit(100.0)).alias("ewma_value"),
+    )

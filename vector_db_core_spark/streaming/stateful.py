@@ -95,3 +95,70 @@ def running_user_totals_cents(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "event_type STRING, day_i INT, daily_cents BIGINT, ewma_cents BIGINT, n_days BIGINT"
+)
+EWMA_STATE_SCHEMA = "days ARRAY<INT>, cents ARRAY<BIGINT>"
+
+
+def _update_ewma(key, batches: Iterator["pd.DataFrame"], state: GroupState):
+    """ORDER-SENSITIVE sequential fold across micro-batches: state
+    holds the per-day cent totals seen so far (a sorted day->cents
+    map as two arrays — bounded: one entry per calendar day), and
+    every batch re-folds the exponential smoothing over the sorted
+    series. Late/out-of-order days slot into place and the fold
+    repairs downstream values — the semantics a watermark-windowed agg
+    cannot express (each day's EWMA depends on ALL prior days).
+
+    The smoothing step is PURE INTEGER: with alpha = 3/10,
+    ``e_i = (3*v_i + 7*e_{i-1} + 5) // 10`` (cents in, cents out,
+    half-away rounding folded into the +5 floor-division for the
+    all-positive fixture) — no float enters the recursion, so any
+    batch split, arrival order, or engine replays to bit-identical
+    state, and DuckDB can run the IDENTICAL formula in a recursive
+    CTE as a full value oracle."""
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        days0, cents0 = state.get
+        acc = dict(zip(days0, cents0))
+    else:
+        acc = {}
+    for pdf in batches:
+        v = pdf["value"].to_numpy() * 100.0
+        c = np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64")
+        for d, cc in zip(pdf["day_i"].to_numpy(), c):
+            acc[int(d)] = acc.get(int(d), 0) + int(cc)
+    days = sorted(acc)
+    state.update((days, [acc[d] for d in days]))
+    e, series = 0, []
+    for d in days:
+        e = (3 * acc[d] + 7 * e + 5) // 10
+        series.append(e)
+    n = len(days)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * n,
+            "day_i": days,
+            "daily_cents": [acc[d] for d in days],
+            "ewma_cents": series,
+            "n_days": [n] * n,
+        }
+    )
+
+
+def ewma_daily_cents(stream: DataFrame) -> DataFrame:
+    """Per-event-type daily EWMA maintained across micro-batches —
+    update semantics: each batch emits the touched key's FULL
+    recomputed series stamped with ``n_days`` so a consumer (or the
+    replay's post-sink view) keeps only the latest fold per day."""
+    return stream.groupBy("event_type").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
