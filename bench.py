@@ -93,6 +93,11 @@ HEADLINE = [
     "multimodal_resize_thumbnail",
     "sim_knn_label_vote",
     "text_top_bigram_char_fraction",
+    # round-6 additions: the rewritten span pipeline (window count
+    # gate) + its linear-output novelty twin — the two plans the
+    # perturbed-fixture ladder exposed; track their cost every round
+    "dedup_span_pairs",
+    "text_span_novelty",
 ]
 
 STORE_ROWS = 1_000_000
@@ -351,6 +356,7 @@ def main() -> None:
             # dropDuplicatesWithinWatermark)
             "streaming_minhash_dedup_replay",
             "streaming_minhash_dedup_instream",
+            "streaming_ewma_daily_replay",
         ):
             if name not in queries:
                 continue

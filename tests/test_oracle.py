@@ -71,16 +71,16 @@ def test_results_partition_independent(name, spark):
 
 def test_driver_window_is_first_50_all_new_and_oracled():
     """The driver hash-checks the first 50 registry entries; pin the
-    round-5 rotation invariants: the curated window IS the
+    round-6 rotation invariants: the curated window IS the
     iteration-order prefix, every slot is oracled (no rows-only entry
     burning a hash-check slot — the round-3 sim_ann_lsh_topk lesson),
-    and ZERO slots repeat a query ANY prior round's driver already
-    hash-checked green (computed from the union of CORRECTNESS_r*.json
-    present at the time the window was set — the r4 window accidentally
-    repeated 13; this pin makes that regression impossible). Family
-    spread is intentionally NOT pinned this round: the window is the
-    never-driver-checked backlog, which is TPC-H/analytics/pipeline/
-    streaming-heavy by construction."""
+    and the window = the full never-driver-checked backlog FIRST (the
+    23 queries with no green hash row in any of r1-r5 — closing
+    ever-driver-green at 177/177, the r5 verdict's task 1) followed by
+    drift-sentinel REPEATS (each green in some prior round, re-checked
+    on purpose). The r5 zero-repeat pin is superseded: once the
+    backlog is smaller than 50, sentinels are the design, so the pin
+    is now backlog-completeness + backlog-first ordering."""
     import glob
     import json
     import os
@@ -95,9 +95,21 @@ def test_driver_window_is_first_50_all_new_and_oracled():
     assert all(n in ORACLE for n in DRIVER_WINDOW)
     repo = os.path.join(os.path.dirname(__file__), "..")
     already_green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-4].json"))):
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-5].json"))):
         with open(path) as fh:
             already_green |= {k for k, v in json.load(fh).items() if v.get("hash_match")}
     assert already_green, "correctness reports missing — rotation basis gone"
-    repeats = [n for n in DRIVER_WINDOW if n in already_green]
-    assert not repeats, repeats
+    flags = [n in already_green for n in DRIVER_WINDOW]
+    backlog = [n for n, green in zip(DRIVER_WINDOW, flags) if not green]
+    assert len(backlog) == 23, backlog
+    # backlog first, sentinels after — no interleaving
+    assert flags == sorted(flags), "backlog entries must precede sentinels"
+    # the window's backlog must BE the whole oracled backlog that
+    # existed at rotation time: nothing never-checked AND registered
+    # before the window may be missing from it
+    post_window = set(list(QUERIES)[50:])
+    missing = [
+        n for n in ORACLE
+        if n not in already_green and n not in DRIVER_WINDOW and n not in post_window
+    ]
+    assert not missing, missing
