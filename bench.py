@@ -360,14 +360,23 @@ def main() -> None:
         ):
             if name not in queries:
                 continue
+            # best-of-2 like the headline (round-6): a single-shot
+            # replay sample swings 2.6-17 s on a busy host (stream
+            # start/stop + state-store init dominate and are
+            # cache-sensitive); both samples recorded for audit.
             try:
-                secs = run_query_inclusive(queries, name, spark)
+                pair = [
+                    run_query_inclusive(queries, name, spark),
+                    run_query_inclusive(queries, name, spark),
+                ]
             except Exception as exc:  # noqa: BLE001 - record and continue
                 errors[name] = _short_err(exc)
                 log(f"bench: {name} FAILED: {exc}")
                 continue
+            secs = min(pair)
             streaming_times[name] = round(secs, 3)
-            log(f"bench: {name} {secs:.3f}s")
+            samples[name] = [round(s, 3) for s in pair]
+            log(f"bench: {name} {secs:.3f}s (samples {pair[0]:.3f}/{pair[1]:.3f})")
     except Exception as exc:  # noqa: BLE001 - even setup failures emit JSON
         errors["setup"] = _short_err(exc)
         log(f"bench: setup FAILED: {exc}")
