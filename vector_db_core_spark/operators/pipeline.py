@@ -1330,10 +1330,27 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    stats = tok.groupBy("term").agg(
-        F.count("*").alias("c_src"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("c_tgt"),
+    # lang rides the tf grouping (functionally determined by doc_id)
+    # so the corpus-level token stats REDUCE FROM tf's output — the
+    # token explode feeds exactly one aggregation and the corpus is
+    # scanned once; stats is a second, distinct-doc-term-sized
+    # aggregate, not a second corpus pass. tf is PERSISTED because
+    # three consumers read it (stats, the scalar totals, the weight
+    # join) and branch-local column pruning would otherwise clone the
+    # scan+explode subtree per consumer — it is exactly the
+    # doc-term-frequency table a production DSIR job materializes.
+    from pyspark import StorageLevel
+
+    tf = (
+        tok.groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = tf.groupBy("term").agg(
+        F.sum("tf").alias("c_src"),
+        F.sum(F.when(F.col("lang") == "en", F.col("tf")).otherwise(F.lit(0))).alias(
+            "c_tgt"
+        ),
     )
     n_src, n_tgt, v = (
         stats.agg(
