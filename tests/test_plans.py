@@ -704,3 +704,54 @@ def test_semdedup_fixed_cells_equi_join_dominance(spark):
     # per side — bounded by construction, not a corpus-squared shape
     bnl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
     assert len(bnl) <= 2
+
+
+def test_hard_negatives_broadcast_two_phase_topk(spark):
+    """Hard-negative mining's scale contract (sim_cosine_topk's shape):
+    the query set joins as the BROADCAST side with the label predicate
+    fused into the join (no SMJ/shuffled join anywhere), and the
+    two-phase top-k's per-partition prune appears as the
+    spark_partition_id window BELOW the global rank window."""
+    plan = _plan_simple(QUERIES["sim_hard_negatives"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_span_novelty_no_pair_join_linear_output(spark):
+    """Span novelty must never form a pair join: its only join is the
+    span-to-df equi join (span key), and the plan has no cartesian or
+    nested-loop operator — the linear-output contract that
+    distinguishes it from dedup_span_pairs."""
+    plan = _plan_simple(QUERIES["text_span_novelty"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if ("Join" in ln and "BroadcastExchange" not in ln)
+    ]
+    assert all("span" in ln for ln in join_lines), join_lines
+
+
+def test_frame_sample_no_shuffle(spark):
+    """The 1-to-N frame fan-out happens inside the Arrow batch: the
+    streaming-side plan up to the digest projection has NO exchange at
+    all (frames inherit the scan partitioning — the per-video locality
+    contract in the docstring)."""
+    plan = _plan_simple(QUERIES["multimodal_frame_sample"](spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_span_dedup_gate_filters_before_collect(spark):
+    """The round-6 count gate: the window count + [2,cap] filter must
+    sit BELOW the collect_set object aggregate, so per-group object
+    state only ever materializes for spans that emit pairs."""
+    plan = _plan_simple(QUERIES["dedup_span_pairs"](spark, SF_ORACLE))
+    lines = plan.splitlines()
+    obj = min(i for i, ln in enumerate(lines) if "ObjectHashAggregate" in ln)
+    win = min(i for i, ln in enumerate(lines) if ln.strip().startswith("+- Window") or " Window " in ln)
+    flt = min(
+        i for i, ln in enumerate(lines) if "Filter" in ln and "n_docs" in ln
+    )
+    # deeper in the tree = later line in simple-mode output
+    assert obj < flt <= win or obj < win, (obj, flt, win)
