@@ -247,3 +247,35 @@ def test_winsorized_stats_invariants(spark):
         assert 0 < r.n_clip_low <= 0.02 * r.n_rows
         assert 0 < r.n_clip_high <= 0.02 * r.n_rows
         assert abs(r.win_sum / r.n_rows - r.win_mean) < 1e-9
+
+
+def test_weighted_median_numpy_rederivation(spark):
+    """Re-derive the quantity-weighted median per returnflag in numpy
+    (sort prices, cumulative weights, first price reaching half the
+    total) and require exact equality; the weighted median must also
+    differ from the unweighted median for at least one group (the
+    weighting must matter on this fixture)."""
+    import numpy as np
+
+    li = (
+        spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    by = {}
+    for r in li:
+        by.setdefault(r.l_returnflag, []).append((r.l_extendedprice, r.l_quantity))
+    got = {r.l_returnflag: r for r in QUERIES["agg_weighted_median"](spark, SF_ORACLE).collect()}
+    assert set(got) == set(by)
+    any_differs = False
+    for flag, rows in by.items():
+        arr = sorted(rows)
+        p = np.array([x[0] for x in arr])
+        w = np.array([x[1] for x in arr])
+        cw = np.cumsum(w)
+        expect = float(p[np.searchsorted(cw * 2, cw[-1], side="left")])
+        assert got[flag].weighted_median == expect, flag
+        assert abs(got[flag].total_weight - float(cw[-1])) < 1e-6
+        plain = float(np.median(p))
+        any_differs |= expect != plain
+    assert any_differs

@@ -47,7 +47,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #:   text_top_ngram_char_fractions, text_span_novelty,
 #:   sim_hard_negatives, pipeline_dsir_weights,
 #:   multimodal_frame_sample, agg_winsorized_stats,
-#:   text_quality_threshold_sweep, streaming_ewma_daily_replay),
+#:   text_quality_threshold_sweep, streaming_ewma_daily_replay,
+#:   agg_weighted_median),
 #: then sentinels — per family take the member whose LAST green row
 #: is oldest (use max(round) per name, not min) so rotation pressure
 #: spreads across rounds.

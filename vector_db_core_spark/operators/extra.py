@@ -1800,3 +1800,64 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         win_sum.alias("win_sum"),
         (win_sum / F.count("*").cast("double")).alias("win_mean"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (SELECT l_returnflag, l_extendedprice AS p,
+                      SUM(CAST(l_quantity AS DECIMAL(27,6))) AS w
+               FROM lineitem GROUP BY 1, 2),
+    c AS (SELECT *,
+                 SUM(w) OVER (PARTITION BY l_returnflag ORDER BY p) AS cw,
+                 SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+          FROM g)
+    SELECT l_returnflag,
+           MIN(p) AS weighted_median,
+           CAST(MIN(tw) AS DOUBLE) AS total_weight
+    FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN per group: the smallest price at which
+    the cumulative quantity weight reaches half the group's total —
+    the robust center a revenue analysis wants when rows carry
+    unequal mass (``percentile`` and ``median`` weigh every row
+    equally; there is no built-in weighted quantile in either
+    engine, so this is the canonical window-algebra construction).
+
+    Determinism discipline: weights pre-aggregate per DISTINCT price
+    (so the cumulative sum is over a keyed, totally-ordered series —
+    no tie-break ambiguity between equal prices), every weight sum is
+    exact DECIMAL (``functions/exact.py``), and the half-total test
+    is the integer-safe ``2*cw >= tw`` (no division). The value
+    selection is a MIN over the qualifying prices — order-independent.
+
+    Plan/scale: one map-side-combined groupBy to (group, price) —
+    the only corpus-sized shuffle — then two windows over the SAME
+    (group, price-ordered) partitioning (one exchange, one sort,
+    shared by both frames) and a final tiny groupBy. At 100 TB with
+    high-cardinality groups this is the textbook two-pass weighted
+    quantile; for a fixed error budget swap an approx sketch exactly
+    as the percentile family pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    from vector_db_core_spark.functions.exact import dec
+
+    g = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("p")).agg(
+        F.sum(dec("l_quantity")).alias("w")
+    )
+    wo = W.partitionBy("l_returnflag").orderBy("p")
+    c = g.select(
+        "l_returnflag",
+        "p",
+        F.sum("w").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cw"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        c.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("p").alias("weighted_median"),
+            F.min("tw").cast("double").alias("total_weight"),
+        )
+    )
