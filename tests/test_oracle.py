@@ -71,16 +71,15 @@ def test_results_partition_independent(name, spark):
 
 def test_driver_window_is_first_50_all_new_and_oracled():
     """The driver hash-checks the first 50 registry entries; pin the
-    round-6 rotation invariants: the curated window IS the
+    round-7 rotation invariants: the curated window IS the
     iteration-order prefix, every slot is oracled (no rows-only entry
     burning a hash-check slot — the round-3 sim_ann_lsh_topk lesson),
-    and the window = the full never-driver-checked backlog FIRST (the
-    23 queries with no green hash row in any of r1-r5 — closing
-    ever-driver-green at 177/177, the r5 verdict's task 1) followed by
-    drift-sentinel REPEATS (each green in some prior round, re-checked
-    on purpose). The r5 zero-repeat pin is superseded: once the
-    backlog is smaller than 50, sentinels are the design, so the pin
-    is now backlog-completeness + backlog-first ordering."""
+    and the window = the full never-driver-checked backlog FIRST
+    followed by drift-sentinel REPEATS (each green in some prior
+    round, re-checked on purpose). The driver never produced
+    CORRECTNESS_r06.json, so the basis is still r1-r5 and the backlog
+    is 34: the 23 carried from the unsampled round-6 window plus the
+    11 round-6 additions."""
     import glob
     import json
     import os
@@ -101,7 +100,7 @@ def test_driver_window_is_first_50_all_new_and_oracled():
     assert already_green, "correctness reports missing — rotation basis gone"
     flags = [n in already_green for n in DRIVER_WINDOW]
     backlog = [n for n, green in zip(DRIVER_WINDOW, flags) if not green]
-    assert len(backlog) == 23, backlog
+    assert len(backlog) == 34, backlog
     # backlog first, sentinels after — no interleaving
     assert flags == sorted(flags), "backlog entries must precede sentinels"
     # the window's backlog must BE the whole oracled backlog that

@@ -24,36 +24,34 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
 #: The 50 queries surfaced to the driver's correctness window.
 #:
-#: Round-6 rotation (mechanical, per the r5 verdict):
+#: Round-7 rotation (mechanical). The driver never produced
+#: CORRECTNESS_r06.json (no round-6 correctness run landed), so the
+#: rotation basis is unchanged from round 6:
 #:   covered = union of hash_match rows across CORRECTNESS_r0{1..5}.json
-#:   backlog = [n for n in ORACLE if n not in covered]   # == 23
-#: The 23 backlog entries (12 deferred from the r5 window + the 11
-#: operators added in round 5) go FIRST; a green run makes distinct
-#: ever-driver-green == 177/177, i.e. every oracled query in the
-#: registry has at least one driver hash row. The remaining 27 slots
-#: are drift sentinels: group the 154 covered queries into operator
-#: families (prefix, TPC-H collapsed to one family), take each
-#: family's OLDEST-green member, rank families by that round
-#: ascending, keep 27. The seven families dropped by the cut
-#: (profile, unpivot, attribution, checksum, merge, quality, scd2)
-#: are exactly the freshest — all first green in r4/r5.
+#:   backlog = [n for n in ORACLE if n not in covered]   # == 34
+#: The 34 backlog entries — the 23 carried from the round-6 window
+#: (never sampled) plus the 11 operators added in round 6 — go FIRST;
+#: a green run makes distinct ever-driver-green == 188/188 for the
+#: round-6 registry. The remaining 16 slots are drift sentinels,
+#: chosen per the round-6 plan note: group the 154 covered queries
+#: into operator families (prefix, TPC-H collapsed to one family),
+#: take each family's member whose LAST green row is oldest
+#: (max(round) per name), rank families by that round ascending,
+#: keep 16. The cut keeps every family last-refreshed in r2/early-r3
+#: (cube, distinct, join, topk, window, agg, dedup, funnel, group,
+#: json, multimodal, pipeline, pivot, tpch, ref, rollup) and drops
+#: the 18 freshest (scalar/set/sim/streaming/subquery/text/timeseries
+#: r3-late + the r4/r5 families) — most of which the backlog itself
+#: re-exercises anyway.
 #: Fixture drift (the round-2 failure mode) is covered by
 #: tests/test_fixture_schema.py; everything outside the window stays
 #: green in the local pytest oracle replica (tests/test_oracle.py).
 #:
-#: ROUND-7 PLAN: recompute `covered` with CORRECTNESS_r06.json
-#: included; queries oracled AFTER this rotation go first (so far:
-#:   sim_semdedup_fixed_cells, streaming_minhash_dedup_instream,
-#:   text_top_ngram_char_fractions, text_span_novelty,
-#:   sim_hard_negatives, pipeline_dsir_weights,
-#:   multimodal_frame_sample, agg_winsorized_stats,
-#:   text_quality_threshold_sweep, streaming_ewma_daily_replay,
-#:   agg_weighted_median),
-#: then sentinels — per family take the member whose LAST green row
-#: is oldest (use max(round) per name, not min) so rotation pressure
-#: spreads across rounds.
+#: ROUND-8 PLAN: recompute `covered` with CORRECTNESS_r07.json
+#: included; queries oracled AFTER this rotation go first, then
+#: sentinels by the same oldest-last-green family rule.
 DRIVER_WINDOW = (
-    # --- 23-query backlog: never driver-checked before this round ---
+    # --- 34-query backlog: never driver-checked before this round ---
     # text analysis tail (r5 additions + r5-deferred)
     "text_vocabulary_topn",
     "text_boilerplate_phrases",
@@ -82,34 +80,36 @@ DRIVER_WINDOW = (
     "pipeline_url_normalize_dedup",
     # streaming (r5 addition)
     "streaming_minhash_dedup_replay",
-    # --- 27 drift sentinels: one per family, oldest green first ---
-    "agg_stats_lineitem",             # r1
-    "case_bucketize_orders",          # r1
-    "cube_status_priority",           # r1
-    "distinct_market_segments",       # r1
-    "group_topk_orders_per_customer", # r1
-    "join_anti_customers_without_orders",  # r1
-    "json_extract_props",             # r1
-    "ref_getall",                     # r1
-    "rollup_returnflag_status",       # r1
-    "scalar_date_functions",          # r1
-    "set_except_inactive_custkeys",   # r1
-    "topk_orders_by_price",           # r1
-    "q1_pricing_summary",             # r1 (TPC-H family)
-    "window_lag_lead_delta",          # r1
-    "dedup_canonical_documents",      # r2
-    "sim_cosine_topk",                # r2
-    "text_fingerprint",               # r2
-    "funnel_view_click_purchase",     # r3
-    "multimodal_binary_metadata",     # r3
-    "pipeline_chunk_tokens",          # r3
-    "pivot_status_by_priority",       # r3
-    "streaming_interval_join_replay", # r3
-    "subquery_exists_priority_counts",  # r3
-    "timeseries_ewma_daily_value",    # r3
-    "assoc_part_pairs_in_orders",     # r4
-    "cohort_daily_retention",         # r4
-    "grouping_sets_status_priority",  # r4
+    # round-6 additions (added after the r6 rotation, never sampled)
+    "sim_semdedup_fixed_cells",
+    "streaming_minhash_dedup_instream",
+    "text_top_ngram_char_fractions",
+    "text_span_novelty",
+    "sim_hard_negatives",
+    "pipeline_dsir_weights",
+    "multimodal_frame_sample",
+    "agg_winsorized_stats",
+    "text_quality_threshold_sweep",
+    "streaming_ewma_daily_replay",
+    "agg_weighted_median",
+    # --- 16 drift sentinels: per family the member whose LAST green
+    # --- row is oldest; families ranked by that round ascending ---
+    "cube_status_priority",           # last green r2
+    "distinct_market_segments",       # last green r2
+    "join_broadcast_brand_volume",    # last green r2
+    "topk_orders_by_price",           # last green r2
+    "window_rank_dense_rank",         # last green r2
+    "agg_percentile_price_quartiles", # last green r3
+    "dedup_connected_clusters",       # last green r3
+    "funnel_view_click_purchase",     # last green r3
+    "group_topk_orders_per_customer", # last green r3
+    "json_extract_props",             # last green r3
+    "multimodal_binary_metadata",     # last green r3
+    "pipeline_chunk_tokens",          # last green r3
+    "pivot_status_by_priority",       # last green r3
+    "q1_pricing_summary",             # last green r3 (TPC-H family)
+    "ref_getall",                     # last green r3
+    "rollup_returnflag_status",       # last green r3
 )
 
 
