@@ -3524,3 +3524,197 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+                 FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+    freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    lp AS (SELECT doc_id,
+                  round(CAST(SUM(CAST(ln(c / (SELECT n FROM tot)) AS DECIMAL(27,15))) AS DOUBLE)
+                        / COUNT(*), 6) AS avg_logprob
+           FROM tok JOIN freq USING (token)
+           GROUP BY doc_id),
+    q AS (SELECT quantile_cont(avg_logprob, 2.0 / 3.0) AS q_head,
+                 quantile_cont(avg_logprob, 1.0 / 3.0) AS q_mid
+          FROM lp)
+    SELECT doc_id, avg_logprob,
+           CASE WHEN avg_logprob >= q_head THEN 'head'
+                WHEN avg_logprob >= q_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lp, q
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document under a language model and
+    split the corpus into head / middle / tail TERCILES by score — the
+    standard pre-training recipe that keeps the well-formed third,
+    samples the middle, and drops (or down-weights) the tail. The LM
+    here is the corpus unigram model (the same cheap perplexity
+    stand-in ``text_unigram_logprob`` uses and shares its derivation
+    with); CCNet's 5-gram KenLM drops in by replacing the scoring
+    join, the bucketing algebra is identical. Higher avg token
+    log-probability == lower perplexity == 'head'.
+
+    Plan/scale: one corpus scan explodes tokens; the frequency table
+    reduces map-side; scoring is one equi-join of tokens against the
+    aggregated vocab (AQE-handled, no corpus re-shuffle); per-token
+    ``ln`` values are DECIMAL-cast before the per-doc sum so the score
+    is accumulation-order independent (round(6) absorbs last-ulp
+    ``ln`` drift). The tercile cut points are ONE exact two-quantile
+    aggregate broadcast back as a one-row frame, so the bucket tag is
+    a map-side CASE — at 100 TB swap in ``approx_percentile`` for the
+    cut points (the documented exact/approx twin policy) and nothing
+    else changes. Spark exact ``percentile`` == DuckDB
+    ``quantile_cont`` bit-for-bit (the contract
+    ``pipeline_curriculum_phases`` pins)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    total = tok.agg(F.count("*").cast("double").alias("_n"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    lp = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lp", F.log(F.col("c") / F.col("_n")).cast("decimal(27,15)"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"))
+    )
+    q = lp.agg(
+        F.percentile("avg_logprob", 2.0 / 3.0).alias("q_head"),
+        F.percentile("avg_logprob", 1.0 / 3.0).alias("q_mid"),
+    )
+    return lp.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("q_head"), "head")
+        .when(F.col("avg_logprob") >= F.col("q_mid"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@register(
+    "dedup_paragraph_keep_first",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               FROM documents),
+    segs AS (SELECT doc_id, i AS seg_idx,
+                    array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+             FROM t, UNNEST(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS u(i)
+             WHERE len(toks) >= 1),
+    r AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+          FROM segs)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paragraphs,
+           round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS dup_fraction
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-level exact dedup with keep-first semantics — the C4
+    recipe (Raffel et al. 2020, arXiv:1910.10683 §2.2: "discard all
+    but one of any three-sentence span occurring more than once") on
+    the fixture's sentence-free text: paragraphs are non-overlapping
+    8-token segments, the FIRST occurrence corpus-wide (ordered by
+    doc_id, seg_idx) owns the paragraph, every later occurrence is a
+    removal. Output is the per-document removal ledger (counts +
+    fraction) a curation run records before rewriting the corpus —
+    unlike ``dedup_span_pairs`` (which reports pairs) this decides WHO
+    KEEPS the text.
+
+    Plan/scale: segment enumeration is codegen array slicing on the
+    scan (map-only); ONE hash shuffle on the paragraph key feeds the
+    keep-first ``row_number`` (per-key ordering, no global sort); the
+    per-doc rollup is a second map-side-combined shuffle. At 100 TB
+    the paragraph string shuffles as ``xxhash64(seg)`` (~10x smaller
+    exchange; kept as strings so DuckDB can mirror the query) and a
+    boilerplate frequency cap like ``dedup_span_pairs``' bounds
+    worst-case key skew; AQE's skew split handles the rest."""
+    t = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 1)
+    )
+    segs = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("toks") / F.lit(8.0)).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * 8 + 1, 8)),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    r = segs.withColumn("rn", F.row_number().over(w))
+    dup = (F.col("rn") > 1).cast("long")
+    return r.groupBy("doc_id").agg(
+        F.count("*").alias("n_paragraphs"),
+        F.sum(dup).alias("n_dup_paragraphs"),
+        F.round(
+            F.sum(dup).cast("double") / F.count("*"), 6
+        ).alias("dup_fraction"),
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=r"""
+    WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+                 FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    r AS (SELECT c,
+                 row_number() OVER (ORDER BY c DESC, token) AS rank
+          FROM vocab)
+    SELECT round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS log_intercept,
+           round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(c) AS BIGINT) AS total_tokens
+    FROM r
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope
+    / intercept / R² of ln(frequency) on ln(rank) — the one-row corpus
+    health statistic curation teams track (natural text fits slope
+    ≈ −1; synthetic, templated, or tokenizer-broken corpora bend the
+    curve, and a slope drifting round-over-round means the ingest mix
+    changed). SQL-standard ``regr_*`` co-moment aggregates; ln
+    magnitudes are small and well-conditioned so round(6) absorbs
+    accumulation-order drift (the ``agg_linear_regression`` policy).
+
+    Plan/scale: the corpus reduces to the vocab table in one
+    map-side-combined shuffle — everything after runs on |vocab| rows,
+    orders of magnitude smaller than the corpus. The rank assignment
+    here is a single-partition ``row_number`` (fine up to ~10^7 vocab
+    rows); at web-scale vocabularies rank comes from the range-sort +
+    per-range offset trick ``store.export_ordered`` pins (no global
+    single-task sort), and the regression aggregate is unchanged."""
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    r = vocab.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("c"), F.asc("token")))
+    )
+    y = F.log(F.col("c").cast("double"))
+    x = F.log(F.col("rank").cast("double"))
+    return r.agg(
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("log_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.count("*").alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+    )
