@@ -1377,3 +1377,247 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * F.col("w_micro")).alias("logw_micro"),
         )
     )
+
+
+@register(
+    "pipeline_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (SELECT lang,
+                      len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
+                      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens,
+                      length(text) AS n_chars
+               FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+           round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report per language: subword tokens per
+    whitespace word and characters per token — the table a
+    multilingual-pretraining team reads to spot languages the
+    tokenizer punishes (high fertility == more tokens per word ==
+    fewer effective characters per sequence and higher training cost;
+    the standard metric in multilingual tokenizer papers). The
+    tokenizer is the BPE-ish pre-tokenizer regex shared with
+    ``text_token_count_bpe``; a trained vocab (see
+    ``pipeline_tokenizer_apply``) drops in by swapping the count
+    expression.
+
+    Plan/scale: per-row regex + length work fused into the scan, one
+    map-side-combined groupBy on lang (|langs| rows out). Integer sums
+    with one final division each — hash-exact at any parallelism."""
+    from vector_db_core_spark.functions.text import tokens
+
+    t = _docs(spark, sf_dir).select(
+        "lang",
+        F.size(tokens("text")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+            )
+        ).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.round(F.sum("n_tokens").cast("double") / F.sum("n_words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle=r"""
+    WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               FROM documents),
+    s AS (SELECT len(toks) AS n,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+                 CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                   / len(toks) AS stop
+          FROM t),
+    f AS (SELECT n >= 20 AS c1, ttr >= 0.30 AS c2, stop <= 0.12 AS c3,
+                 (0.5 * ttr + 0.3 * (1.0 - stop) + 0.2 * least(n / 100.0, 1.0)) >= 0.62 AS c4
+          FROM s),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN NOT c1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                 CAST(SUM(CASE WHEN c1 AND NOT c2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                 CAST(SUM(CASE WHEN c1 AND c2 AND NOT c3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+                 CAST(SUM(CASE WHEN c1 AND c2 AND c3 AND NOT c4 THEN 1 ELSE 0 END) AS BIGINT) AS f4
+          FROM f)
+    SELECT 1 AS stage_idx, 'min_tokens' AS stage, n0 AS n_in, f1 AS n_rejected,
+           n0 - f1 AS n_out FROM a
+    UNION ALL SELECT 2, 'type_token_ratio', n0 - f1, f2, n0 - f1 - f2 FROM a
+    UNION ALL SELECT 3, 'stopword_ratio', n0 - f1 - f2, f3, n0 - f1 - f2 - f3 FROM a
+    UNION ALL SELECT 4, 'quality_score', n0 - f1 - f2 - f3, f4,
+                     n0 - f1 - f2 - f3 - f4 FROM a
+    """,
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REJECTION FUNNEL over the ordered curation filter chain
+    (min-length -> type-token ratio -> stopword ratio -> composite
+    quality score): per stage, documents entering, rejected BY THAT
+    STAGE (first-rejecting-filter attribution), and surviving — the
+    observability table every production curation run emits so a
+    threshold change can be traced to exactly which gate the corpus
+    lost mass at (every stage rejects a non-zero slice of this
+    fixture: 43 / 8 / 20 / 167 at sf0.01).
+
+    Plan/scale: ONE corpus scan computes all four predicates per doc
+    inside codegen (no per-stage rescans — the naive 4-pass shape is
+    4x the IO for the same answer); a single map-side-combined global
+    aggregate reduces to one row of counters, and the 4-row funnel is
+    an explode over literal structs of that broadcast row. Scales as
+    a plain count."""
+    from vector_db_core_spark.functions.text import tokens
+
+    t = _docs(spark, sf_dir).select(tokens("text").alias("toks"))
+    n = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n
+    stop = F.size(F.filter("toks", lambda x: x.isin("the", "a"))).cast("double") / n
+    q = (
+        F.lit(0.5) * ttr
+        + F.lit(0.3) * (F.lit(1.0) - stop)
+        + F.lit(0.2) * F.least(n / F.lit(100.0), F.lit(1.0))
+    )
+    f = t.select(
+        (n >= 20).alias("c1"),
+        (ttr >= 0.30).alias("c2"),
+        (stop <= 0.12).alias("c3"),
+        (q >= 0.62).alias("c4"),
+    )
+    a = f.agg(
+        F.count("*").alias("n0"),
+        F.sum((~F.col("c1")).cast("long")).alias("f1"),
+        F.sum((F.col("c1") & ~F.col("c2")).cast("long")).alias("f2"),
+        F.sum((F.col("c1") & F.col("c2") & ~F.col("c3")).cast("long")).alias("f3"),
+        F.sum(
+            (F.col("c1") & F.col("c2") & F.col("c3") & ~F.col("c4")).cast("long")
+        ).alias("f4"),
+    )
+    n0, f1, f2, f3, f4 = (F.col(c) for c in ("n0", "f1", "f2", "f3", "f4"))
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("stage_idx"), F.lit("min_tokens").alias("stage"),
+            n0.alias("n_in"), f1.alias("n_rejected"), (n0 - f1).alias("n_out"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage_idx"), F.lit("type_token_ratio").alias("stage"),
+            (n0 - f1).alias("n_in"), f2.alias("n_rejected"),
+            (n0 - f1 - f2).alias("n_out"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage_idx"), F.lit("stopword_ratio").alias("stage"),
+            (n0 - f1 - f2).alias("n_in"), f3.alias("n_rejected"),
+            (n0 - f1 - f2 - f3).alias("n_out"),
+        ),
+        F.struct(
+            F.lit(4).alias("stage_idx"), F.lit("quality_score").alias("stage"),
+            (n0 - f1 - f2 - f3).alias("n_in"), f4.alias("n_rejected"),
+            (n0 - f1 - f2 - f3 - f4).alias("n_out"),
+        ),
+    )
+    return a.select(F.explode(stages).alias("s")).select("s.*")
+
+
+@register(
+    "pipeline_nb_language_filter",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, lang = 'en' AS is_en,
+                        unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+                 FROM documents),
+    pri AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS n_en,
+                   CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS n_ot
+            FROM documents),
+    cls AS (SELECT token,
+                   SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS c_en,
+                   SUM(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS c_ot
+            FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(c_en) AS DOUBLE) AS t_en,
+                   CAST(SUM(c_ot) AS DOUBLE) AS t_ot,
+                   CAST(COUNT(*) AS DOUBLE) AS v
+            FROM cls),
+    s AS (SELECT doc_id, is_en,
+                 SUM(CAST(ln((c_en + 1) / (t_en + v)) - ln((c_ot + 1) / (t_ot + v))
+                          AS DECIMAL(27,15))) AS lr
+          FROM tok JOIN cls USING (token), tot
+          GROUP BY doc_id, is_en)
+    SELECT doc_id, is_en,
+           round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6) AS log_odds,
+           round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6) > 0.0 AS pred_en
+    FROM s, pri
+    """,
+)
+def pipeline_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style LANGUAGE FILTER trained in-engine: a multinomial
+    Naive Bayes classifier (Laplace-smoothed token likelihoods, the
+    closed-form cousin of the fastText linear classifier CCNet /
+    RedPajama use for language filtering) is fit on the corpus's own
+    labels (en vs not-en) and applied back to every document — per doc
+    the log-odds and the keep/drop decision. Fixture languages share a
+    vocabulary but differ in token FREQUENCIES, so the classifier has
+    real signal to learn; training and scoring are the same two-pass
+    shape a real fastText-scored curation run has (fit once, score
+    everything).
+
+    Plan/scale: pass 1 reduces exploded tokens to the per-token class
+    count table (map-side combined; |vocab| rows); its totals and the
+    label priors are one-row broadcast aggregates. Pass 2 re-explodes
+    the corpus and equi-joins tokens to the count table — at 100 TB
+    the vocab table broadcasts (it is vocabulary-sized, not
+    corpus-sized) making scoring map-side. Per-token log-likelihood
+    ratios are DECIMAL-cast before the per-doc sum (order-independent;
+    round(6) absorbs last-ulp ``ln`` drift), and the keep decision
+    compares the ROUNDED log-odds so both engines decide identically."""
+    from vector_db_core_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    pri = docs.agg(
+        F.sum((F.col("lang") == "en").cast("long")).cast("double").alias("n_en"),
+        F.sum((F.col("lang") != "en").cast("long")).cast("double").alias("n_ot"),
+    )
+    cls = tok.groupBy("token").agg(
+        F.sum(F.col("is_en").cast("long")).alias("c_en"),
+        F.sum((~F.col("is_en")).cast("long")).alias("c_ot"),
+    )
+    tot = cls.agg(
+        F.sum("c_en").cast("double").alias("t_en"),
+        F.sum("c_ot").cast("double").alias("t_ot"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lr = (
+        F.log((F.col("c_en") + 1) / (F.col("t_en") + F.col("v")))
+        - F.log((F.col("c_ot") + 1) / (F.col("t_ot") + F.col("v")))
+    ).cast("decimal(27,15)")
+    s = (
+        tok.join(F.broadcast(cls), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "is_en")
+        .agg(F.sum(lr).alias("lr"))
+    )
+    log_odds = F.round(
+        F.col("lr").cast("double") + F.log(F.col("n_en") / F.col("n_ot")), 6
+    )
+    return s.crossJoin(F.broadcast(pri)).select(
+        "doc_id",
+        "is_en",
+        log_odds.alias("log_odds"),
+        (log_odds > 0.0).alias("pred_en"),
+    )
