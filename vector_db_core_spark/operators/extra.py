@@ -1861,3 +1861,54 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").cast("double").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_mode_frequency",
+    oracle="""
+    WITH c AS (SELECT o_orderstatus, o_orderpriority,
+                      COUNT(*) AS n FROM orders
+               GROUP BY o_orderstatus, o_orderpriority),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY n DESC, o_orderpriority) AS rn,
+                 SUM(n) OVER (PARTITION BY o_orderstatus) AS total
+          FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS mode_count,
+           CAST(total AS BIGINT) AS group_count,
+           round(CAST(n AS DOUBLE) / total, 6) AS mode_share
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group with a DETERMINISTIC
+    tie-break — the statistical mode SQL engines disagree on by
+    default (Spark's ``mode()`` and DuckDB's ``mode()`` both break
+    ties arbitrarily), made hash-exact by ranking candidates on
+    ``(count DESC, value ASC)``: modal order priority per order
+    status, with its count and share.
+
+    Plan/scale: the heavy reduction is the map-side-combined
+    ``groupBy`` to candidate counts (|groups| x |distinct values|
+    rows — tiny); the ``row_number`` window runs on that reduced
+    table, never the fact table, so the single-key-partition window
+    cost is bounded by value cardinality, not data size. This
+    two-level shape (reduce, then rank the reduction) is the only
+    mode plan that survives 100 TB — ``mode()`` as a direct aggregate
+    would buffer per-group value maps in the aggregation hash table."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    grp = W.partitionBy("o_orderstatus")
+    r = c.withColumn(
+        "rn", F.row_number().over(grp.orderBy(F.desc("n"), F.asc("o_orderpriority")))
+    ).withColumn("total", F.sum("n").over(grp))
+    return r.where(F.col("rn") == 1).select(
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("mode_priority"),
+        F.col("n").alias("mode_count"),
+        F.col("total").alias("group_count"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("mode_share"),
+    )

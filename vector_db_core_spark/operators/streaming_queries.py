@@ -723,3 +723,53 @@ def streaming_ewma_daily_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("daily_cents") / F.lit(100.0)).alias("daily_value"),
         (F.col("ewma_cents") / F.lit(100.0)).alias("ewma_value"),
     )
+
+
+_CDC_UPSERT_SQL = """
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+@register("streaming_cdc_upsert_replay", oracle=_CDC_UPSERT_SQL)
+def streaming_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC UPSERT MATERIALIZATION from a change stream: treat events
+    as keyed change records and maintain the last-write-wins row per
+    key (latest ``(ts, event_id)`` takes the row) — the streaming half
+    of ``merge_upsert_orders``, i.e. the standing query that keeps a
+    serving table in sync with a CDC feed (Debezium/binlog-shaped:
+    key, change time, payload).
+
+    Spark-first design: last-write-wins is an order-INDEPENDENT
+    monotone merge, so it needs no custom state — it IS a built-in
+    streaming aggregation ``groupBy(key).agg(max(struct(ts, event_id,
+    payload...)))`` in update mode (struct comparison is
+    lexicographic and ``(ts, event_id)`` is unique, so the payload
+    fields never decide). Any batch split or arrival order converges
+    to the same state — late data repairs the row automatically. The
+    replay's final fold applies the SAME max to the update log, which
+    is exactly why the result is replay-invariant.
+
+    100 TB plan: state is one struct per key partitioned by key hash
+    (the state-store shuffle), updates are map-side pre-merged by the
+    partial max — the minimum possible per-batch work for CDC; no
+    watermark needed because LWW state never closes (production adds
+    TTL eviction for retired keys). The oracle is the batch
+    ``row_number() = 1`` view of the same contract."""
+    stream, root = _replay_events(spark, sf_dir, "cdc")
+    state = stream.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s")
+    )
+    _run_to_memory(state, "stream_replay_cdc", root, "update")
+    sink = spark.table("stream_replay_cdc")
+    final = sink.groupBy("user_id").agg(F.max("s").alias("s"))
+    return final.select(
+        "user_id",
+        F.col("s.ts").alias("last_ts"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.value").alias("last_value"),
+    )
