@@ -229,3 +229,38 @@ def test_dsir_weights_numpy_rederivation(spark):
             assert r.logw_micro == sum(w[t] for t in toks), d.doc_id
         (en_avg if d.lang == "en" else other_avg).append(r.logw_micro / r.n_toks)
     assert sum(en_avg) / len(en_avg) > sum(other_avg) / len(other_avg)
+
+
+def test_filter_funnel_conserves_and_every_stage_bites(spark):
+    rows = sorted(
+        QUERIES["pipeline_filter_funnel"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    assert rows[0].n_in == n_docs
+    for a, b in zip(rows, rows[1:]):
+        # funnel conservation: what survives stage i enters stage i+1
+        assert a.n_out == a.n_in - a.n_rejected
+        assert b.n_in == a.n_out
+    # non-vacuity pin: every gate rejects something on this fixture
+    assert all(r.n_rejected > 0 for r in rows), rows
+
+
+def test_nb_language_filter_beats_majority_baseline(spark):
+    rows = QUERIES["pipeline_nb_language_filter"](spark, SF_ORACLE).collect()
+    n = len(rows)
+    correct = sum(r.pred_en == r.is_en for r in rows)
+    majority = max(sum(r.is_en for r in rows), sum(not r.is_en for r in rows))
+    # the classifier must have learned signal from the per-lang token
+    # frequency profiles, not just the prior
+    assert correct > majority, (correct, majority, n)
+
+
+def test_tokenizer_fertility_bounds(spark):
+    rows = QUERIES["pipeline_tokenizer_fertility"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # the BPE-ish pre-tokenizer never merges across whitespace, so
+        # it can only split words further: fertility >= 1
+        assert r.fertility >= 1.0, r
+        assert r.chars_per_token > 0, r
