@@ -1912,3 +1912,197 @@ def agg_mode_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("group_count"),
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("mode_share"),
     )
+
+
+@register(
+    "window_streak_islands",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (SELECT user_id, day,
+                 day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                            AS INT) AS grp
+          FROM d),
+    s AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_len,
+                 MIN(day) AS streak_start
+          FROM g GROUP BY user_id, grp),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY streak_len DESC, streak_start) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks,
+                 CAST(SUM(streak_len) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS active_days
+          FROM s)
+    SELECT user_id, streak_len AS longest_streak,
+           CAST(streak_start AS TIMESTAMP) AS streak_start,
+           n_streaks, active_days
+    FROM r WHERE rn = 1
+    """,
+)
+def window_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: longest consecutive-day activity streak per
+    user (plus streak count and total active days) — the canonical
+    islands construction (day minus dense ordinal is constant within
+    a run of consecutive days) behind engagement/retention streak
+    metrics. Deterministic tie-break: earliest of the equally-long
+    streaks wins.
+
+    Plan/scale: the fact table reduces to distinct (user, day) FIRST
+    (map-side combined — the only corpus-sized shuffle), so both
+    windows run on at most |users| x |days| rows; all three per-user
+    windows share ONE partitioning (single sort per user, no extra
+    exchange). The island key is pure arithmetic — no self-join, no
+    lag-chain materialization."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    g = d.withColumn(
+        "grp",
+        F.date_sub(
+            "day",
+            F.row_number().over(W.partitionBy("user_id").orderBy("day")),
+        ),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count("*").alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    per_user = W.partitionBy("user_id")
+    r = (
+        s.withColumn(
+            "rn",
+            F.row_number().over(
+                per_user.orderBy(F.desc("streak_len"), F.asc("streak_start"))
+            ),
+        )
+        .withColumn("n_streaks", F.count("*").over(per_user))
+        .withColumn("active_days", F.sum("streak_len").over(per_user))
+    )
+    return r.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("streak_len").alias("longest_streak"),
+        F.col("streak_start").cast("timestamp").alias("streak_start"),
+        "n_streaks",
+        "active_days",
+    )
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH t AS (SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+s0 AS (SELECT user_id, ts,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+       FROM t),
+sess AS (SELECT user_id, MIN(ts) AS s_start,
+                MAX(ts) + INTERVAL '30 minutes' AS s_end
+         FROM s0 GROUP BY user_id, sid),
+e AS (SELECT ts,
+             CASE WHEN ts - LAG(ts) OVER (ORDER BY ts) > INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events WHERE event_type = 'error'),
+e0 AS (SELECT ts, SUM(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS iid
+       FROM e),
+inc AS (SELECT MIN(ts) AS i_start, MAX(ts) + INTERVAL '10 minutes' AS i_end,
+               CAST(COUNT(*) AS BIGINT) AS n_errors
+        FROM e0 GROUP BY iid)
+SELECT user_id, s_start AS session_start, i_start AS incident_start,
+       n_errors,
+       CAST(epoch_us(least(s_end, i_end)) - epoch_us(greatest(s_start, i_start))
+            AS BIGINT) AS overlap_us
+FROM sess JOIN inc ON s_start < i_end AND i_start < s_end
+"""
+
+
+@register("join_interval_overlap", oracle=_INTERVAL_OVERLAP_SQL)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP JOIN between two derived interval sets — user
+    activity sessions (30-min gap) x global error incidents (10-min
+    gap sessions of error events): which user sessions were exposed
+    to which incidents, and for how long. The reliability-attribution
+    query ("whose sessions did outage X touch?") that is a theta join
+    in naive SQL.
+
+    Spark-first plan — the BINNED interval join: both interval sets
+    explode to the 1-hour epoch buckets they touch (codegen
+    ``sequence`` over integer bucket ids, small fan-out because both
+    interval kinds are short-lived), the join is an EQUI-join on the
+    bucket id (hash-partitioned, AQE-skew-splittable — an incident
+    storm bucket splits instead of stalling a task), a ``distinct``
+    collapses pairs that met in several buckets, and the exact
+    overlap predicate + duration run post-join. No range/theta join,
+    no cartesian — the oracle states the predicate directly, the
+    plan never does. Bucket width tunes fan-out vs selectivity; at
+    100 TB pick ~= median interval length (here 1 h vs ~3-minute
+    incidents and hour-scale sessions).
+
+    The overlap duration is integer microseconds (``unix_micros`` ==
+    ``epoch_us``) — hash-exact, no float time arithmetic. One honest
+    caveat: the INCIDENT derivation is a global gaps-and-islands
+    (single-partition window) — fine here because the error slice is
+    thin relative to the corpus, and in production incidents come
+    pre-keyed (per service/region), which re-partitions that window;
+    the overlap JOIN itself — the operator under test — is fully
+    distributed either way."""
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.lit(1).alias("_one"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+        )
+    )
+    # microsecond-precision gap test (cast-to-long would truncate to
+    # seconds and disagree with the oracle's INTERVAL comparison on
+    # gaps within 1s of the threshold — caught by the sf0.1 sweep)
+    brk = (
+        F.unix_micros("ts")
+        - F.lag(F.unix_micros("ts")).over(W.orderBy("ts"))
+        > 600 * 1_000_000
+    )
+    e0 = (
+        ev.where(F.col("event_type") == "error")
+        .select("ts")
+        .withColumn("brk", F.when(brk | F.lag("ts").over(W.orderBy("ts")).isNull(), 1).otherwise(0))
+        .withColumn(
+            "iid",
+            F.sum("brk").over(W.orderBy("ts").rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    inc = e0.groupBy("iid").agg(
+        F.min("ts").alias("i_start"),
+        (F.max("ts") + F.expr("INTERVAL 10 MINUTES")).alias("i_end"),
+        F.count("*").alias("n_errors"),
+    )
+    hour_us = 3600 * 1_000_000
+
+    def buckets(start, end):
+        # `div` = integer floor division (JVM long arithmetic);
+        # end-exclusive intervals: the last bucket holds end-1us
+        return F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start}) div {hour_us}"),
+                F.expr(f"(unix_micros({end}) - 1) div {hour_us}"),
+            )
+        )
+    sb = sess.select("user_id", "s_start", "s_end", buckets("s_start", "s_end").alias("b"))
+    ib = inc.select("i_start", "i_end", "n_errors", buckets("i_start", "i_end").alias("b"))
+    pairs = (
+        sb.join(ib, "b")
+        .where((F.col("s_start") < F.col("i_end")) & (F.col("i_start") < F.col("s_end")))
+        .select("user_id", "s_start", "s_end", "i_start", "i_end", "n_errors")
+        .distinct()
+    )
+    return pairs.select(
+        "user_id",
+        F.col("s_start").alias("session_start"),
+        F.col("i_start").alias("incident_start"),
+        "n_errors",
+        (
+            F.unix_micros(F.least("s_end", "i_end"))
+            - F.unix_micros(F.greatest("s_start", "i_start"))
+        ).alias("overlap_us"),
+    )
