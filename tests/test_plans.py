@@ -755,3 +755,100 @@ def test_span_dedup_gate_filters_before_collect(spark):
     )
     # deeper in the tree = later line in simple-mode output
     assert obj < flt <= win or obj < win, (obj, flt, win)
+
+
+def test_interval_overlap_equi_join_only(spark):
+    """The binned interval join must stay an EQUI join on the bucket
+    id: no cartesian, no nested-loop over the interval sets (the
+    naive theta-join shape), overlap verified post-join."""
+    plan = _plan_simple(QUERIES["join_interval_overlap"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_funnel_single_scan_no_join(spark):
+    """All four funnel predicates ride ONE corpus scan (the 4-pass
+    shape would be 4x the IO); the funnel rows explode from the
+    one-row aggregate — no join, no Python."""
+    df = QUERIES["pipeline_filter_funnel"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert _plan_simple(df).count("Scan parquet") == 1
+
+
+def test_nb_language_filter_broadcast_scoring(spark):
+    """The NB classifier's scoring join must broadcast the vocab-sized
+    count table (map-side scoring — the corpus never shuffles for the
+    join); the only nested loops are the one-row totals/priors."""
+    plan = _plan_simple(QUERIES["pipeline_nb_language_filter"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_paragraph_keep_first_two_shuffles_no_join(spark):
+    """Paragraph dedup is segment-enumeration in codegen + exactly two
+    hash shuffles (keep-first window on seg, per-doc rollup) — no
+    join, no Python, one corpus scan."""
+    df = QUERIES["dedup_paragraph_keep_first"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert _plan_simple(df).count("Scan parquet") == 1
+    simple = _plan_simple(df)
+    exchanges = [
+        ln for ln in simple.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(exchanges) == 2, exchanges
+
+
+def test_streak_islands_windows_share_partitioning(spark):
+    """Gaps-and-islands runs on the distinct (user, day) REDUCTION:
+    the corpus-sized shuffle is the distinct; all per-user windows
+    share the user_id partitioning (no third exchange)."""
+    df = QUERIES["window_streak_islands"](spark, SF_ORACLE)
+    simple = _plan_simple(df)
+    exchanges = [
+        ln for ln in simple.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(exchanges) == 2, exchanges
+
+
+def test_mode_frequency_window_on_reduction(spark):
+    """Mode = reduce-then-rank: the row_number window must key on the
+    candidate-count reduction (o_orderstatus), never sort the fact
+    table — two exchanges total."""
+    df = QUERIES["agg_mode_frequency"](spark, SF_ORACLE)
+    simple = _plan_simple(df)
+    exchanges = [
+        ln for ln in simple.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(exchanges) == 2, exchanges
+
+
+def test_logprob_family_single_corpus_scan(spark):
+    """The LM-scoring family reduces from ONE persisted doc-term-
+    frequency table (the pipeline_dsir_weights replan): every
+    consumer (vocab freq / corpus total / scoring) reads the cached
+    InMemoryRelation, never the parquet file directly — the FileScan
+    lines under each InMemoryRelation are the cache's materialization
+    recipe, executed once. The vocab table broadcasts."""
+    for name, n_consumers in (
+        ("text_unigram_logprob", 3),
+        # buckets layers a second persist (lp) with 2 consumers on top
+        ("text_perplexity_buckets", 2),
+    ):
+        simple = _plan_simple(QUERIES[name](spark, SF_ORACLE))
+        assert simple.count("InMemoryTableScan") >= n_consumers, name
+        # no parquet scan OUTSIDE a cached-relation recipe: every
+        # FileScan line sits under an InMemoryRelation block
+        lines = simple.splitlines()
+        im_cols = [len(l) - len(l.lstrip(" :+-")) for l in lines if "InMemoryRelation" in l]
+        for i, l in enumerate(lines):
+            if "FileScan parquet" in l:
+                depth = len(l) - len(l.lstrip(" :+-"))
+                assert any(c < depth for c in im_cols), (name, l)

@@ -1390,6 +1390,45 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.unionByName(singles)
 
 
+def _doc_avg_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document average unigram log-probability, built the way a
+    production job materializes it: ONE corpus scan reduces to the
+    doc-term-frequency table ``tf`` (persisted — three consumers read
+    it: the vocab frequencies, the corpus total, and the scoring
+    join, and branch-local column pruning would otherwise clone the
+    scan+explode subtree per consumer — the ``pipeline_dsir_weights``
+    replan, applied to the LM-scoring family). Scoring weights each
+    distinct (doc, term) row by ``tf`` instead of re-exploding
+    occurrences: ``tf * DECIMAL(ln p)`` is exact repeated addition,
+    so the result is bit-identical to the per-occurrence oracle sum
+    at any parallelism. The vocab table broadcasts — scoring is
+    map-side over ``tf``."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = tf.agg(F.sum("tf").cast("double").alias("_n"))
+    return (
+        tf.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lp", F.log(F.col("c") / F.col("_n")).cast("decimal(27,15)"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                # tf as DECIMAL(10,0): 27+10+1 = 38 precision keeps the
+                # product at scale 15 (a BIGINT factor would push past
+                # 38 and Spark silently truncates the scale)
+                F.sum(F.col("tf").cast("decimal(10,0)") * F.col("lp")).cast("double")
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logprob")
+        )
+    )
+
+
 @register(
     "text_unigram_logprob",
     oracle=r"""
@@ -1411,25 +1450,15 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution are boilerplate/garbage candidates; the cheap stand-in
     for model-based perplexity filtering).
 
-    Self-training plan: one pass builds the token frequency table
-    (aggregated rows only in the shuffle), the corpus total rides along
-    as a broadcast one-row aggregate, and scoring joins tokens to the
-    frequency table (high-cardinality equi-join AQE handles). Per-token
-    ``ln`` values are cast to DECIMAL before summing so the per-doc sum
-    is order-independent; round(6) absorbs the engines' last-ulp ``ln``
-    and cast-tie differences (same policy as text_tfidf_top_terms).
+    Self-training plan: see ``_doc_avg_logprob`` — one corpus scan
+    reduces to the persisted doc-term-frequency table, everything
+    else (vocab frequencies, corpus total, scoring) reduces from it;
+    per-token ``ln`` values are cast to DECIMAL before summing so the
+    per-doc sum is order-independent; round(6) absorbs the engines'
+    last-ulp ``ln`` and cast-tie differences (same policy as
+    text_tfidf_top_terms).
     """
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    total = tok.agg(F.count("*").cast("double").alias("_n"))
-    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
-    return (
-        tok.join(freq, "token")
-        .crossJoin(F.broadcast(total))
-        .withColumn("lp", F.log(F.col("c") / F.col("_n")).cast("decimal(27,15)"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"))
-    )
+    return _doc_avg_logprob(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -3561,28 +3590,19 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, the bucketing algebra is identical. Higher avg token
     log-probability == lower perplexity == 'head'.
 
-    Plan/scale: one corpus scan explodes tokens; the frequency table
-    reduces map-side; scoring is one equi-join of tokens against the
-    aggregated vocab (AQE-handled, no corpus re-shuffle); per-token
-    ``ln`` values are DECIMAL-cast before the per-doc sum so the score
-    is accumulation-order independent (round(6) absorbs last-ulp
-    ``ln`` drift). The tercile cut points are ONE exact two-quantile
+    Plan/scale: the score table comes from ``_doc_avg_logprob`` (one
+    corpus scan reduced to a persisted doc-term-frequency table,
+    DECIMAL-cast order-free sums) and is itself PERSISTED because two
+    consumers read it (the tercile aggregate and the final tagging
+    select). The tercile cut points are ONE exact two-quantile
     aggregate broadcast back as a one-row frame, so the bucket tag is
     a map-side CASE — at 100 TB swap in ``approx_percentile`` for the
     cut points (the documented exact/approx twin policy) and nothing
     else changes. Spark exact ``percentile`` == DuckDB
     ``quantile_cont`` bit-for-bit (the contract
     ``pipeline_curriculum_phases`` pins)."""
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    total = tok.agg(F.count("*").cast("double").alias("_n"))
-    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
-    lp = (
-        tok.join(freq, "token")
-        .crossJoin(F.broadcast(total))
-        .withColumn("lp", F.log(F.col("c") / F.col("_n")).cast("decimal(27,15)"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"))
+    lp = _doc_avg_logprob(_t(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     q = lp.agg(
         F.percentile("avg_logprob", 2.0 / 3.0).alias("q_head"),
