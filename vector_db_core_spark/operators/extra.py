@@ -2106,3 +2106,101 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.greatest("s_start", "i_start"))
         ).alias("overlap_us"),
     )
+
+
+_ASOF_NEAREST_SQL = """
+WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+     b AS (SELECT user_id, ts, MAX(event_id) AS b_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+     back AS (SELECT a.user_id, a.event_id, a.ts,
+                     b.ts AS back_ts, b.b_id AS back_id
+              FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts),
+     bf AS (SELECT back.*, b.ts AS fwd_ts, b.b_id AS fwd_id
+            FROM back ASOF LEFT JOIN b
+            ON back.user_id = b.user_id AND back.ts < b.ts),
+     d AS (SELECT *,
+                  epoch_us(ts) - epoch_us(back_ts) AS d_back,
+                  epoch_us(fwd_ts) - epoch_us(ts) AS d_fwd
+           FROM bf),
+     v AS (SELECT *,
+                  (d_back IS NOT NULL AND d_back <= 3600000000) AS ok_back,
+                  (d_fwd IS NOT NULL AND d_fwd <= 3600000000) AS ok_fwd
+           FROM d)
+SELECT user_id, event_id AS error_id, ts AS error_ts,
+       CASE WHEN ok_back AND (NOT ok_fwd OR d_back <= d_fwd) THEN back_ts
+            WHEN ok_fwd THEN fwd_ts END AS click_ts,
+       CASE WHEN ok_back AND (NOT ok_fwd OR d_back <= d_fwd) THEN back_id
+            WHEN ok_fwd THEN fwd_id END AS click_id,
+       CAST(CASE WHEN ok_back AND (NOT ok_fwd OR d_back <= d_fwd) THEN -d_back
+                 WHEN ok_fwd THEN d_fwd END AS BIGINT) AS delta_us,
+       CASE WHEN ok_back AND (NOT ok_fwd OR d_back <= d_fwd) THEN 'backward'
+            WHEN ok_fwd THEN 'forward' END AS direction
+FROM v
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_SQL)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with tolerance: each error event pairs with
+    the user's temporally CLOSEST click within +/-1 hour, either
+    direction, ties to the earlier (backward) side; errors with no
+    click inside the tolerance keep nulls. The sensor-alignment /
+    feature-join semantics (pandas ``merge_asof(direction='nearest',
+    tolerance=...)``) that plain backward as-of
+    (``join_asof_error_after_click``) can't express.
+
+    Spark-first plan: the SAME union + ordered-window shape as the
+    backward as-of — tag both streams, ONE shuffle on user_id, sort
+    per user by (ts, side) — but carrying BOTH directions in one
+    window pass: last-non-null click at-or-before (clicks at equal ts
+    sort before errors, so same-ts matches backward, mirroring ASOF
+    `>=`) and first-non-null click strictly after (same-ts clicks
+    precede the error row, so the following frame is strictly later,
+    mirroring ASOF `<`). Direction choice and the tolerance gate are
+    integer-microsecond scalar CASEs after the window — no second
+    shuffle, no inequality join, no per-row subquery. The oracle
+    states the same contract as two DuckDB ASOF joins."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("a_id"), F.lit(1).alias("side")
+    ).withColumn("b_id", F.lit(None).cast("long"))
+    b = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("b_id"))
+        .select("user_id", "ts", F.lit(None).cast("long").alias("a_id"),
+                F.lit(0).alias("side"), "b_id")
+    )
+    back_w = (
+        W.partitionBy("user_id").orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd_w = (
+        W.partitionBy("user_id").orderBy("ts", "side")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("side") == 0, F.col("ts"))
+    click_id = F.when(F.col("side") == 0, F.col("b_id"))
+    u = a.unionByName(b).select(
+        "user_id", "ts", "a_id", "side",
+        F.last(click_ts, ignorenulls=True).over(back_w).alias("back_ts"),
+        F.last(click_id, ignorenulls=True).over(back_w).alias("back_id"),
+        F.first(click_ts, ignorenulls=True).over(fwd_w).alias("fwd_ts"),
+        F.first(click_id, ignorenulls=True).over(fwd_w).alias("fwd_id"),
+    )
+    e = u.where(F.col("side") == 1)
+    d_back = F.unix_micros("ts") - F.unix_micros("back_ts")
+    d_fwd = F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    tol = 3600 * 1_000_000
+    ok_back = F.col("back_ts").isNotNull() & (d_back <= tol)
+    ok_fwd = F.col("fwd_ts").isNotNull() & (d_fwd <= tol)
+    pick_back = ok_back & (~ok_fwd | (d_back <= d_fwd))
+    return e.select(
+        "user_id",
+        F.col("a_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        F.when(pick_back, F.col("back_ts")).when(ok_fwd, F.col("fwd_ts")).alias("click_ts"),
+        F.when(pick_back, F.col("back_id")).when(ok_fwd, F.col("fwd_id")).alias("click_id"),
+        F.when(pick_back, -d_back).when(ok_fwd, d_fwd).alias("delta_us"),
+        F.when(pick_back, F.lit("backward")).when(ok_fwd, F.lit("forward")).alias("direction"),
+    )

@@ -3738,3 +3738,62 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("vocab_size"),
         F.sum("c").alias("total_tokens"),
     )
+
+
+@register(
+    "text_mattr_diversity",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+               FROM documents),
+    p AS (SELECT doc_id, w, len(w) AS n,
+                 least(25, len(w)) AS win
+          FROM t WHERE len(w) >= 1)
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(win AS INT) AS window_size,
+           CAST(n - win + 1 AS INT) AS n_windows,
+           round(CAST(list_sum(list_transform(generate_series(1, n - win + 1),
+                                              i -> len(list_distinct(w[i : i + win - 1]))))
+                      AS DOUBLE)
+                 / (win * (n - win + 1)), 6) AS mattr
+    FROM p
+    """,
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — Moving-Average Type-Token Ratio (Covington & McFall
+    2010, JQL 17:94): mean TTR over every sliding 25-token window, the
+    length-INDEPENDENT lexical-diversity score (plain TTR falls with
+    document length, so filtering on it silently biases against long
+    documents — the failure mode MATTR exists to fix; docs shorter
+    than the window fall back to their exact TTR via
+    ``window = min(25, n)``).
+
+    Plan/scale: entirely inside whole-stage codegen on the scan — the
+    token array materializes once per row and every window is an O(w)
+    ``slice`` + ``array_distinct`` over it (O(n*w) character work per
+    document, zero shuffles, zero joins; at 100 TB this is the
+    map-only shape that scales embarrassingly). Exactness: per-window
+    distinct counts are INTEGERS, summed exactly; one final integer /
+    integer division then round(6) — no float accumulation anywhere."""
+    t = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .where(F.size("w") >= 1)
+    )
+    n = F.size("w")
+    win = F.least(F.lit(25), n)
+    counts = F.transform(
+        F.sequence(F.lit(1), n - win + 1),
+        lambda i: F.size(F.array_distinct(F.slice(F.col("w"), i, win))),
+    )
+    total = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
+    return t.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        win.cast("int").alias("window_size"),
+        (n - win + 1).cast("int").alias("n_windows"),
+        F.round(
+            total.cast("double") / (win * (n - win + 1)).cast("double"), 6
+        ).alias("mattr"),
+    )
