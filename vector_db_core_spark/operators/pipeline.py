@@ -1621,3 +1621,69 @@ def pipeline_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         log_odds.alias("log_odds"),
         (log_odds > 0.0).alias("pred_en"),
     )
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle=r"""
+    WITH k AS (SELECT doc_id, text, n_chars, md5(text) AS h,
+                      len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                        AS n_tokens
+               FROM documents),
+    s AS (SELECT *,
+                 CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                       + instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 32
+                      AS INT) AS shard_id
+          FROM k)
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(('0x' || substr(h, 1, 12))::BIGINT) % 2147483647 AS BIGINT)
+             AS checksum,
+           MIN(h) AS first_digest,
+           MAX(h) AS last_digest
+    FROM s GROUP BY shard_id
+    """,
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD MANIFEST — the artifact handed to the training loader
+    alongside the shard files ``pipeline_shuffle_shards`` lays out:
+    per shard its document count, token/char totals (the loader's
+    epoch-budget arithmetic), an ORDER-INDEPENDENT content checksum
+    (the ``checksum_orders_table`` fold: 48-bit md5 prefixes summed in
+    DECIMAL, reduced mod 2^31-1 — certifies a shard re-read matches
+    what curation wrote, at any row order), and the first/last content
+    digests in shard sort order (the loader's seek index endpoints).
+    Same md5-derived shard key as the shuffle, so manifest and layout
+    always agree.
+
+    Plan/scale: one corpus scan, one map-side-combined groupBy on
+    shard_id — every statistic here is an algebraic aggregate, so
+    each task contributes one partial row per shard and the exchange
+    carries |shards| rows, not data."""
+    from vector_db_core_spark.functions.text import tokens
+
+    k = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+    shard = F.expr(
+        "CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16"
+        " + instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 32 AS INT)"
+    )
+    h48 = F.conv(F.substring("h", 1, 12), 16, 10).cast("decimal(38,0)")
+    return (
+        k.withColumn("shard_id", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            (F.sum(h48) % F.lit(2147483647)).cast("long").alias("checksum"),
+            F.min("h").alias("first_digest"),
+            F.max("h").alias("last_digest"),
+        )
+    )
