@@ -73,6 +73,11 @@ def main() -> None:
             "overwrite"
         ).format("noop").save()
         secs = time.perf_counter() - t0
+        # queries that persist() a shared intermediate (DSIR, the
+        # LM-scoring family) would otherwise serve run 2 from their
+        # own cache (CacheManager matches the rebuilt plan) — best-of-2
+        # must re-execute from parquet (the bench.py rule)
+        spark.catalog.clearCache()
         return secs, obs.get["rows"]
 
     for name in names:
