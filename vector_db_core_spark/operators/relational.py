@@ -717,3 +717,43 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
         F.col("u_orderkey").isNotNull().alias("was_updated"),
     )
+
+
+_SQL_API_TEXT = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM {p}nation n
+JOIN {p}customer c ON c.c_nationkey = n.n_nationkey
+LEFT JOIN {p}orders o ON o.o_custkey = c.c_custkey
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_api_nation_revenue",
+    oracle=_SQL_API_TEXT.format(p=""),
+)
+def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-SQL FRONT END as a first-class entry point: the same
+    engine surface every DataFrame query uses, driven through
+    ``register_views`` + ``spark.sql`` with ONE query text that runs
+    near-verbatim on DuckDB as its own oracle (only the view prefix
+    differs — the literal demonstration that a SQL-speaking user of
+    the reference can point their query text at this engine). Catalyst
+    plans SQL and DataFrame identically — same broadcast decision for
+    the bounded nation dim, same exact-DECIMAL revenue discipline
+    (CAST inside SUM) the DataFrame queries get from
+    ``functions.exact``.
+
+    The view prefix encodes the sf_dir so two fixtures in one JVM
+    (sweep at sf0.1 + pytest at sf0.01) register disjoint view names
+    and can't serve each other stale tables."""
+    import hashlib
+
+    from vector_db_core_spark.sources import register_views
+
+    prefix = f"sqlapi_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}_"
+    register_views(spark, sf_dir, prefix=prefix)
+    return spark.sql(_SQL_API_TEXT.format(p=prefix))
