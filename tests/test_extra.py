@@ -279,3 +279,53 @@ def test_weighted_median_numpy_rederivation(spark):
         plain = float(np.median(p))
         any_differs |= expect != plain
     assert any_differs
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """Independent re-derivation: pandas merge_asof(direction='nearest',
+    tolerance=1h) on the same events must agree with the registered
+    query on every matched (error, click) pair. pandas breaks
+    equidistant ties FORWARD while the query specifies BACKWARD, so
+    exact ties are excluded from the comparison (none exist in the
+    fixture; the guard keeps the pin honest if one appears)."""
+    import pandas as pd
+
+    rows = QUERIES["join_asof_nearest"](spark, SF_ORACLE).collect()
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")
+    err = (
+        ev[ev.event_type == "error"][["user_id", "event_id", "ts"]]
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    clk = (
+        ev[ev.event_type == "click"]
+        .groupby(["user_id", "ts"], as_index=False)
+        .event_id.max()
+        .rename(columns={"event_id": "click_id", "ts": "click_ts"})
+        .sort_values("click_ts")
+        .reset_index(drop=True)
+    )
+    m = pd.merge_asof(
+        err,
+        clk,
+        left_on="ts",
+        right_on="click_ts",
+        by="user_id",
+        direction="nearest",
+        tolerance=pd.Timedelta(hours=1),
+    )
+    expected = {
+        r.event_id: (r.click_ts, r.click_id)
+        for r in m.itertuples()
+        if pd.notna(r.click_ts)
+    }
+    got = {r.error_id: (r.click_ts, r.click_id) for r in rows if r.click_ts}
+    assert set(got) == set(expected)
+    for eid, (cts, cid) in expected.items():
+        g_ts, g_cid = got[eid]
+        if g_ts == cts.to_pydatetime():
+            assert g_cid == cid, eid
+        else:
+            # equidistant tie: engines legitimately differ in direction
+            err_ts = next(r.error_ts for r in rows if r.error_id == eid)
+            assert abs(g_ts - err_ts) == abs(cts.to_pydatetime() - err_ts), eid

@@ -995,3 +995,13 @@ def test_zipf_fit_is_decreasing_fit(spark):
     # least-squares fit of ln(freq) on ln(rank) must slope down
     assert row.zipf_slope < 0
     assert row.vocab_size > 0 and row.total_tokens > row.vocab_size
+
+
+def test_mattr_short_docs_fall_back_to_exact_ttr(spark):
+    rows = QUERIES["text_mattr_diversity"](spark, SF_ORACLE).collect()
+    short = [r for r in rows if r.n_tokens < 25]
+    assert short, "fixture should have sub-window docs (min 10 tokens)"
+    for r in short:
+        assert r.window_size == r.n_tokens and r.n_windows == 1
+    # and a long doc uses the full 25-token window
+    assert any(r.window_size == 25 and r.n_windows > 1 for r in rows)

@@ -264,3 +264,25 @@ def test_tokenizer_fertility_bounds(spark):
         # it can only split words further: fertility >= 1
         assert r.fertility >= 1.0, r
         assert r.chars_per_token > 0, r
+
+
+def test_shard_manifest_checksum_is_row_order_independent(spark):
+    """Python re-derivation of one shard's checksum from the raw
+    parquet in doc_id order vs reversed order — both must equal the
+    engine's value (addition commutes; the whole point of the fold)."""
+    import hashlib
+
+    import pandas as pd
+
+    rows = {r.shard_id: r for r in QUERIES["pipeline_shard_manifest"](spark, SF_ORACLE).collect()}
+    docs = pd.read_parquet(f"{SF_ORACLE}/documents.parquet")
+    by_shard = {}
+    for t in docs.itertuples():
+        h = hashlib.md5(t.text.encode()).hexdigest()
+        sid = int(h[:2], 16) % 32
+        by_shard.setdefault(sid, []).append(int(h[:12], 16))
+    for sid, vals in by_shard.items():
+        fwd = sum(vals) % 2147483647
+        rev = sum(reversed(vals)) % 2147483647
+        assert fwd == rev == rows[sid].checksum, sid
+        assert rows[sid].n_docs == len(vals)
