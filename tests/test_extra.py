@@ -329,3 +329,22 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
             # equidistant tie: engines legitimately differ in direction
             err_ts = next(r.error_ts for r in rows if r.error_id == eid)
             assert abs(g_ts - err_ts) == abs(cts.to_pydatetime() - err_ts), eid
+
+
+def test_pagerank_exact_mass_and_float_agreement(spark):
+    """The integer-quantized PageRank must (1) conserve mass up to
+    floor-division loss — total micro-rank within 0.1% of the 10^12
+    scale — and (2) rank the same heads as the float variant: its
+    top-20 node set overlaps the float top-20 heavily (the two differ
+    only by sub-ulp quantization)."""
+    exact = QUERIES["graph_pagerank_exact"](spark, SF_ORACLE).collect()
+    total = sum(r.rank_micro for r in exact)
+    assert 0.999 * 1_000_000_000_000 <= total <= 1_000_000_000_000, total
+    top_exact = {
+        r.node
+        for r in sorted(exact, key=lambda r: (-r.rank_micro, r.node))[:20]
+    }
+    top_float = {
+        r.node for r in QUERIES["graph_pagerank_parts"](spark, SF_ORACLE).collect()
+    }
+    assert len(top_exact & top_float) >= 15, (top_exact, top_float)

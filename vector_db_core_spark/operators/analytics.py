@@ -1442,3 +1442,111 @@ def sketch_bloom_nonmember_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _pagerank_exact_sql(iters: int = 8, scale: int = 1_000_000_000_000) -> str:
+    """Unrolled fixed-iteration integer PageRank as plain SQL: no
+    recursion needed when the iteration count is part of the operator
+    contract, so the oracle is 8 chained CTEs over the edge list —
+    DuckDB runs the IDENTICAL integer recurrence the Spark loop runs."""
+    head = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    bk AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+           HAVING COUNT(*) BETWEEN 2 AND 20),
+    edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM op a
+              JOIN op b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey <> b.l_partkey
+              JOIN bk ON bk.l_orderkey = a.l_orderkey),
+    outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, {scale} // n AS r FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    r{k} AS (SELECT nodes.node,
+                    (15 * ({scale} // n)) // 100
+                    + (85 * COALESCE(i.inflow, 0)) // 100 AS r
+             FROM nodes CROSS JOIN nn
+             LEFT JOIN (SELECT e.dst AS nd, SUM(p.r // o.d) AS inflow
+                        FROM edges e
+                        JOIN r{k - 1} p ON p.node = e.src
+                        JOIN outdeg o ON o.src = e.src
+                        GROUP BY e.dst) i ON i.nd = nodes.node)""")
+    return head + "".join(steps) + f"""
+    SELECT node, r AS rank_micro FROM r{iters}
+    """
+
+
+@register("graph_pagerank_exact", oracle=_pagerank_exact_sql())
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE algorithm under the FULL hash gate — the quantized
+    twin of ``graph_pagerank_parts``: 8 damped power iterations on the
+    co-purchase graph with rank mass in INTEGER micro-units (scale
+    10^12), per-edge contribution ``r div outdeg`` and update
+    ``teleport + (85 * inflow) div 100`` — every step integer, so the
+    result is bit-identical at any parallelism, any join order, any
+    engine, and the "iterative algorithms are rows-only by necessity"
+    boundary falls the same way the streaming EWMA's did (pure-integer
+    fold == oracle-checkable); the float variant keeps the
+    convergence-grade semantics, this one carries the gate. The
+    oracle runs the IDENTICAL recurrence as 8 unrolled CTEs (fixed
+    iteration count needs no recursion).
+
+    Plan/scale: same loop shape as the float op — per iteration one
+    equi-join of ranks (|nodes| rows) against the persisted static
+    edge list + one groupBy on dst, both keyed on node id; ranks
+    persist+count every 3 iterations to keep lineage shallow
+    (checkpoint at cluster scale). Quantization error vs true
+    PageRank is <= iters * (outdeg_max + 1) ulp of 10^-12 — far below
+    any ranking decision; dangling nodes are structurally absent
+    (basket pairs are symmetric, so every node has out-edges)."""
+    scale = 1_000_000_000_000
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    bk = (
+        op.groupBy("l_orderkey")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz").between(2, 20))
+        .select("l_orderkey")
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .join(bk, "l_orderkey", "left_semi")
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()  # bounded scalar (node count), same as the float op
+    teleport = (15 * (scale // n)) // 100
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    for i in range(8):
+        contribs = (
+            edges.join(ranks, F.col("node") == F.col("src"))
+            .join(outdeg, "src")
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100")
+                ).alias("r"),
+            )
+        )
+        if i % 3 == 2:
+            ranks = ranks.persist()
+            ranks.count()
+    return ranks.select("node", F.col("r").alias("rank_micro"))
