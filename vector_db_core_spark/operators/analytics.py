@@ -1550,3 +1550,204 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks = ranks.persist()
             ranks.count()
     return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def _md5_bucket_sql(key_expr: str, seed: int, width: int) -> str:
+    """DuckDB mirror of ``_md5_bucket``: first 24 md5 bits of
+    ``key || '#' || seed``, mod width — exact integers both engines."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '#{seed}'), 1, 6))"
+        f"::BIGINT % {width})"
+    )
+
+
+def _md5_bucket(key_col, seed: int, width: int):
+    """Seeded hash bucket DuckDB can reproduce: 24 md5 bits mod width
+    (the pps_sample / checksum_orders_table exactness machinery turned
+    into a hash FAMILY via the seed suffix)."""
+    h = F.md5(F.concat(key_col.cast("string"), F.lit(f"#{seed}")))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % width
+
+
+_CMS_MD5_D, _CMS_MD5_W = 4, 2048
+
+
+@register(
+    "sketch_count_min_md5_topk",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT l_suppkey,
+                   unnest([{", ".join(
+                       f"struct_pack(r := {r}, bucket := {_md5_bucket_sql('l_suppkey', r, _CMS_MD5_W)})"
+                       for r in range(_CMS_MD5_D))}]) AS u
+            FROM lineitem) t,
+      LATERAL (SELECT u.r AS r, u.bucket AS bucket)
+      GROUP BY r, bucket),
+    probes AS (
+      SELECT DISTINCT l_suppkey,
+             unnest([{", ".join(
+                 f"struct_pack(r := {r}, bucket := {_md5_bucket_sql('l_suppkey', r, _CMS_MD5_W)})"
+                 for r in range(_CMS_MD5_D))}]) AS u
+      FROM lineitem),
+    est AS (
+      SELECT l_suppkey, MIN(c) AS est_count
+      FROM probes JOIN cells ON cells.r = u.r AND cells.bucket = u.bucket
+      GROUP BY l_suppkey)
+    SELECT l_suppkey, est_count
+    FROM est
+    ORDER BY est_count DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def sketch_count_min_md5_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH under the FULL hash gate — the oracle-checkable
+    twin of ``sketch_count_min_topk``: identical 4x2048 geometry and
+    min-of-counters estimate, but the hash family is 24 md5 bits with
+    a seed suffix (the ``pipeline_pps_sample`` determinism machinery),
+    which DuckDB reproduces bit-for-bit — so the ESTIMATES themselves
+    hash-match, not just their error bounds (the same rows-only
+    boundary the SemDeDup fixed-cells and integer-PageRank twins
+    removed for their families). xxhash64 stays the production hash
+    (JVM-side, no string round-trip); the md5 twin exists to pin the
+    sketch ALGEBRA cross-engine.
+
+    Plan/scale: identical to the production op — the sketch build
+    reduces to <= d*w counter cells (map-side combined, input-size
+    independent state), probes hash in codegen and join the BROADCAST
+    cell table, min-of-d per key, top-20 by (est DESC, key).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_suppkey")
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _md5_bucket(key, r, _CMS_MD5_W).alias("bucket"),
+                    )
+                    for r in range(_CMS_MD5_D)
+                ]
+            )
+        ).alias("u")
+    )
+    cells = pairs.groupBy(
+        F.col("u.r").alias("r"), F.col("u.bucket").alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    probes = li.select("l_suppkey").distinct().select(
+        "l_suppkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _md5_bucket(key, r, _CMS_MD5_W).alias("bucket"),
+                    )
+                    for r in range(_CMS_MD5_D)
+                ]
+            )
+        ).alias("u"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("u.r") == F.col("r")) & (F.col("u.bucket") == F.col("bucket")),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.orderBy(F.col("est_count").desc(), "l_suppkey").limit(20)
+
+
+_BLOOM_MD5_K, _BLOOM_MD5_M = 4, 4096
+
+
+@register(
+    "sketch_bloom_md5_nonmembers",
+    oracle=f"""
+    WITH active AS (SELECT DISTINCT user_id AS key FROM events),
+    bits AS (SELECT DISTINCT unnest([{", ".join(
+        _md5_bucket_sql('key', r, _BLOOM_MD5_M) for r in range(_BLOOM_MD5_K))}]) AS bit
+             FROM active),
+    probes AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
+    pb AS (SELECT o_orderpriority, o_custkey,
+                  unnest([{", ".join(
+                      _md5_bucket_sql('o_custkey', r, _BLOOM_MD5_M) for r in range(_BLOOM_MD5_K))}]) AS bit
+           FROM probes),
+    hits AS (SELECT o_orderpriority, o_custkey,
+                    CAST(COUNT(*) FILTER (bit IN (SELECT bit FROM bits)) AS INT) AS n_set
+             FROM pb GROUP BY o_orderpriority, o_custkey),
+    verdict AS (SELECT o_orderpriority, o_custkey,
+                       n_set < {_BLOOM_MD5_K} AS definitely_absent
+                FROM hits)
+    SELECT o.o_orderpriority,
+           CAST(SUM(CASE WHEN v.definitely_absent THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN verdict v
+      ON o.o_orderpriority = v.o_orderpriority AND o.o_custkey = v.o_custkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sketch_bloom_md5_nonmembers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER pruning under the FULL hash gate — the
+    oracle-checkable twin of ``sketch_bloom_nonmember_count`` (same
+    k=4 / m=4096 geometry, same build-over-the-small-side direction,
+    same no-false-negative contract), with the md5 seed-suffix hash
+    family both engines compute identically, so the per-priority
+    pruned-order COUNTS hash-match — the filter's actual decisions
+    are cross-engine verified, not just bounded.
+
+    Plan/scale: unchanged from the production op — bit table <= m
+    rows broadcast, probe bits in codegen, per-key all-bits-set test
+    on ONE probe row per key (probing per fact row would conflate row
+    multiplicity with bit coverage), then the verdict joins back to
+    the facts for the bounded groupBy."""
+    active = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key")).distinct()
+    bits = (
+        active.select(
+            F.explode(
+                F.array(
+                    *[
+                        _md5_bucket(F.col("key"), r, _BLOOM_MD5_M)
+                        for r in range(_BLOOM_MD5_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    probes = orders.distinct().select(
+        "o_orderpriority",
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    _md5_bucket(F.col("o_custkey"), r, _BLOOM_MD5_M)
+                    for r in range(_BLOOM_MD5_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("o_orderpriority", "o_custkey")
+        .agg(F.count("*").alias("n_set"))
+    )
+    verdict = probes.select("o_orderpriority", "o_custkey").distinct().join(
+        hits, ["o_orderpriority", "o_custkey"], "left"
+    ).select(
+        "o_orderpriority",
+        "o_custkey",
+        (F.coalesce("n_set", F.lit(0)) < _BLOOM_MD5_K).alias("definitely_absent"),
+    )
+    return (
+        orders.join(verdict, ["o_orderpriority", "o_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("definitely_absent").cast("long")).alias("n_pruned_orders"),
+            F.count("*").alias("n_orders"),
+        )
+    )
