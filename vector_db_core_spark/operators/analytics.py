@@ -1466,8 +1466,8 @@ def _pagerank_exact_sql(iters: int = 8, scale: int = 1_000_000_000_000) -> str:
     for k in range(1, iters + 1):
         steps.append(f""",
     r{k} AS (SELECT nodes.node,
-                    (15 * ({scale} // n)) // 100
-                    + (85 * COALESCE(i.inflow, 0)) // 100 AS r
+                    CAST((15 * ({scale} // n)) // 100
+                         + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS r
              FROM nodes CROSS JOIN nn
              LEFT JOIN (SELECT e.dst AS nd, SUM(p.r // o.d) AS inflow
                         FROM edges e
@@ -1475,7 +1475,7 @@ def _pagerank_exact_sql(iters: int = 8, scale: int = 1_000_000_000_000) -> str:
                         JOIN outdeg o ON o.src = e.src
                         GROUP BY e.dst) i ON i.nd = nodes.node)""")
     return head + "".join(steps) + f"""
-    SELECT node, r AS rank_micro FROM r{iters}
+    SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r{iters}
     """
 
 
