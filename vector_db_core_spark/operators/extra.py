@@ -2204,3 +2204,107 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(pick_back, -d_back).when(ok_fwd, d_fwd).alias("delta_us"),
         F.when(pick_back, F.lit("backward")).when(ok_fwd, F.lit("forward")).alias("direction"),
     )
+
+
+_COV_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _cov_matrix_sql() -> str:
+    """Pairwise-covariance oracle, generated for the column list: one
+    aggregate CTE of exact-DECIMAL sums, then one UNION ALL row per
+    (i <= j) pair computing the identical double expression Spark
+    runs."""
+    def micro(c):
+        return f"CAST(round({c} * 1000000.0) AS DECIMAL(19,0))"
+
+    sums = ", ".join(
+        [f"SUM({micro(c)}) AS s_{c}" for c in _COV_COLS]
+        + [
+            f"SUM({micro(a)} * {micro(b)}) AS p_{a}_{b}"
+            for i, a in enumerate(_COV_COLS)
+            for b in _COV_COLS[i:]
+        ]
+        + ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    )
+
+    def cov(a, b):
+        return (
+            f"(CAST(p_{a}_{b} AS DOUBLE) / 1e12 / n"
+            f" - (CAST(s_{a} AS DOUBLE) / 1e6 / n)"
+            f" * (CAST(s_{b} AS DOUBLE) / 1e6 / n))"
+        )
+
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS x_col, '{b}' AS y_col, "
+        f"round({cov(a, b)}, 6) AS covar_pop, "
+        f"round({cov(a, b)} / sqrt({cov(a, a)} * {cov(b, b)}), 6) AS corr "
+        f"FROM agg"
+        for i, a in enumerate(_COV_COLS)
+        for b in _COV_COLS[i:]
+    )
+    return f"WITH agg AS (SELECT {sums} FROM lineitem) {rows}"
+
+
+@register("agg_covariance_matrix", oracle=_cov_matrix_sql())
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL pairwise covariance/correlation matrix of the lineitem
+    measures in ONE scan — the multivariate profile that feeds PCA /
+    whitening / feature selection (and the hash-exact half of the
+    ``sim_group_pca_top_component`` story: covariance ACCUMULATION is
+    exact decimal arithmetic under the gate; only the eigensolve is
+    float and stays rows-only). Population covariance via the
+    textbook E[xy] − E[x]E[y] on exact-DECIMAL sums: every raw sum is
+    exact at any partitioning (the repo's exact-arithmetic policy),
+    the finishing arithmetic is the IDENTICAL double expression in
+    both engines, round(6) seals the last ulp.
+
+    Plan/scale: one map-side-combined aggregate computes all 4 value
+    sums + 10 product sums + count in a single pass (the naive
+    per-pair ``covar_pop`` calls would scan 10×); the 10-row matrix
+    explodes from literal structs of the broadcast one-row result —
+    the ``pipeline_filter_funnel`` shape. Values quantize to integer
+    micro-units in DECIMAL(19,0) so products land exactly in
+    DECIMAL(38,0) on BOTH engines (DuckDB's DECIMAL(18) stays
+    INT64-backed and overflows; Spark silently truncates scale past
+    precision 38 — both failure modes caught by this round's gates)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def micro(c):
+        # integer micro-units as DECIMAL(19,0): the product is
+        # DECIMAL(38,0) in BOTH engines (Spark caps 19+19+1 at 38 with
+        # scale 0 intact; DuckDB promotes to INT128 backing) — exact,
+        # where DECIMAL(18,6) factors overflow DuckDB's INT64 backing
+        return F.round(F.col(c) * 1_000_000.0, 0).cast("decimal(19,0)")
+
+    aggs = (
+        [F.sum(micro(c)).alias(f"s_{c}") for c in _COV_COLS]
+        + [
+            F.sum(micro(a) * micro(b)).alias(f"p_{a}_{b}")
+            for i, a in enumerate(_COV_COLS)
+            for b in _COV_COLS[i:]
+        ]
+        + [F.count("*").cast("double").alias("n")]
+    )
+    a = li.agg(*aggs)
+    n = F.col("n")
+
+    def cov(x, y):
+        return (
+            F.col(f"p_{x}_{y}").cast("double") / 1e12 / n
+            - (F.col(f"s_{x}").cast("double") / 1e6 / n)
+            * (F.col(f"s_{y}").cast("double") / 1e6 / n)
+        )
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("x_col"),
+                F.lit(y).alias("y_col"),
+                F.round(cov(x, y), 6).alias("covar_pop"),
+                F.round(cov(x, y) / F.sqrt(cov(x, x) * cov(y, y)), 6).alias("corr"),
+            )
+            for i, x in enumerate(_COV_COLS)
+            for y in _COV_COLS[i:]
+        ]
+    )
+    return a.select(F.explode(structs).alias("s")).select("s.*")
