@@ -1005,3 +1005,35 @@ def test_mattr_short_docs_fall_back_to_exact_ttr(spark):
         assert r.window_size == r.n_tokens and r.n_windows == 1
     # and a long doc uses the full 25-token window
     assert any(r.window_size == 25 and r.n_windows > 1 for r in rows)
+
+
+def test_pca_power_iteration_tracks_numpy_direction(spark):
+    """The integer power iteration must point where float power
+    iteration points: for every label, run 8 float iterations in
+    numpy from the same all-ones start on the same centered
+    micro-quantized data and require |cosine| > 0.999 with the
+    engine's integer loading vector (sign is fixed engine-side, so
+    compare modulo sign)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = QUERIES["sim_pca_power_iteration_exact"](spark, SF_ORACLE).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, {})[r.dim] = r.loading_micro
+    emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    for label, dims in by_label.items():
+        X = np.stack(
+            emb[emb.label == label].sort_values("vec_id").embedding.to_numpy()
+        ).astype(np.float64)
+        Xm = np.round(X * 1e6)
+        C = (Xm - np.floor_divide(Xm.sum(0), len(Xm))).T @ (
+            Xm - np.floor_divide(Xm.sum(0), len(Xm))
+        )
+        v = np.ones(X.shape[1])
+        for _ in range(8):
+            v = C @ v
+            v = v / np.abs(v).max()
+        got = np.array([dims[i] for i in range(X.shape[1])], dtype=np.float64)
+        cos = abs(v @ got) / (np.linalg.norm(v) * np.linalg.norm(got))
+        assert cos > 0.999, (label, cos)

@@ -3797,3 +3797,125 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             total.cast("double") / (win * (n - win + 1)).cast("double"), 6
         ).alias("mattr"),
     )
+
+
+def _pca_power_sql(iters: int = 8) -> str:
+    """Integer power-iteration oracle: covariance accumulation and all
+    8 matrix-vector steps as chained CTEs running the IDENTICAL
+    integer recurrence (DuckDB ``//`` and Spark ``div`` both truncate
+    toward zero — verified; all products bounded inside BIGINT)."""
+    head = """
+    WITH x AS (SELECT label, vec_id, i,
+                      -- CAST to DOUBLE first: DuckDB multiplies FLOAT by a
+                      -- literal IN FLOAT, and float32 resolution at ~3e5 is
+                      -- coarser than the .5 rounding boundary
+                      CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS xm
+               FROM embeddings,
+                    UNNEST(generate_series(0, len(embedding) - 1)) AS u(i)),
+    mu AS (SELECT label, i, CAST(SUM(xm) // COUNT(*) AS BIGINT) AS mu
+           FROM x GROUP BY label, i),
+    c AS (SELECT x.label, x.vec_id, x.i, x.xm - mu.mu AS cx
+          FROM x JOIN mu ON mu.label = x.label AND mu.i = x.i),
+    cm AS (SELECT a.label, a.i AS i, b.i AS j,
+                  CAST(SUM(a.cx * b.cx) // 1000000 AS BIGINT) AS cij
+           FROM c a JOIN c b ON a.label = b.label AND a.vec_id = b.vec_id
+           GROUP BY a.label, a.i, b.i),
+    v0 AS (SELECT DISTINCT label, j, CAST(1000000 AS BIGINT) AS v
+           FROM (SELECT label, j FROM cm))"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    r{k} AS (SELECT cm.label, cm.i, SUM(cm.cij * v.v) AS raw
+             FROM cm JOIN v{k - 1} v ON v.label = cm.label AND v.j = cm.j
+             GROUP BY cm.label, cm.i),
+    v{k} AS (SELECT label, i AS j,
+                    CAST(raw // ((MAX(abs(raw)) OVER (PARTITION BY label)
+                                  // 1000000) + 1) AS BIGINT) AS v
+             FROM r{k})""")
+    return head + "".join(steps) + f"""
+    , sgn AS (SELECT label,
+                     CASE WHEN MIN(CASE WHEN rn = 1 AND v < 0 THEN 1 ELSE 0 END) = 1
+                          THEN -1 ELSE 1 END AS s
+              FROM (SELECT label, v,
+                           row_number() OVER (PARTITION BY label
+                                              ORDER BY abs(v) DESC, j) AS rn
+                    FROM v{iters})
+              WHERE rn = 1 GROUP BY label)
+    SELECT v.label, CAST(v.j AS INT) AS dim,
+           CAST(v.v * sgn.s AS BIGINT) AS loading_micro
+    FROM v{iters} v JOIN sgn ON sgn.label = v.label
+    """
+
+
+@register("sim_pca_power_iteration_exact", oracle=_pca_power_sql())
+def sim_pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL decomposition under the FULL hash gate — the integer
+    twin of ``sim_group_pca_top_component``: per label, 8 power
+    iterations toward the covariance top eigenvector, every step pure
+    integer (micro-quantized embeddings; centered co-moments
+    accumulated exactly; per-step renormalization by truncating
+    division with the label's max-|component| — both engines'
+    integer division truncates toward zero, verified) — so the
+    loading VECTOR hash-matches DuckDB, the same boundary-removal as
+    the integer PageRank / EWMA / sketch twins. Sign fixed by making
+    the largest-|loading| dimension positive (ties to the lowest
+    dim). The float ``applyInPandas`` eigensolve stays the production
+    path (exact eigenvalues, one Arrow pass); this twin pins the
+    ALGEBRA cross-engine, and the pytest pins its direction against a
+    numpy float power iteration from the same start.
+
+    Plan/scale: the covariance build is the only corpus-sized work —
+    posexplode to (vec, dim), one self-join per (label, vec) keyed
+    equi (d² fan-out inside the join, 64²=4096 rows per vector),
+    reduced map-side to |labels|·d² cells and PERSISTED; each of the
+    8 iterations is a matrix-vector join + groupBy on tables of that
+    size (|labels|·d² rows — independent of corpus size), with the
+    per-label max as one shared window. At 100 TB swap the self-join
+    for ``F.aggregate`` over outer-product array columns (same cells,
+    no row fan-out) — documented in the float op."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    x = emb.select(
+        "label", "vec_id", F.posexplode("e").alias("i", "ev")
+    ).withColumn("xm", F.round(F.col("ev") * 1_000_000.0, 0).cast("long"))
+    mu = x.groupBy("label", "i").agg(F.expr("sum(xm) div count(*)").alias("mu"))
+    c = x.join(mu, ["label", "i"]).select(
+        "label", "vec_id", "i", (F.col("xm") - F.col("mu")).alias("cx")
+    )
+    a = c.select("label", "vec_id", "i", F.col("cx").alias("ca"))
+    b = c.select("label", "vec_id", F.col("i").alias("j"), F.col("cx").alias("cb"))
+    cm = (
+        a.join(b, ["label", "vec_id"])
+        .groupBy("label", "i", "j")
+        .agg(F.expr("sum(ca * cb) div 1000000").alias("cij"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    v = cm.select("label", "j").distinct().withColumn(
+        "v", F.lit(1_000_000).cast("long")
+    )
+    lbl = W.partitionBy("label")
+    for _ in range(8):
+        raw = (
+            cm.join(v, ["label", "j"])
+            .groupBy("label", "i")
+            .agg(F.sum(F.expr("cij * v")).alias("raw"))
+        )
+        v = raw.select(
+            "label",
+            F.col("i").alias("j"),
+            F.expr(
+                "raw div ((max(abs(raw)) OVER (PARTITION BY label) div 1000000) + 1)"
+            ).alias("v"),
+        )
+    picked = v.withColumn(
+        "rn", F.row_number().over(lbl.orderBy(F.abs("v").desc(), "j"))
+    )
+    sgn = picked.where(F.col("rn") == 1).select(
+        "label", F.when(F.col("v") < 0, -1).otherwise(1).alias("s")
+    )
+    return v.join(sgn, "label").select(
+        "label",
+        F.col("j").cast("int").alias("dim"),
+        (F.col("v") * F.col("s")).alias("loading_micro"),
+    )
