@@ -48,8 +48,19 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: green in the local pytest oracle replica (tests/test_oracle.py).
 #:
 #: ROUND-8 PLAN: recompute `covered` with CORRECTNESS_r07.json
-#: included; queries oracled AFTER this rotation go first, then
-#: sentinels by the same oldest-last-green family rule.
+#: included; queries oracled AFTER this rotation go first (the 19
+#: round-7 additions, mechanically: [n for n in ORACLE if n not in
+#: covered] — as of end-of-round-7 that is text_perplexity_buckets,
+#: dedup_paragraph_keep_first, text_zipf_fit,
+#: pipeline_tokenizer_fertility, pipeline_filter_funnel,
+#: pipeline_nb_language_filter, streaming_cdc_upsert_replay,
+#: agg_mode_frequency, window_streak_islands, join_interval_overlap,
+#: join_asof_nearest, text_mattr_diversity, pipeline_shard_manifest,
+#: sql_api_nation_revenue, graph_pagerank_exact,
+#: sketch_count_min_md5_topk, sketch_bloom_md5_nonmembers,
+#: agg_covariance_matrix, sim_pca_power_iteration_exact — plus
+#: whatever the r7 driver run leaves unsampled), then sentinels by
+#: the same oldest-last-green family rule.
 DRIVER_WINDOW = (
     # --- 34-query backlog: never driver-checked before this round ---
     # text analysis tail (r5 additions + r5-deferred)
