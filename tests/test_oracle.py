@@ -52,6 +52,10 @@ def test_entry_smoke(spark):
     "checksum_orders_table",     # DECIMAL(38,0) hash-fold accumulation
     "agg_mad_robust_outliers",   # exact-percentile-derived robust stats
     "text_char_entropy",         # decimal-absorbed log2 term sums
+    "agg_covariance_matrix",     # micro-unit DECIMAL(38,0) co-moments
+    "graph_pagerank_exact",      # integer power-iteration fold
+    "sim_pca_power_iteration_exact",  # integer spectral fold
+    "sketch_count_min_md5_topk",      # md5-family counter cells
 ])
 def test_results_partition_independent(name, spark):
     """The exact-arithmetic policy's real claim: identical results at
