@@ -1569,7 +1569,10 @@ def _md5_bucket(key_col, seed: int, width: int):
     return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % width
 
 
-_CMS_MD5_D, _CMS_MD5_W = 4, 2048
+# alias the PRODUCTION geometry — the twins exist to pin the same
+# sketch algebra cross-engine, so the constants must be the same
+# object, not re-typed copies that can drift
+_CMS_MD5_D, _CMS_MD5_W = _CMS_D, _CMS_W
 
 
 @register(
@@ -1619,8 +1622,11 @@ def sketch_count_min_md5_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     key = F.col("l_suppkey")
-    pairs = li.select(
-        F.explode(
+
+    def hash_pairs():
+        # ONE definition for build and probe: they must hash into the
+        # same cells or the sketch silently reads garbage
+        return F.explode(
             F.array(
                 *[
                     F.struct(
@@ -1631,24 +1637,12 @@ def sketch_count_min_md5_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("u")
-    )
+
+    pairs = li.select(hash_pairs())
     cells = pairs.groupBy(
         F.col("u.r").alias("r"), F.col("u.bucket").alias("bucket")
     ).agg(F.count("*").alias("c"))
-    probes = li.select("l_suppkey").distinct().select(
-        "l_suppkey",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _md5_bucket(key, r, _CMS_MD5_W).alias("bucket"),
-                    )
-                    for r in range(_CMS_MD5_D)
-                ]
-            )
-        ).alias("u"),
-    )
+    probes = li.select("l_suppkey").distinct().select("l_suppkey", hash_pairs())
     est = (
         probes.join(
             F.broadcast(cells),
@@ -1660,7 +1654,7 @@ def sketch_count_min_md5_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy(F.col("est_count").desc(), "l_suppkey").limit(20)
 
 
-_BLOOM_MD5_K, _BLOOM_MD5_M = 4, 4096
+_BLOOM_MD5_K, _BLOOM_MD5_M = _BLOOM_K, _BLOOM_M
 
 
 @register(

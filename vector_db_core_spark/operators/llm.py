@@ -1401,8 +1401,12 @@ def _doc_avg_logprob(docs: DataFrame) -> DataFrame:
     distinct (doc, term) row by ``tf`` instead of re-exploding
     occurrences: ``tf * DECIMAL(ln p)`` is exact repeated addition,
     so the result is bit-identical to the per-occurrence oracle sum
-    at any parallelism. The vocab table broadcasts — scoring is
-    map-side over ``tf``."""
+    at any parallelism. The scoring join is left UNHINTED: the vocab
+    table is far below the broadcast threshold at any fixture scale
+    (Catalyst broadcasts it on its own — plan-pinned), but web-scale
+    vocabularies grow with the corpus (Heaps' law) and a FORCED
+    broadcast would hit the 8 GB ceiling and fail where the
+    statistics-driven planner degrades to a shuffle join."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = (
         tok.groupBy("doc_id", "token")
@@ -1412,7 +1416,7 @@ def _doc_avg_logprob(docs: DataFrame) -> DataFrame:
     freq = tf.groupBy("token").agg(F.sum("tf").alias("c"))
     total = tf.agg(F.sum("tf").cast("double").alias("_n"))
     return (
-        tf.join(F.broadcast(freq), "token")
+        tf.join(freq, "token")
         .crossJoin(F.broadcast(total))
         .withColumn("lp", F.log(F.col("c") / F.col("_n")).cast("decimal(27,15)"))
         .groupBy("doc_id")

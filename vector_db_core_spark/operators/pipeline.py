@@ -1370,7 +1370,7 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_micro"),
     )
     return (
-        tf.join(F.broadcast(w), "term")
+        tf.join(w, "term")  # vocab-sized: unhinted, same policy as NB/LM scoring
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_toks"),
@@ -1575,9 +1575,11 @@ def pipeline_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: pass 1 reduces exploded tokens to the per-token class
     count table (map-side combined; |vocab| rows); its totals and the
     label priors are one-row broadcast aggregates. Pass 2 re-explodes
-    the corpus and equi-joins tokens to the count table — at 100 TB
-    the vocab table broadcasts (it is vocabulary-sized, not
-    corpus-sized) making scoring map-side. Per-token log-likelihood
+    the corpus and equi-joins tokens to the count table — UNHINTED:
+    vocabulary-sized tables broadcast automatically while they fit
+    (Catalyst's estimate, plan-pinned at fixture scale) and degrade
+    to a shuffle join beyond the 8 GB broadcast ceiling, which a
+    forced hint would turn into a failure. Per-token log-likelihood
     ratios are DECIMAL-cast before the per-doc sum (order-independent;
     round(6) absorbs last-ulp ``ln`` drift), and the keep decision
     compares the ROUNDED log-odds so both engines decide identically."""
@@ -1607,7 +1609,7 @@ def pipeline_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.log((F.col("c_ot") + 1) / (F.col("t_ot") + F.col("v")))
     ).cast("decimal(27,15)")
     s = (
-        tok.join(F.broadcast(cls), "token")
+        tok.join(cls, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "is_en")
         .agg(F.sum(lr).alias("lr"))
