@@ -2308,3 +2308,121 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return a.select(F.explode(structs).alias("s")).select("s.*")
+
+
+_HOLT_SQL = """
+WITH RECURSIVE
+d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+o AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS INT) AS rn
+      FROM d),
+r AS (
+  SELECT event_type, day, cents, rn,
+         cents AS l, CAST(0 AS BIGINT) AS b
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.cents, o.rn,
+         (3 * o.cents + 7 * (r.l + r.b) + 5) // 10 AS l,
+         (2 * (((3 * o.cents + 7 * (r.l + r.b) + 5) // 10) - r.l)
+          + 8 * r.b + 5) // 10 AS b
+  FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       cents / 100.0 AS daily_value,
+       l / 100.0 AS level,
+       b / 100.0 AS trend,
+       (l + b) / 100.0 AS forecast_next
+FROM r
+"""
+
+
+def _tdiv10(c):
+    """Truncate-toward-zero division by 10 on integer cents, built
+    from exact integer ops (``%`` then an exact double division of a
+    multiple of 10) — Column-level, so it composes inside
+    ``F.aggregate`` lambdas where SQL ``div`` can't reach. Matches
+    DuckDB's integer ``//`` (truncation, verified) for either sign."""
+    aa = F.abs(c)
+    t = ((aa - aa % 10).cast("double") / 10).cast("long")
+    return F.when(c < 0, -t).otherwise(t)
+
+
+@register("timeseries_holt_linear", oracle=_HOLT_SQL)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR TREND (double exponential smoothing, alpha=0.3 /
+    beta=0.2): per event type, the level + trend state fold over the
+    daily series and the one-step-ahead forecast — the first actual
+    FORECASTING operator in the catalog (EWMA smooths, regression fits
+    a global line; Holt tracks a moving local trend). The recursion is
+    QUANTIZED to integer cents exactly like the streaming EWMA
+    (``l' = (3v + 7(l+b) + 5) // 10``, ``b' = (2(l'-l) + 8b + 5) //
+    10`` — the alphas as rationals, half-round folded into truncating
+    division), so the fold is bit-identical at any parallelism and the
+    oracle runs the IDENTICAL recurrence as a DuckDB recursive CTE.
+
+    Spark-first plan for a 2-state coupled recursion (which, unlike
+    EWMA, does NOT factorize into window algebra): the heavy work is
+    the daily pre-aggregation (map-side combined, one shuffle); each
+    type's bounded daily series then folds INSIDE codegen via
+    ``array_sort(collect_list(...))`` + ``F.aggregate`` with a struct
+    accumulator — series length is calendar days, not event count, so
+    the per-group array is bounded (30 here, ~thousands at decade
+    scale) and nothing sequential ever leaves the executor. Truncating
+    division is built from exact integer ops (``_tdiv10``) because
+    SQL ``div`` can't be referenced inside lambda expressions."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    series = d.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.unix_date("day").alias("di"), "cents"))
+        ).alias("s")
+    )
+    out_t = (
+        "struct<l:bigint,b:bigint,n:int,"
+        "out:array<struct<di:int,cents:bigint,l:bigint,b:bigint>>>"
+    )
+    init = F.named_struct(
+        F.lit("l"), F.lit(0).cast("long"),
+        F.lit("b"), F.lit(0).cast("long"),
+        F.lit("n"), F.lit(0).cast("int"),
+        F.lit("out"),
+        F.expr("CAST(array() AS array<struct<di:int,cents:bigint,l:bigint,b:bigint>>)"),
+    ).cast(out_t)
+
+    def step(acc, x):
+        first = acc["n"] == 0
+        l_new = F.when(first, x["cents"]).otherwise(
+            _tdiv10(3 * x["cents"] + 7 * (acc["l"] + acc["b"]) + 5)
+        )
+        b_new = F.when(first, F.lit(0).cast("long")).otherwise(
+            _tdiv10(2 * (l_new - acc["l"]) + 8 * acc["b"] + 5)
+        )
+        row = F.struct(
+            x["di"].alias("di"),
+            x["cents"].alias("cents"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+        )
+        return F.named_struct(
+            F.lit("l"), l_new,
+            F.lit("b"), b_new,
+            F.lit("n"), acc["n"] + 1,
+            F.lit("out"), F.concat(acc["out"], F.array(row)),
+        ).cast(out_t)
+
+    folded = series.select(
+        "event_type",
+        F.aggregate("s", init, step)["out"].alias("out"),
+    )
+    r = folded.select("event_type", F.explode("out").alias("r"))
+    return r.select(
+        "event_type",
+        F.date_from_unix_date(F.col("r.di")).cast("timestamp").alias("day"),
+        (F.col("r.cents") / F.lit(100.0)).alias("daily_value"),
+        (F.col("r.l") / F.lit(100.0)).alias("level"),
+        (F.col("r.b") / F.lit(100.0)).alias("trend"),
+        ((F.col("r.l") + F.col("r.b")) / F.lit(100.0)).alias("forecast_next"),
+    )
