@@ -58,7 +58,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: join_asof_nearest, text_mattr_diversity, pipeline_shard_manifest,
 #: sql_api_nation_revenue, graph_pagerank_exact,
 #: sketch_count_min_md5_topk, sketch_bloom_md5_nonmembers,
-#: agg_covariance_matrix, sim_pca_power_iteration_exact — plus
+#: agg_covariance_matrix, sim_pca_power_iteration_exact,
+#: timeseries_holt_linear — plus
 #: whatever the r7 driver run leaves unsampled), then sentinels by
 #: the same oldest-last-green family rule.
 DRIVER_WINDOW = (
