@@ -48,7 +48,7 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: green in the local pytest oracle replica (tests/test_oracle.py).
 #:
 #: ROUND-8 PLAN: recompute `covered` with CORRECTNESS_r07.json
-#: included; queries oracled AFTER this rotation go first (the 19
+#: included; queries oracled AFTER this rotation go first (the 20
 #: round-7 additions, mechanically: [n for n in ORACLE if n not in
 #: covered] — as of end-of-round-7 that is text_perplexity_buckets,
 #: dedup_paragraph_keep_first, text_zipf_fit,
