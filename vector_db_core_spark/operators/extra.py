@@ -2426,3 +2426,59 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r.b") / F.lit(100.0)).alias("trend"),
         ((F.col("r.l") + F.col("r.b")) / F.lit(100.0)).alias("forecast_next"),
     )
+
+
+@register(
+    "timeseries_rolling_median",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+               FROM events GROUP BY 1, 2),
+    o AS (SELECT event_type, day, cents,
+                 CAST(day - DATE '2024-01-01' AS INT) AS di
+          FROM d)
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           cents / 100.0 AS daily_value,
+           round(quantile_cont(cents, 0.5) OVER (
+                   PARTITION BY event_type ORDER BY di
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0,
+                 6) AS rolling_median_7d
+    FROM o
+    """,
+)
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING EXACT MEDIAN (trailing 7 calendar days) of daily value
+    per event type — the robust smoother dashboards use where EWMA
+    would chase outliers (one spiked day moves a mean window, not a
+    median window). A RANGE frame on the integer day index, not ROWS:
+    gap days must shrink the window (the
+    ``window_range_trailing_7d`` distinction), and exact ``percentile``
+    as a WINDOW aggregate == DuckDB ``quantile_cont`` bit-for-bit on
+    integer cents (the ``pipeline_curriculum_phases`` contract; the
+    interpolated midpoint of two ints is exact in double, round(6)
+    seals it).
+
+    Plan/scale: the corpus reduces to |types| x |days| daily rows
+    first (map-side combined — the only data-sized shuffle); the
+    median window runs per type on that reduction. Exact windowed
+    percentile buffers the frame per row — bounded here by the 7-day
+    frame; at very long horizons swap ``approx_percentile`` in the
+    same frame (the documented exact/approx twin policy)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    o = d.withColumn("di", F.datediff("day", F.lit("2024-01-01")))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("di")
+        .rangeBetween(-6, W.currentRow)
+    )
+    return o.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        (F.col("cents") / F.lit(100.0)).alias("daily_value"),
+        F.round(
+            F.percentile("cents", F.lit(0.5)).over(w) / F.lit(100.0), 6
+        ).alias("rolling_median_7d"),
+    )
