@@ -48,7 +48,7 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: green in the local pytest oracle replica (tests/test_oracle.py).
 #:
 #: ROUND-8 PLAN: recompute `covered` with CORRECTNESS_r07.json
-#: included; queries oracled AFTER this rotation go first (the 20
+#: included; queries oracled AFTER this rotation go first (the 21
 #: round-7 additions, mechanically: [n for n in ORACLE if n not in
 #: covered] — as of end-of-round-7 that is text_perplexity_buckets,
 #: dedup_paragraph_keep_first, text_zipf_fit,
@@ -59,7 +59,7 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: sql_api_nation_revenue, graph_pagerank_exact,
 #: sketch_count_min_md5_topk, sketch_bloom_md5_nonmembers,
 #: agg_covariance_matrix, sim_pca_power_iteration_exact,
-#: timeseries_holt_linear — plus
+#: timeseries_holt_linear, timeseries_rolling_median — plus
 #: whatever the r7 driver run leaves unsampled), then sentinels by
 #: the same oldest-last-green family rule.
 DRIVER_WINDOW = (
