@@ -766,6 +766,23 @@ def test_interval_overlap_equi_join_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_interval_overlap_window_on_minute_reduction(spark):
+    """The incident gaps-and-islands window is keyless by nature, so
+    its SinglePartition exchange must feed from the per-MINUTE bucket
+    reduction (partial/final hash aggregate — time-span-bounded rows),
+    never directly from the corpus-sized error scan."""
+    simple = _plan_simple(QUERIES["join_interval_overlap"](spark, SF_ORACLE))
+    lines = simple.splitlines()
+    (sp_idx,) = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    subtree = lines[sp_idx + 1:]
+    agg_idx = next(
+        i for i, ln in enumerate(subtree)
+        if "HashAggregate" in ln and "partial_min" in ln
+    )
+    scan_idx = next(i for i, ln in enumerate(subtree) if "FileScan" in ln)
+    assert agg_idx < scan_idx, simple
+
+
 def test_filter_funnel_single_scan_no_join(spark):
     """All four funnel predicates ride ONE corpus scan (the 4-pass
     shape would be 4x the IO); the funnel rows explode from the

@@ -24,104 +24,82 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
 #: The 50 queries surfaced to the driver's correctness window.
 #:
-#: Round-7 rotation (mechanical). The driver never produced
-#: CORRECTNESS_r06.json (no round-6 correctness run landed), so the
-#: rotation basis is unchanged from round 6:
-#:   covered = union of hash_match rows across CORRECTNESS_r0{1..5}.json
-#:   backlog = [n for n in ORACLE if n not in covered]   # == 34
-#: The 34 backlog entries — the 23 carried from the round-6 window
-#: (never sampled) plus the 11 operators added in round 6 — go FIRST;
-#: a green run makes distinct ever-driver-green == 188/188 for the
-#: round-6 registry. The remaining 16 slots are drift sentinels,
-#: chosen per the round-6 plan note: group the 154 covered queries
-#: into operator families (prefix, TPC-H collapsed to one family),
-#: take each family's member whose LAST green row is oldest
-#: (max(round) per name), rank families by that round ascending,
-#: keep 16. The cut keeps every family last-refreshed in r2/early-r3
-#: (cube, distinct, join, topk, window, agg, dedup, funnel, group,
-#: json, multimodal, pipeline, pivot, tpch, ref, rollup) and drops
-#: the 18 freshest (scalar/set/sim/streaming/subquery/text/timeseries
-#: r3-late + the r4/r5 families) — most of which the backlog itself
-#: re-exercises anyway.
-#: Fixture drift (the round-2 failure mode) is covered by
-#: tests/test_fixture_schema.py; everything outside the window stays
-#: green in the local pytest oracle replica (tests/test_oracle.py).
-#:
-#: ROUND-8 PLAN: recompute `covered` with CORRECTNESS_r07.json
-#: included; queries oracled AFTER this rotation go first (the 21
-#: round-7 additions, mechanically: [n for n in ORACLE if n not in
-#: covered] — as of end-of-round-7 that is text_perplexity_buckets,
-#: dedup_paragraph_keep_first, text_zipf_fit,
-#: pipeline_tokenizer_fertility, pipeline_filter_funnel,
-#: pipeline_nb_language_filter, streaming_cdc_upsert_replay,
-#: agg_mode_frequency, window_streak_islands, join_interval_overlap,
-#: join_asof_nearest, text_mattr_diversity, pipeline_shard_manifest,
-#: sql_api_nation_revenue, graph_pagerank_exact,
-#: sketch_count_min_md5_topk, sketch_bloom_md5_nonmembers,
-#: agg_covariance_matrix, sim_pca_power_iteration_exact,
-#: timeseries_holt_linear, timeseries_rolling_median — plus
-#: whatever the r7 driver run leaves unsampled), then sentinels by
-#: the same oldest-last-green family rule.
+#: Round-8 rotation (mechanical). Basis:
+#:   covered = union of hash_match rows across CORRECTNESS_r0{1..7}.json
+#:           == 188 distinct queries (r7 closed the whole 34-query backlog)
+#:   backlog = [n for n in ORACLE if n not in covered]   # == 21
+#: The 21 backlog entries are exactly the round-7 additions (registered
+#: after the r7 window rotated; the judge hash-verified all 21 at
+#: sf0.01 AND sf0.1 in the r7 session). They go FIRST; a green run
+#: makes distinct ever-driver-green == 209/209 for the round-7 registry.
+#: The remaining 29 slots are drift sentinels, same rule as r6/r7:
+#: group the 188 covered queries into operator families (name prefix,
+#: TPC-H collapsed to one family; 34 families), take each family's
+#: member whose LAST green row is oldest (min over members of
+#: max(round) per name, tie alphabetical), rank families by that round
+#: ascending, keep 29. The cut keeps all 26 families last refreshed in
+#: r3/r4/r5 and the first 3 (alphabetical) of the 8 families the r7
+#: driver itself refreshed (cube, distinct, funnel); it drops the other
+#: 5 r7-fresh families (group, json, pivot, rollup, topk).
+#: Queries oracled AFTER this rotation (round-8 additions) go first in
+#: the ROUND-9 window by the same recompute.
+#: Fixture drift is covered by tests/test_fixture_schema.py; everything
+#: outside the window stays green in the local pytest oracle replica
+#: (tests/test_oracle.py).
 DRIVER_WINDOW = (
-    # --- 34-query backlog: never driver-checked before this round ---
-    # text analysis tail (r5 additions + r5-deferred)
-    "text_vocabulary_topn",
-    "text_boilerplate_phrases",
-    "text_char_entropy",
-    "text_hashing_vectorizer",
-    "text_split_segments",
-    "text_split_segments_udtf",
-    "text_bigram_fluency",
-    "text_gopher_quality_flags",
-    "text_top_bigram_char_fraction",
-    # windows / scalars / aggregates deferred from r5
-    "window_ntile_percentile_ranks",
-    "window_tumbling_event_counts",
-    "scalar_edit_distance",
-    "scalar_conditional_functions",
-    "agg_collect_sorted_sets",
-    "agg_boolean_filtered",
-    "agg_equidepth_histogram",
-    # similarity / multimodal (r5 additions)
-    "sim_knn_label_vote",
-    "multimodal_resize_thumbnail",
-    # data-pipeline (r5 additions + deferred)
-    "pipeline_pps_sample",
-    "pipeline_cluster_safe_folds",
-    "pipeline_mixture_token_budget",
-    "pipeline_url_normalize_dedup",
-    # streaming (r5 addition)
-    "streaming_minhash_dedup_replay",
-    # round-6 additions (added after the r6 rotation, never sampled)
-    "sim_semdedup_fixed_cells",
-    "streaming_minhash_dedup_instream",
-    "text_top_ngram_char_fractions",
-    "text_span_novelty",
-    "sim_hard_negatives",
-    "pipeline_dsir_weights",
-    "multimodal_frame_sample",
-    "agg_winsorized_stats",
-    "text_quality_threshold_sweep",
-    "streaming_ewma_daily_replay",
-    "agg_weighted_median",
-    # --- 16 drift sentinels: per family the member whose LAST green
+    # --- 21-query backlog: the round-7 additions, never driver-checked ---
+    "text_perplexity_buckets",
+    "dedup_paragraph_keep_first",
+    "text_zipf_fit",
+    "text_mattr_diversity",
+    "pipeline_tokenizer_fertility",
+    "pipeline_filter_funnel",
+    "pipeline_nb_language_filter",
+    "pipeline_shard_manifest",
+    "streaming_cdc_upsert_replay",
+    "agg_mode_frequency",
+    "agg_covariance_matrix",
+    "window_streak_islands",
+    "join_interval_overlap",
+    "join_asof_nearest",
+    "sql_api_nation_revenue",
+    "graph_pagerank_exact",
+    "sketch_count_min_md5_topk",
+    "sketch_bloom_md5_nonmembers",
+    "sim_pca_power_iteration_exact",
+    "timeseries_holt_linear",
+    "timeseries_rolling_median",
+    # --- 29 drift sentinels: per family the member whose LAST green
     # --- row is oldest; families ranked by that round ascending ---
-    "cube_status_priority",           # last green r2
-    "distinct_market_segments",       # last green r2
-    "join_broadcast_brand_volume",    # last green r2
-    "topk_orders_by_price",           # last green r2
-    "window_rank_dense_rank",         # last green r2
-    "agg_percentile_price_quartiles", # last green r3
-    "dedup_connected_clusters",       # last green r3
-    "funnel_view_click_purchase",     # last green r3
-    "group_topk_orders_per_customer", # last green r3
-    "json_extract_props",             # last green r3
-    "multimodal_binary_metadata",     # last green r3
-    "pipeline_chunk_tokens",          # last green r3
-    "pivot_status_by_priority",       # last green r3
-    "q1_pricing_summary",             # last green r3 (TPC-H family)
-    "ref_getall",                     # last green r3
-    "rollup_returnflag_status",       # last green r3
+    "agg_salted_returnflag_totals",    # last green r3
+    "dedup_decontaminate_benchmark",   # last green r3
+    "join_asof_error_after_click",     # last green r3
+    "multimodal_doc_embedding_join",   # last green r3
+    "pipeline_pack_sequences",         # last green r3
+    "ref_is_empty",                    # last green r3
+    "scalar_math_functions",           # last green r3
+    "set_union_active_custkeys",       # last green r3
+    "sim_cosine_topk",                 # last green r3
+    "streaming_interval_join_replay",  # last green r3
+    "subquery_exists_priority_counts", # last green r3
+    "text_inverted_index",             # last green r3
+    "timeseries_ewma_daily_value",     # last green r3
+    "q3_shipping_priority",            # last green r3 (TPC-H family)
+    "window_running_total",            # last green r3
+    "assoc_part_pairs_in_orders",      # last green r4
+    "case_bucketize_orders",           # last green r4
+    "cohort_daily_retention",          # last green r4
+    "grouping_sets_status_priority",   # last green r4
+    "profile_orders_columns",          # last green r4
+    "unpivot_nation_measures",         # last green r4
+    "attribution_last_touch",          # last green r5
+    "checksum_orders_table",           # last green r5
+    "merge_upsert_orders",             # last green r5
+    "quality_expectations_orders",     # last green r5
+    "scd2_user_event_intervals",       # last green r5
+    "cube_status_priority",            # last green r7
+    "distinct_market_segments",        # last green r7
+    "funnel_view_click_purchase",      # last green r7
 )
 
 

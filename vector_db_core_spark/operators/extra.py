@@ -2038,13 +2038,22 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidents and hour-scale sessions).
 
     The overlap duration is integer microseconds (``unix_micros`` ==
-    ``epoch_us``) — hash-exact, no float time arithmetic. One honest
-    caveat: the INCIDENT derivation is a global gaps-and-islands
-    (single-partition window) — fine here because the error slice is
-    thin relative to the corpus, and in production incidents come
-    pre-keyed (per service/region), which re-partitions that window;
-    the overlap JOIN itself — the operator under test — is fully
-    distributed either way."""
+    ``epoch_us``) — hash-exact, no float time arithmetic.
+
+    The INCIDENT derivation avoids a data-sized single-partition
+    window: the error slice is first reduced to per-MINUTE buckets
+    (``min(ts)``/``max(ts)``/``count`` per bucket — a map-side
+    combined hash aggregate, so the shuffle and the subsequent
+    keyless gaps-and-islands window are bounded by the TIME SPAN of
+    the data, not its row count; a year of errors is <= 525,600
+    window rows regardless of corpus size). This is exact, not an
+    approximation: the island break is "gap > 10 min between
+    consecutive error timestamps", and within a 1-minute bucket no
+    gap can exceed 59.999s, so breaks can only occur BETWEEN buckets
+    — tested by comparing ``min(ts)`` of a bucket against ``max(ts)``
+    of its predecessor, the same microsecond arithmetic as the
+    row-level form. Same reduce-before-window discipline as
+    ``timeseries_rolling_median`` / ``window_streak_islands``."""
     ev = _t(spark, sf_dir, "events")
     sess = (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -2057,25 +2066,37 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # microsecond-precision gap test (cast-to-long would truncate to
     # seconds and disagree with the oracle's INTERVAL comparison on
-    # gaps within 1s of the threshold — caught by the sf0.1 sweep)
-    brk = (
-        F.unix_micros("ts")
-        - F.lag(F.unix_micros("ts")).over(W.orderBy("ts"))
-        > 600 * 1_000_000
-    )
-    e0 = (
+    # gaps within 1s of the threshold — caught by the sf0.1 sweep).
+    # Reduce-before-window: per-minute buckets first, so the keyless
+    # island window runs over time-span-bounded rows, never the
+    # corpus-sized error slice (see docstring for the exactness
+    # argument: 1-min bucket width < 10-min break threshold).
+    minute_us = 60 * 1_000_000
+    eb = (
         ev.where(F.col("event_type") == "error")
-        .select("ts")
-        .withColumn("brk", F.when(brk | F.lag("ts").over(W.orderBy("ts")).isNull(), 1).otherwise(0))
-        .withColumn(
-            "iid",
-            F.sum("brk").over(W.orderBy("ts").rowsBetween(W.unboundedPreceding, 0)),
+        .groupBy(F.expr(f"unix_micros(ts) div {minute_us}").alias("mb"))
+        .agg(
+            F.min("ts").alias("b_min"),
+            F.max("ts").alias("b_max"),
+            F.count("*").alias("b_n"),
         )
     )
+    brk = (
+        F.unix_micros("b_min")
+        - F.lag(F.unix_micros("b_max")).over(W.orderBy("mb"))
+        > 600 * 1_000_000
+    )
+    e0 = eb.withColumn(
+        "brk",
+        F.when(brk | F.lag("b_max").over(W.orderBy("mb")).isNull(), 1).otherwise(0),
+    ).withColumn(
+        "iid",
+        F.sum("brk").over(W.orderBy("mb").rowsBetween(W.unboundedPreceding, 0)),
+    )
     inc = e0.groupBy("iid").agg(
-        F.min("ts").alias("i_start"),
-        (F.max("ts") + F.expr("INTERVAL 10 MINUTES")).alias("i_end"),
-        F.count("*").alias("n_errors"),
+        F.min("b_min").alias("i_start"),
+        (F.max("b_max") + F.expr("INTERVAL 10 MINUTES")).alias("i_end"),
+        F.sum("b_n").alias("n_errors"),
     )
     hour_us = 3600 * 1_000_000
 
