@@ -869,3 +869,16 @@ def test_logprob_family_single_corpus_scan(spark):
             if "FileScan parquet" in l:
                 depth = len(l) - len(l.lstrip(" :+-"))
                 assert any(c < depth for c in im_cols), (name, l)
+
+
+def test_pca_exact_covariance_no_vec_keyed_self_join(spark):
+    """The exact-PCA covariance build must be the zero-fan-out
+    treeAggregate fold, not the (label, vec_id)-keyed self-join
+    (d² = 4,096 generated rows per vector): no join or shuffle
+    anywhere in the plan may key on vec_id, and the mean-vector
+    join back onto the corpus must broadcast."""
+    simple = _plan_simple(QUERIES["sim_pca_power_iteration_exact"](spark, SF_ORACLE))
+    for ln in simple.splitlines():
+        if "Exchange" in ln or "Join" in ln:
+            assert "vec_id" not in ln, ln
+    assert "BroadcastHashJoin" in simple

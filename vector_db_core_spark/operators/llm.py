@@ -3868,31 +3868,82 @@ def sim_pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     ALGEBRA cross-engine, and the pytest pins its direction against a
     numpy float power iteration from the same start.
 
-    Plan/scale: the covariance build is the only corpus-sized work —
-    posexplode to (vec, dim), one self-join per (label, vec) keyed
-    equi (d² fan-out inside the join, 64²=4096 rows per vector),
-    reduced map-side to |labels|·d² cells and PERSISTED; each of the
-    8 iterations is a matrix-vector join + groupBy on tables of that
-    size (|labels|·d² rows — independent of corpus size), with the
-    per-label max as one shared window. At 100 TB swap the self-join
-    for ``F.aggregate`` over outer-product array columns (same cells,
-    no row fan-out) — documented in the float op."""
+    Plan/scale: the covariance build is the only corpus-sized work,
+    and it runs with ZERO row fan-out — the treeAggregate-style
+    ``F.aggregate`` over outer-product arrays the float op documents.
+    The centered micro-vector stays a d-length ARRAY column (mean
+    vector broadcast back as an array, ``zip_with`` subtraction);
+    vectors fold into d²-cell co-moment partials in two bounded
+    micro-group levels (64 raw 512-byte vectors per level-1 group —
+    partition-local contiguous ids, so collect_list partials complete
+    map-side; the outer product is computed INSIDE the fold lambda,
+    transient per vector, never a shuffled column), so shuffled bytes
+    stay ~corpus-sized and the only generate is the level-2 partials
+    exploding to ~corpus/4096·d² ≈ 1× corpus rows straight into a
+    map-side-combined (label, i, j) cell aggregate. Grouping is
+    arbitrary-safe: integer addition is exact and commutative, so any
+    micro-group assignment yields the identical cells. The reduced
+    |labels|·d² cm table is PERSISTED; each of the 8 iterations is a
+    matrix-vector join + groupBy on tables of that size (independent
+    of corpus size), with the per-label max as one shared window."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn(
+        "xm_arr", F.expr("transform(e, v -> cast(round(v * 1000000.0, 0) as bigint))")
     )
-    x = emb.select(
-        "label", "vec_id", F.posexplode("e").alias("i", "ev")
-    ).withColumn("xm", F.round(F.col("ev") * 1_000_000.0, 0).cast("long"))
+    x = emb.select("label", F.posexplode("xm_arr").alias("i", "xm"))
     mu = x.groupBy("label", "i").agg(F.expr("sum(xm) div count(*)").alias("mu"))
-    c = x.join(mu, ["label", "i"]).select(
-        "label", "vec_id", "i", (F.col("xm") - F.col("mu")).alias("cx")
+    mu_arr = mu.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, mu))), s -> s.mu)"
+        ).alias("mu_arr")
     )
-    a = c.select("label", "vec_id", "i", F.col("cx").alias("ca"))
-    b = c.select("label", "vec_id", F.col("i").alias("j"), F.col("cx").alias("cb"))
+    cx = (
+        emb.join(F.broadcast(mu_arr), "label")
+        .select(
+            "label",
+            F.expr("zip_with(xm_arr, mu_arr, (x, m) -> x - m)").alias("cx_arr"),
+        )
+        .withColumn("g", F.expr("monotonically_increasing_id() div 64"))
+    )
+    p1 = (
+        cx.groupBy("label", "g")
+        .agg(F.collect_list("cx_arr").alias("vs"))
+        .select(
+            "label",
+            F.expr("g div 64").alias("g2"),
+            F.size(F.expr("vs[0]")).alias("d"),
+            F.expr(
+                "aggregate(vs,"
+                " array_repeat(cast(0 as bigint), size(vs[0]) * size(vs[0])),"
+                " (acc, v) -> zip_with(acc,"
+                "   flatten(transform(v, a -> transform(v, b -> a * b))),"
+                "   (p, q) -> p + q))"
+            ).alias("ps"),
+        )
+    )
+    p2 = (
+        p1.groupBy("label", "g2")
+        .agg(F.min("d").alias("d"), F.collect_list("ps").alias("pss"))
+        .select(
+            "label",
+            "d",
+            F.expr(
+                "aggregate(pss, array_repeat(cast(0 as bigint), size(pss[0])),"
+                " (acc, v) -> zip_with(acc, v, (p, q) -> p + q))"
+            ).alias("ps"),
+        )
+    )
     cm = (
-        a.join(b, ["label", "vec_id"])
+        p2.select("label", "d", F.posexplode("ps").alias("k", "s"))
+        .select(
+            "label",
+            F.expr("k div d").alias("i"),
+            F.expr("k % d").alias("j"),
+            "s",
+        )
         .groupBy("label", "i", "j")
-        .agg(F.expr("sum(ca * cb) div 1000000").alias("cij"))
+        .agg(F.expr("sum(s) div 1000000").alias("cij"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     v = cm.select("label", "j").distinct().withColumn(
