@@ -1497,8 +1497,17 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: same loop shape as the float op — per iteration one
     equi-join of ranks (|nodes| rows) against the persisted static
     edge list + one groupBy on dst, both keyed on node id; ranks
-    persist+count every 3 iterations to keep lineage shallow
-    (checkpoint at cluster scale). Quantization error vs true
+    persist+count every 3 iterations AND at the final iteration to
+    keep lineage shallow (checkpoint at cluster scale), each
+    checkpoint unpersisting the superseded one. Because the loop
+    must materialize eagerly (count() per checkpoint), the work
+    happens at BUILD time — bench.py times this op inclusively
+    (builder + action), like the streaming replays. Once the final
+    ranks are materialized the static edges/outdeg/nodes caches are
+    released (eviction of the final cache would recompute from
+    parquet — correctness-safe); the final ranks cache itself is
+    released by the registry-wide clearCache-after-each-query
+    contract (operators/registry.py). Quantization error vs true
     PageRank is <= iters * (outdeg_max + 1) ulp of 10^-12 — far below
     any ranking decision; dangling nodes are structurally absent
     (basket pairs are symmetric, so every node has out-edges)."""
@@ -1528,6 +1537,7 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()  # bounded scalar (node count), same as the float op
     teleport = (15 * (scale // n)) // 100
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    prev_ck = None
     for i in range(8):
         contribs = (
             edges.join(ranks, F.col("node") == F.col("src"))
@@ -1546,9 +1556,17 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-        if i % 3 == 2:
+        if i % 3 == 2 or i == 7:
             ranks = ranks.persist()
             ranks.count()
+            if prev_ck is not None:
+                prev_ck.unpersist()
+            prev_ck = ranks
+    # final ranks are materialized: the static graph caches are no
+    # longer needed (re-derivable from parquet on eviction)
+    edges.unpersist()
+    outdeg.unpersist()
+    nodes.unpersist()
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 

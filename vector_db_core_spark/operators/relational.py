@@ -749,11 +749,19 @@ def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The view prefix encodes the sf_dir so two fixtures in one JVM
     (sweep at sf0.1 + pytest at sf0.01) register disjoint view names
-    and can't serve each other stale tables."""
+    and can't serve each other stale tables; the views are dropped
+    again once ``spark.sql`` has RESOLVED the text (the returned
+    DataFrame carries its analyzed plan — it no longer reads the
+    catalog), so repeated builds leave no session-lifetime views
+    behind."""
     import hashlib
 
-    from vector_db_core_spark.sources import register_views
+    from vector_db_core_spark.sources import TABLES, register_views
 
     prefix = f"sqlapi_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}_"
     register_views(spark, sf_dir, prefix=prefix)
-    return spark.sql(_SQL_API_TEXT.format(p=prefix))
+    try:
+        return spark.sql(_SQL_API_TEXT.format(p=prefix))
+    finally:
+        for t in TABLES:
+            spark.catalog.dropTempView(prefix + t)
