@@ -882,3 +882,12 @@ def test_pca_exact_covariance_no_vec_keyed_self_join(spark):
         if "Exchange" in ln or "Join" in ln:
             assert "vec_id" not in ln, ln
     assert "BroadcastHashJoin" in simple
+
+
+def test_zipf_fit_head_rank_take_ordered(spark):
+    """The Zipf fit ranks only the top-10k head: the head selection
+    must plan as TakeOrderedAndProject (per-partition heaps), so the
+    only single-partition window runs on <= 10k rows — never a
+    vocab-sized global sort."""
+    plan = _plan(QUERIES["text_zipf_fit"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan

@@ -3698,15 +3698,20 @@ def dedup_paragraph_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
                  FROM documents),
     vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
-    r AS (SELECT c,
-                 row_number() OVER (ORDER BY c DESC, token) AS rank
-          FROM vocab)
-    SELECT round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
-           round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS log_intercept,
-           round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2,
-           CAST(COUNT(*) AS BIGINT) AS vocab_size,
-           CAST(SUM(c) AS BIGINT) AS total_tokens
-    FROM r
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                   CAST(SUM(c) AS BIGINT) AS total_tokens
+            FROM vocab),
+    r AS (SELECT c, rank FROM
+            (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank
+             FROM vocab)
+          WHERE rank <= 10000),
+    fit AS (SELECT round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+                   round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS log_intercept,
+                   round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2,
+                   CAST(COUNT(*) AS BIGINT) AS n_ranked
+            FROM r)
+    SELECT zipf_slope, log_intercept, r2, n_ranked, vocab_size, total_tokens
+    FROM fit CROSS JOIN tot
     """,
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3720,28 +3725,39 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation-order drift (the ``agg_linear_regression`` policy).
 
     Plan/scale: the corpus reduces to the vocab table in one
-    map-side-combined shuffle — everything after runs on |vocab| rows,
-    orders of magnitude smaller than the corpus. The rank assignment
-    here is a single-partition ``row_number`` (fine up to ~10^7 vocab
-    rows); at web-scale vocabularies rank comes from the range-sort +
-    per-range offset trick ``store.export_ordered`` pins (no global
-    single-task sort), and the regression aggregate is unchanged."""
+    map-side-combined shuffle — everything after runs on |vocab| rows.
+    The fit uses only the TOP-10,000 terms: Zipf fits are
+    head-dominated (the ln-ln least squares over the full vocabulary
+    is swamped by the hapax tail anyway, a known estimator bias —
+    Clauset/Shalizi/Newman 2009 recommend truncation), and the cap
+    turns the rank assignment into ``orderBy.limit`` =
+    TakeOrderedAndProject (per-partition heaps, never a vocab-sized
+    single-partition sort; the residual row_number window runs on
+    <= 10k rows — constant-bounded at any corpus size). The
+    tail-truncation is part of the operator's DEFINITION, stated
+    identically in the oracle (``rank <= 10000``); full-corpus
+    ``vocab_size`` / ``total_tokens`` come from a separate one-row
+    aggregate of the whole vocab table, broadcast-cross-joined."""
     tok = _t(spark, sf_dir, "documents").select(
         F.explode(tokens(F.col("text"))).alias("token")
     )
     vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
-    r = vocab.withColumn(
+    tot = vocab.agg(
+        F.count("*").alias("vocab_size"), F.sum("c").alias("total_tokens")
+    )
+    head = vocab.orderBy(F.desc("c"), F.asc("token")).limit(10000)
+    r = head.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("c"), F.asc("token")))
     )
     y = F.log(F.col("c").cast("double"))
     x = F.log(F.col("rank").cast("double"))
-    return r.agg(
+    fit = r.agg(
         F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(y, x), 6).alias("log_intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
-        F.count("*").alias("vocab_size"),
-        F.sum("c").alias("total_tokens"),
+        F.count("*").alias("n_ranked"),
     )
+    return fit.crossJoin(F.broadcast(tot))
 
 
 @register(
