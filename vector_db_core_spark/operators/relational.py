@@ -719,6 +719,27 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_sql_text(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Run a ``{p}``-templated SQL text through the front end: register
+    sf_dir-prefixed temp views, resolve the text with ``spark.sql``,
+    then drop the views again (the returned DataFrame carries its
+    analyzed plan — it no longer reads the catalog), so repeated
+    builds leave no session-lifetime views behind. The prefix encodes
+    the sf_dir so two fixtures in one JVM (sweep at sf0.1 + pytest at
+    sf0.01) can't serve each other stale tables."""
+    import hashlib
+
+    from vector_db_core_spark.sources import TABLES, register_views
+
+    prefix = f"sqlapi_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}_"
+    register_views(spark, sf_dir, prefix=prefix)
+    try:
+        return spark.sql(text.format(p=prefix))
+    finally:
+        for t in TABLES:
+            spark.catalog.dropTempView(prefix + t)
+
+
 _SQL_API_TEXT = """
 SELECT n.n_name AS nation,
        CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
@@ -747,21 +768,42 @@ def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CAST inside SUM) the DataFrame queries get from
     ``functions.exact``.
 
-    The view prefix encodes the sf_dir so two fixtures in one JVM
-    (sweep at sf0.1 + pytest at sf0.01) register disjoint view names
-    and can't serve each other stale tables; the views are dropped
-    again once ``spark.sql`` has RESOLVED the text (the returned
-    DataFrame carries its analyzed plan — it no longer reads the
-    catalog), so repeated builds leave no session-lifetime views
-    behind."""
-    import hashlib
+    Generalization beyond this one statement: ALL 22 TPC-H oracle
+    texts run verbatim through the same front end and match their
+    DataFrame twins row-for-row — pinned by
+    tests/test_sql_frontend.py; ``sql_api_tpch_q4`` carries a second
+    registered+oracled front-end row under the full hash gate."""
+    return _run_sql_text(spark, sf_dir, _SQL_API_TEXT)
 
-    from vector_db_core_spark.sources import TABLES, register_views
 
-    prefix = f"sqlapi_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}_"
-    register_views(spark, sf_dir, prefix=prefix)
-    try:
-        return spark.sql(_SQL_API_TEXT.format(p=prefix))
-    finally:
-        for t in TABLES:
-            spark.catalog.dropTempView(prefix + t)
+_SQL_API_Q4_TEXT = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM {p}orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM {p}lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_api_tpch_q4", oracle=_SQL_API_Q4_TEXT.format(p=""))
+def sql_api_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) driven end-to-end through
+    the ANSI-SQL front end: the Spark side IS ``spark.sql`` over
+    registered views, and the oracle is the SAME text with the view
+    prefix removed — one statement, two engines, hash-identical
+    answers. Picked for the correlated EXISTS: it exercises Catalyst's
+    subquery DECORRELATION (rewrite to left-semi join with the
+    non-equi lateness predicate as a residual), the part of a SQL
+    front end a curated SELECT-JOIN-GROUP statement like
+    ``sql_api_nation_revenue`` never touches. The
+    tests/test_sql_frontend.py sweep additionally pins all 22 TPC-H
+    texts as spark.sql-vs-DataFrame parity.
+
+    Plan/scale: identical physical plan to the hand-built DataFrame
+    twin (``q4_order_priority_checking``): quarter filter pushed to
+    the orders scan, ONE orderkey shuffle for the semi join
+    (AQE-splittable), 5-value group key aggregate moving ~nothing."""
+    return _run_sql_text(spark, sf_dir, _SQL_API_Q4_TEXT)
