@@ -99,3 +99,55 @@ def ref_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     always chase the live header.
     """
     return load_table(spark, sf_dir, "events").where(F.col("event_id") < 5000)
+
+
+@register(
+    "ref_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id < 3000 THEN NULL ELSE event_type END AS event_type,
+           CASE WHEN event_id < 3000 THEN NULL ELSE value END AS value
+    FROM events WHERE event_id < 6000
+    """,
+)
+def ref_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD-COLUMN schema evolution under the full hash gate (r7
+    verdict task 7): two ``pushx`` batches with DIFFERENT schemas —
+    the first 3,000 events as (event_id, user_id), the next 3,000
+    with two added columns (event_type, value) — then one merged
+    read. ``mergeSchema`` reconciles the footers and the older rows
+    surface NULL for the later columns (store.py pushx docstring);
+    the oracle states that exact NULL-backfill from the fixture, so
+    DuckDB verifies the merged values, not just the row count.
+    [EXT] beyond the reference: its record schema is fixed at compile
+    time (dynamic-vector-macro — SURVEY §1.2); evolution is purely
+    the Spark-side capability.
+
+    The store is (re)built in a session-temp dir per sf_dir — a
+    bounded 6,000-row write; the returned DataFrame is the store's
+    merged-footer read, so the gate exercises the real pushx →
+    parquet append → mergeSchema path, not a simulation of it.
+    Scale: evolution costs one footer read per file at planning time
+    (compact() amortizes it); NULL backfill is metadata-only."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from vector_db_core_spark.store import OrdinalStore
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 6000)
+    b1 = ev.where(F.col("event_id") < 3000).select("event_id", "user_id")
+    b2 = ev.where(F.col("event_id") >= 3000).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = (
+        tempfile.gettempdir()
+        + f"/spark_graft_schema_evo_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    store = OrdinalStore(spark, path)
+    store.pushx(b1, deterministic_source=True)
+    store.pushx(b2, deterministic_source=True)
+    return store.getall(ordered=False).select(
+        "event_id", "user_id", "event_type", "value"
+    )
