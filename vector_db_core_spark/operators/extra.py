@@ -2503,3 +2503,202 @@ def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("cents", F.lit(0.5)).over(w) / F.lit(100.0), 6
         ).alias("rolling_median_7d"),
     )
+
+
+_PATTERN_SQL = """
+WITH t AS (SELECT user_id, ts, event_id,
+                  substr(event_type, 1, 1) AS ini
+           FROM events),
+b AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                       OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b),
+g AS (SELECT user_id, sid, MIN(ts) AS session_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             string_agg(ini, '' ORDER BY ts, event_id) AS seq
+      FROM s GROUP BY user_id, sid)
+SELECT user_id, session_start, n_events, seq,
+       regexp_matches(seq, 'v.*c.*p') AS converted,
+       regexp_matches(seq, 'c[^p]*e') AS abandoned
+FROM g
+"""
+
+
+@register("pattern_session_sequences", oracle=_PATTERN_SQL)
+def pattern_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE analog
+    neither Spark nor DuckDB ships): sessionize each user's events
+    (30-min inactivity gap), reduce every session to its ordered
+    event-initial string (view→'v', click→'c', purchase→'p',
+    error→'e', signup→'s'), and run ROW-PATTERN regexes over it —
+    ``v.*c.*p`` (converted: view then click then purchase, any
+    interleaving) and ``c[^p]*e`` (abandoned: an error after a click
+    with no purchase between). The sequence-analytics operator the
+    funnel query can't express: funnels test STEP EXISTENCE in order,
+    patterns test the full sequence structure, adjacency and
+    exclusion included.
+
+    Spark-first plan: ``session_window`` sessionization (same
+    one-shuffle shape as ``join_interval_overlap``'s session side),
+    per-session ``collect_list(struct(ts, event_id, ini))`` +
+    ``array_sort`` + ``transform``/``array_join`` builds the sequence
+    string INSIDE the aggregate — sessions are human-bounded (no
+    skew beyond the salting playbook), so state per group is tiny;
+    the regexes are codegen ``rlike`` on the reduced per-session
+    rows. Determinism: ties at equal ts order by event_id in BOTH
+    engines (struct sort == ORDER BY ts, event_id). One shuffle
+    total; output linear in session count."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    g = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                    lambda x: x["ini"],
+                ),
+                "",
+            ).alias("seq"),
+        )
+    )
+    return g.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "seq",
+        F.col("seq").rlike("v.*c.*p").alias("converted"),
+        F.col("seq").rlike("c[^p]*e").alias("abandoned"),
+    )
+
+
+_CUSUM_SQL = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1, 2),
+o AS (SELECT *, CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             SUM(cents) OVER (PARTITION BY event_type) AS total
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+s AS (SELECT *, abs(n * cum - k * total) AS dev FROM o),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY dev DESC, day) AS rn
+      FROM s)
+SELECT event_type, CAST(day AS TIMESTAMP) AS change_day,
+       CAST(dev AS BIGINT) AS cusum_scaled_abs,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(cum // k AS BIGINT) AS mean_before_cents,
+       CAST((total - cum) // nullif(n - k, 0) AS BIGINT) AS mean_after_cents
+FROM r WHERE rn = 1
+"""
+
+
+@register("timeseries_cusum_changepoint", oracle=_CUSUM_SQL)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT DETECTION under the full hash gate: per
+    event type, the day where the cumulative deviation of the daily
+    value series from its global mean peaks — the classic
+    single-changepoint estimator (Page 1954's CUSUM reduced to its
+    offline argmax form). Everything INTEGER: daily cents (the Holt
+    convention), and the deviation statistic scaled by n to avoid
+    division entirely — ``S_k = n·cum_k − k·total`` is exactly
+    ``n²·(mean_upto_k − mean)·k/…`` up to the positive factor that
+    doesn't move the argmax, so both engines agree bit-for-bit (ties
+    at equal deviation break to the earliest day). Before/after means
+    in truncating integer division (Spark ``div`` == DuckDB ``//``
+    toward zero on the sums involved; mean_after NULL when the
+    changepoint is the last day).
+
+    Plan/scale: corpus → (event_type, day) rollup in one map-side-
+    combined shuffle (time-span-bounded like the interval join's
+    incident reduction); every window after partitions by event_type
+    over day-count-sized rows. Output: one row per event type."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    wp = W.partitionBy("event_type")
+    o = (
+        d.withColumn("k", F.row_number().over(wo).cast("long"))
+        .withColumn("cum", F.sum("cents").over(wo.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("n", F.count("*").over(wp).cast("long"))
+        .withColumn("total", F.sum("cents").over(wp))
+        .withColumn("dev", F.abs(F.col("n") * F.col("cum") - F.col("k") * F.col("total")))
+    )
+    r = o.withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy(F.desc("dev"), "day"))
+    ).where(F.col("rn") == 1)
+    return r.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("change_day"),
+        F.col("dev").alias("cusum_scaled_abs"),
+        F.col("n").alias("n_days"),
+        F.expr("cum div k").alias("mean_before_cents"),
+        F.expr("(total - cum) div nullif(n - k, CAST(0 AS BIGINT))").alias("mean_after_cents"),
+    )
+
+
+_SEASONAL_NAIVE_SQL = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1, 2)
+SELECT a.event_type, CAST(a.day AS TIMESTAMP) AS day,
+       a.cents AS cents,
+       b.cents AS cents_7d_ago,
+       a.cents - b.cents AS residual_cents,
+       (abs(a.cents - b.cents) * 2 > abs(b.cents)) AS anomaly
+FROM d a JOIN d b
+  ON a.event_type = b.event_type AND b.day = a.day - INTERVAL 7 DAY
+"""
+
+
+@register("timeseries_seasonal_naive_residuals", oracle=_SEASONAL_NAIVE_SQL)
+def timeseries_seasonal_naive_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE anomaly residuals: each day's value minus the
+    value exactly 7 CALENDAR days earlier (same weekday — the
+    first-line seasonal baseline every ops dashboard runs before
+    anything model-based), with a relative-magnitude anomaly flag
+    (|residual| > 50% of the baseline, in exact integer cents — the
+    comparison is ``2·|residual| > |baseline|``, no float ratio).
+    Distinct from ``timeseries_locf_daily_value``'s gap-fill LOCF and
+    the EWMA: the baseline here is the CALENDAR lag, so days whose
+    seven-days-ago is absent drop out (an inner join states that
+    honestly) rather than comparing against a different weekday —
+    the bug a ROWS-frame ``lag(7)`` silently commits on gappy series.
+
+    Plan/scale: one map-side-combined rollup to (event_type, day) —
+    time-span-bounded — then a SELF-join on the same key the rollup
+    already partitioned by (no second corpus shuffle; the reduced
+    table's equi-join reuses its partitioning on event_type)."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    a = d.alias("a")
+    b = d.select(
+        "event_type",
+        (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day"),
+        F.col("cents").alias("cents_7d_ago"),
+    ).alias("b")
+    j = a.join(b, ["event_type", "day"])
+    res = F.col("cents") - F.col("cents_7d_ago")
+    return j.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        "cents",
+        "cents_7d_ago",
+        res.alias("residual_cents"),
+        (F.abs(res) * 2 > F.abs("cents_7d_ago")).alias("anomaly"),
+    )

@@ -1689,3 +1689,123 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("last_digest"),
         )
     )
+
+
+_DRIFT_KL_SQL = r"""
+WITH tagged AS (
+  SELECT substr(md5(text), 1, 1) <= 'b' AS is_train,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+  FROM documents),
+c AS (SELECT token,
+             SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS n_train,
+             SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS n_val
+      FROM tagged GROUP BY token),
+tot AS (SELECT CAST(SUM(n_train) AS BIGINT) AS t_train,
+               CAST(SUM(n_val) AS BIGINT) AS t_val,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM c)
+SELECT token,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_val AS BIGINT) AS n_val,
+       round((CAST(n_train + 1 AS DOUBLE) / (t_train + v))
+             * ln((CAST(n_train + 1 AS DOUBLE) / (t_train + v))
+                  / (CAST(n_val + 1 AS DOUBLE) / (t_val + v))), 6) AS kl_term
+FROM c CROSS JOIN tot
+"""
+
+
+@register("pipeline_unigram_drift_kl", oracle=_DRIFT_KL_SQL)
+def pipeline_unigram_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/VAL DISTRIBUTION DRIFT, per token: the add-one-smoothed
+    KL contribution p·ln(p/q) of every vocabulary term between the
+    train and val halves of the deterministic content-hash split
+    (same ``md5(text)`` nibble rule as
+    ``pipeline_train_val_test_split``, train = nibble ≤ 'b'). The
+    drift monitor a data pipeline runs before each training cycle:
+    a held-out half whose unigram distribution diverges from train
+    means the split (or an upstream filter) broke i.i.d. — and the
+    PER-TERM terms name the offending tokens, which a single summed
+    KL number cannot. Exactness: counts and totals are exact
+    integers; each row's term is ONE double expression identical in
+    both engines + round(6) — no cross-row float accumulation
+    anywhere (the summed KL is a trivial downstream ``sum(kl_term)``
+    the consumer can run; we keep the gate on the exact per-row
+    form).
+
+    Plan/scale: one corpus scan (split tag and tokens in the same
+    projection), one map-side-combined shuffle to the vocab table,
+    one-row totals broadcast-cross-joined — the
+    ``text_zipf_fit``/``filter_funnel`` shape."""
+    tagged = _docs(spark, sf_dir).select(
+        (F.substring(F.md5("text"), 1, 1) <= "b").alias("is_train"),
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    c = tagged.groupBy("token").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1)).alias("n_val"),
+    )
+    tot = c.agg(
+        F.sum("n_train").alias("t_train"),
+        F.sum("n_val").alias("t_val"),
+        F.count("*").alias("v"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    p = (F.col("n_train") + 1).cast("double") / (F.col("t_train") + F.col("v"))
+    q = (F.col("n_val") + 1).cast("double") / (F.col("t_val") + F.col("v"))
+    return j.select(
+        "token",
+        "n_train",
+        "n_val",
+        F.round(p * F.log(p / q), 6).alias("kl_term"),
+    )
+
+
+_OVERSAMPLE_SQL = """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY lang),
+f AS (SELECT lang, cnt,
+             least(4, (SELECT MAX(cnt) FROM c) // cnt) AS factor
+      FROM c)
+SELECT d.doc_id, d.lang, f.factor,
+       CAST(u.copy_id AS INT) AS copy_id
+FROM documents d
+JOIN f ON d.lang = f.lang,
+UNNEST(generate_series(1, f.factor)) AS u(copy_id)
+"""
+
+
+@register("pipeline_oversample_minority", oracle=_OVERSAMPLE_SQL)
+def pipeline_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS REBALANCING by deterministic minority oversampling: each
+    language's documents replicate ``min(4, max_class_count div
+    class_count)`` times (integer truncating division — the factor
+    both engines compute bit-identically), emitting an explicit
+    ``copy_id`` per replica. The low-resource-language upweighting
+    every multilingual training mix applies (and the UniMax /
+    temperature-sampling building block): replication-with-provenance
+    rather than sampling weights, so the output IS the epoch's
+    physical row stream and downstream shuffling/packing needs no
+    weight awareness. The cap keeps tail classes from exploding the
+    epoch (the standard guard).
+
+    Plan/scale: class counts are a map-side-combined aggregate on a
+    low-cardinality key, broadcast back onto the corpus (the corpus
+    never shuffles); replication is codegen ``explode(sequence)`` —
+    output rows = epoch size by construction, the op's defined
+    product. Determinism: no rand(), factors from exact counts."""
+    d = _docs(spark, sf_dir)
+    c = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    mx = c.agg(F.max("cnt").alias("mx"))
+    f = c.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        F.least(F.lit(4).cast("long"), F.expr("mx div cnt")).alias("factor"),
+    )
+    return (
+        d.join(F.broadcast(f), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "factor",
+            F.explode(F.sequence(F.lit(1), F.col("factor").cast("int"))).alias("copy_id"),
+        )
+    )

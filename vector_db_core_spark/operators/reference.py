@@ -151,3 +151,52 @@ def ref_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.getall(ordered=False).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "ref_compact_preserves_content",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id < 4000
+    """,
+)
+def ref_compact_preserves_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION under the full hash gate: 8 small ``pushx`` batches
+    (the append-heavy small-file pathology every log-structured store
+    accumulates), then ``compact()`` rewrites the store into few
+    range-partitioned files — and the merged read AFTER compaction
+    must hash-match the fixture-stated expected content exactly
+    (rowids, values, row count all preserved; compact() additionally
+    self-checks the count before its atomic swap). The maintenance
+    operation the reference's dense blob file never needs but any
+    parquet-backed store does (SURVEY §2.1 E-row evidence beyond
+    pytest: tests/test_store.py covers span tiling; this row puts the
+    content-preservation contract under the cross-engine gate).
+
+    Scale: compact is ONE repartitionByRange + sorted write — the
+    standard offline maintenance job; file count drops 8 → 1 here
+    (asserted by tests/test_store.py compaction pins at larger
+    geometries)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from vector_db_core_spark.store import OrdinalStore
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 4000)
+        .select("event_id", "user_id", "event_type")
+    )
+    path = (
+        tempfile.gettempdir()
+        + f"/spark_graft_compact_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    store = OrdinalStore(spark, path)
+    for i in range(8):
+        store.pushx(
+            ev.where(F.col("event_id") % 8 == i), deterministic_source=True
+        )
+    store.compact()
+    return store.getall(ordered=False).select("event_id", "user_id", "event_type")
