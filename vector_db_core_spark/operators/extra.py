@@ -2702,3 +2702,53 @@ def timeseries_seasonal_naive_residuals(spark: SparkSession, sf_dir: str) -> Dat
         res.alias("residual_cents"),
         (F.abs(res) * 2 > F.abs("cents_7d_ago")).alias("anomaly"),
     )
+
+
+_TOPN_TIES_SQL = """
+WITH c AS (SELECT c_custkey, c_nationkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+           FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_custkey, c_nationkey),
+r AS (SELECT n_name, c_custkey, n_orders,
+             CAST(rank() OVER (PARTITION BY n_name
+                               ORDER BY n_orders DESC) AS INT) AS rnk
+      FROM c JOIN nation ON n_nationkey = c_nationkey)
+SELECT n_name, c_custkey, n_orders, rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+@register("group_topn_with_ties", oracle=_TOPN_TIES_SQL)
+def group_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group WITH TIES (ANSI ``FETCH FIRST 3 ROWS WITH
+    TIES`` / ``rank() <= 3``): per nation, every customer whose
+    order COUNT ranks in the top 3 — ALL tied customers at the cut
+    survive, so group sizes vary and no arbitrary tiebreak silently
+    drops peers. The deliberate contrast to
+    ``group_topk_orders_per_customer``'s ``row_number`` (exactly-k,
+    deterministic tiebreak): integer measures tie constantly, and
+    which semantic you want is a business decision — the engine
+    offers both. Deterministic BY CONSTRUCTION (no tiebreak needed:
+    the tied set itself is order-independent), which is why rank()
+    needs no extra ORDER BY column to hash-match.
+
+    Plan/scale: count rollup per customer first (map-side combined,
+    one shuffle on custkey), bounded nation dim broadcast, rank
+    window partitioned by the 25-value nation key over
+    customer-count-sized rows — the reduce-before-window rule; the
+    fact table never sorts."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")).withColumn(
+        "rnk",
+        F.rank().over(W.partitionBy("n_name").orderBy(F.desc("n_orders"))).cast("int"),
+    )
+    return r.where(F.col("rnk") <= 3).select("n_name", "c_custkey", "n_orders", "rnk")

@@ -1532,9 +1532,7 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(F.explode(stages).alias("s")).select("s.*")
 
 
-@register(
-    "pipeline_nb_language_filter",
-    oracle=r"""
+_NB_LANG_SQL = r"""
     WITH tok AS (SELECT doc_id, lang = 'en' AS is_en,
                         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
                  FROM documents),
@@ -1558,8 +1556,10 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6) AS log_odds,
            round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6) > 0.0 AS pred_en
     FROM s, pri
-    """,
-)
+"""
+
+
+@register("pipeline_nb_language_filter", oracle=_NB_LANG_SQL)
 def pipeline_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style LANGUAGE FILTER trained in-engine: a multinomial
     Naive Bayes classifier (Laplace-smoothed token likelihoods, the
@@ -1807,5 +1807,55 @@ def pipeline_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "factor",
             F.explode(F.sequence(F.lit(1), F.col("factor").cast("int"))).alias("copy_id"),
+        )
+    )
+
+
+_NB_CALIBRATION_SQL = (
+    "WITH nb AS (" + _NB_LANG_SQL + """)
+SELECT CAST(least(greatest(floor(log_odds / 100.0), -5), 5) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_actual_en,
+       CAST(SUM(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+       round(CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS observed_en_rate
+FROM nb GROUP BY 1
+"""
+)
+
+
+@register("pipeline_quality_calibration", oracle=_NB_CALIBRATION_SQL)
+def pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER CALIBRATION (reliability diagram) for the in-engine
+    NB language filter: bucket every document's log-odds into clamped
+    100-wide score bins and compare the OBSERVED English rate per bin
+    against the prediction — the before-you-trust-the-filter check
+    every model-scored curation step needs (a filter whose 'confident'
+    bins aren't near-pure is mis-thresholded, and the bin table says
+    WHERE to move the cut). Composes the registered
+    ``pipeline_nb_language_filter`` output (same DataFrame, same
+    oracle text as a CTE — the registry's queries are building
+    blocks, not endpoints). Bin assignment floors the ROUNDED
+    log-odds, so both engines bin identical doubles identically; the
+    rate is one division + round(6) per output row.
+
+    Plan/scale: adds ONE map-side-combined 11-bin aggregate on top of
+    the filter's two-pass plan — asymptotically free."""
+    nb = pipeline_nb_language_filter(spark, sf_dir)
+    bin_col = (
+        F.least(
+            F.greatest(F.floor(F.col("log_odds") / 100.0), F.lit(-5).cast("long")),
+            F.lit(5).cast("long"),
+        )
+    ).cast("int")
+    return (
+        nb.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_en").cast("long")).alias("n_actual_en"),
+            F.sum(F.col("pred_en").cast("long")).alias("n_pred_en"),
+            F.round(
+                F.sum(F.col("is_en").cast("long")).cast("double") / F.count("*"), 6
+            ).alias("observed_en_rate"),
         )
     )

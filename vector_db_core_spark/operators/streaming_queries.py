@@ -773,3 +773,93 @@ def streaming_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.event_type").alias("last_event_type"),
         F.col("s.value").alias("last_value"),
     )
+
+
+_LATE_DATA_SQL = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events, mx
+WHERE time_bucket(INTERVAL '6 hours', ts) + INTERVAL 6 HOUR <= m
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_late_data_replay", oracle=_LATE_DATA_SQL)
+def streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA DROP under the full hash gate: two
+    ``availableNow`` cycles against ONE checkpoint prove the
+    watermark semantics end-to-end. Cycle 1 streams the whole events
+    fixture (one file → one microbatch, so the watermark can't drop
+    in-cycle rows) through a 6h tumbling count in APPEND mode to a
+    resumable PARQUET sink; the checkpoint records the final
+    watermark (0s delay → max event time). Cycle 2 appends a REPLAYED
+    file — an exact copy of the earliest ~10% of events, the
+    re-delivered-old-partition failure every file-landing pipeline
+    eventually suffers — and resumes. Every replayed row is behind
+    the checkpointed watermark, so the engine must drop ALL of them:
+    the oracle counts each event ONCE, and any double-counting (what
+    a watermark-less consumer would produce) hash-fails. Append mode
+    also pins window FINALIZATION: only windows whose end <= final
+    watermark have emitted — the oracle states that cutoff from
+    ``MAX(ts)`` directly — while the still-open last window is
+    correctly withheld.
+
+    Differs from ``streaming_dedup_watermark_replay`` (row-level
+    dedup within the watermark) in that nothing here is a duplicate
+    *within* the stream's active state: the replay arrives AFTER
+    state for those windows was finalized and evicted, the case only
+    the watermark contract (not dedup state) can handle without
+    unbounded memory.
+
+    Scale: append + watermark is THE unbounded-stream shape — state
+    is bounded by (open windows × types), the parquet sink is
+    fault-tolerant and exactly-once via the checkpoint."""
+    stream_root_key = f"late_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    root = os.path.join(_REPLAY_ROOT, stream_root_key)
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(landing)
+
+    def cycle() -> None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            agg = (
+                spark.readStream.schema(ev.schema)
+                .parquet(landing)
+                .withWatermark("ts", "0 seconds")
+                .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+                .agg(F.count("*").alias("n_events"))
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    "event_type",
+                    "n_events",
+                )
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    cycle()
+    # the re-delivered old file: an exact copy of the earliest ~10% of
+    # rows (bounded 1-row cutoff collect — the watermark-cutoff pattern
+    # the other replays use)
+    cut = ev.agg(
+        F.expr("percentile(cast(unix_micros(ts) as double), 0.1)").alias("p")
+    ).collect()[0][0]
+    ev.where(F.unix_micros("ts") < cut).coalesce(1).write.mode("append").parquet(landing)
+    cycle()
+    return spark.read.parquet(out)
