@@ -348,3 +348,82 @@ def test_pagerank_exact_mass_and_float_agreement(spark):
         r.node for r in QUERIES["graph_pagerank_parts"](spark, SF_ORACLE).collect()
     }
     assert len(top_exact & top_float) >= 15, (top_exact, top_float)
+
+
+def test_pattern_sequences_match_python_re(spark):
+    """Every session's regex flags must agree with Python's re over
+    the same sequence string (the row-pattern semantics, re-derived
+    outside both engines)."""
+    import re
+
+    rows = QUERIES["pattern_session_sequences"](spark, SF_ORACLE).collect()
+    assert rows
+    conv = re.compile(r"v.*c.*p")
+    aband = re.compile(r"c[^p]*e")
+    n_conv = 0
+    for r in rows:
+        assert set(r.seq) <= set("vcpes"), r.seq
+        assert r.n_events == len(r.seq)
+        assert r.converted == bool(conv.search(r.seq)), r
+        assert r.abandoned == bool(aband.search(r.seq)), r
+        n_conv += int(r.converted)
+    # non-degenerate: some sessions convert, some don't
+    assert 0 < n_conv < len(rows)
+
+
+def test_cusum_changepoint_matches_numpy(spark):
+    """The integer CUSUM argmax must equal a numpy re-derivation from
+    the raw daily rollup (independent of both engines' SQL)."""
+    import numpy as np
+
+    daily = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    got = {
+        r.event_type: (r.change_day.date(), r.cusum_scaled_abs)
+        for r in QUERIES["timeseries_cusum_changepoint"](spark, SF_ORACLE).collect()
+    }
+    by_type: dict[str, list] = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append((r.day, r.cents))
+    for et, series in by_type.items():
+        series.sort()
+        x = np.array([c for _, c in series], dtype=object)  # exact ints
+        n, total = len(x), sum(x)
+        dev = [abs(n * sum(x[: k + 1]) - (k + 1) * total) for k in range(n)]
+        k_star = int(np.argmax(dev))  # argmax takes the first maximum
+        assert got[et] == (series[k_star][0], dev[k_star]), et
+
+
+def test_seasonal_naive_residuals_integer_exact(spark):
+    """Residuals re-derivable from the two cents columns; anomaly flag
+    is the integer 2|r| > |base| rule; joined days are exactly 7 apart."""
+    rows = QUERIES["timeseries_seasonal_naive_residuals"](spark, SF_ORACLE).collect()
+    assert rows
+    n_anom = 0
+    for r in rows:
+        assert r.residual_cents == r.cents - r.cents_7d_ago
+        assert r.anomaly == (abs(r.residual_cents) * 2 > abs(r.cents_7d_ago))
+        n_anom += int(r.anomaly)
+    assert 0 < n_anom < len(rows)  # the flag discriminates
+
+
+def test_group_topn_ties_keeps_all_peers(spark):
+    """rank()-based top-3: within each nation every customer tied with
+    a kept rank is also kept (no arbitrary drop), and at least one
+    nation keeps MORE than 3 rows because of ties."""
+    rows = QUERIES["group_topn_with_ties"](spark, SF_ORACLE).collect()
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r)
+    assert any(len(v) > 3 for v in by_nation.values())
+    for nation, rs in by_nation.items():
+        counts = sorted((r.n_orders for r in rs), reverse=True)
+        # everyone kept outranks or ties everyone's cut: the minimum
+        # kept count appears only with rank <= 3 start
+        assert all(r.rnk <= 3 for r in rs)
+        tied = [r for r in rs if r.n_orders == min(counts)]
+        assert len({r.rnk for r in tied}) == 1, nation

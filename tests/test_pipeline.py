@@ -286,3 +286,52 @@ def test_shard_manifest_checksum_is_row_order_independent(spark):
         rev = sum(reversed(vals)) % 2147483647
         assert fwd == rev == rows[sid].checksum, sid
         assert rows[sid].n_docs == len(vals)
+
+
+def test_unigram_drift_kl_terms_form_valid_kl(spark):
+    """Per-token KL terms re-derivable from the exact counts; the
+    summed KL (what a consumer computes) must be >= 0 (Gibbs) and the
+    smoothed probabilities must each sum to 1."""
+    rows = QUERIES["pipeline_unigram_drift_kl"](spark, SF_ORACLE).collect()
+    assert rows
+    t_train = sum(r.n_train for r in rows)
+    t_val = sum(r.n_val for r in rows)
+    v = len(rows)
+    p_sum = sum((r.n_train + 1) / (t_train + v) for r in rows)
+    q_sum = sum((r.n_val + 1) / (t_val + v) for r in rows)
+    assert abs(p_sum - 1.0) < 1e-9 and abs(q_sum - 1.0) < 1e-9
+    assert sum(r.kl_term for r in rows) >= 0.0
+
+
+def test_oversample_factors_and_copies(spark):
+    """Every (doc, copy) pair present exactly once; minority classes
+    replicate more than the majority; factor == min(4, max//cnt)."""
+    rows = QUERIES["pipeline_oversample_minority"](spark, SF_ORACLE).collect()
+    by_doc: dict[int, list] = {}
+    factors: dict[str, int] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_id)
+        factors[r.lang] = r.factor
+    for doc, copies in by_doc.items():
+        assert sorted(copies) == list(range(1, len(copies) + 1)), doc
+    assert factors["en"] == 1
+    assert all(f >= 2 for lang, f in factors.items() if lang != "en"), factors
+    counts: dict[str, int] = {}
+    for r in rows:
+        if r.copy_id == 1:
+            counts[r.lang] = counts.get(r.lang, 0) + 1
+    mx = max(counts.values())
+    for lang, cnt in counts.items():
+        assert factors[lang] == min(4, mx // cnt), lang
+
+
+def test_nb_calibration_consistent_with_filter(spark):
+    """Bin totals must re-aggregate the registered filter output, and
+    the extreme bins must separate the classes (calibration signal)."""
+    nb = {r.doc_id: r for r in QUERIES["pipeline_nb_language_filter"](spark, SF_ORACLE).collect()}
+    cal = QUERIES["pipeline_quality_calibration"](spark, SF_ORACLE).collect()
+    assert sum(r.n_docs for r in cal) == len(nb)
+    assert sum(r.n_actual_en for r in cal) == sum(1 for r in nb.values() if r.is_en)
+    top = max(cal, key=lambda r: r.bin)
+    bot = min(cal, key=lambda r: r.bin)
+    assert top.observed_en_rate > bot.observed_en_rate

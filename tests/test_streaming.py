@@ -536,3 +536,34 @@ def test_ewma_state_fold_repairs_out_of_order_days():
         e = (3 * v + 7 * e + 5) // 10
         expect.append(e)
     assert list(full.ewma_cents) == expect
+
+
+def test_late_data_replay_drops_replayed_file(spark):
+    """The two-cycle watermark gate: the emitted table equals the
+    single-counted batch answer over closed windows (no double
+    counting from the replayed old file), and the still-open last
+    window is withheld."""
+    from vector_db_core_spark.operators import QUERIES
+    from vector_db_core_spark.sources import load_table
+
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in QUERIES["streaming_late_data_replay"](spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    want_rows = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("w.end") <= F.lit(mx))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): r.n for r in want_rows}
+    assert got == want
+    open_windows = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .count()
+        .where(F.col("w.end") > F.lit(mx))
+        .count()
+    )
+    assert open_windows >= 1  # something really was withheld

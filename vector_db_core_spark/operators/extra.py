@@ -373,7 +373,7 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        ev.groupBy(F.session_window("ts", "24 hours").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
             dsum("value", "session_value"),
@@ -2509,7 +2509,7 @@ _PATTERN_SQL = """
 WITH t AS (SELECT user_id, ts, event_id,
                   substr(event_type, 1, 1) AS ini
            FROM events),
-b AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+b AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w > INTERVAL '24 hours'
                        OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
       FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2530,7 +2530,9 @@ FROM g
 def pattern_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EVENT-SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE analog
     neither Spark nor DuckDB ships): sessionize each user's events
-    (30-min inactivity gap), reduce every session to its ordered
+    into activity episodes (24-hour inactivity gap — the fixture's
+    per-user event cadence is hours, so a web-session gap would yield
+    singleton sequences), reduce every session to its ordered
     event-initial string (view→'v', click→'c', purchase→'p',
     error→'e', signup→'s'), and run ROW-PATTERN regexes over it —
     ``v.*c.*p`` (converted: view then click then purchase, any
@@ -2557,7 +2559,7 @@ def pattern_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("event_type", 1, 1).alias("ini"),
     )
     g = (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        ev.groupBy(F.session_window("ts", "24 hours").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
             F.array_join(
