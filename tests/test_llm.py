@@ -1037,3 +1037,19 @@ def test_pca_power_iteration_tracks_numpy_direction(spark):
         got = np.array([dims[i] for i in range(X.shape[1])], dtype=np.float64)
         cos = abs(v @ got) / (np.linalg.norm(v) * np.linalg.norm(got))
         assert cos > 0.999, (label, cos)
+
+
+def test_minhash_md5_estimate_tracks_exact_jaccard(spark):
+    """The gated estimator must behave like MinHash: banding floor
+    (>= 4/16 agreement for every candidate), and confident estimates
+    (>= 0.75) must be real near-dups per the exact >= 0.5 Jaccard
+    pair set (the production oracle)."""
+    est = QUERIES["dedup_minhash_md5_estimate"](spark, SF_ORACLE).collect()
+    assert est
+    assert all(4 <= r.n_agree <= 16 for r in est)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard_pairs"](spark, SF_ORACLE).collect()
+    }
+    confident = [(r.doc_a, r.doc_b) for r in est if r.est_jaccard >= 0.75]
+    assert confident and all(p in exact for p in confident)

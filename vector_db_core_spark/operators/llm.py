@@ -3990,3 +3990,109 @@ def sim_pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("j").cast("int").alias("dim"),
         (F.col("v") * F.col("s")).alias("loading_micro"),
     )
+
+
+_MINHASH_MD5_SQL = f"""
+WITH d AS (SELECT doc_id, {_SHINGLES} AS ss FROM documents),
+sh AS (SELECT DISTINCT doc_id, u.s FROM d, UNNEST(ss) AS u(s)),
+hs AS (SELECT doc_id, seed.i AS seed,
+              MIN(('0x' || substr(md5(s || '#' || CAST(seed.i AS VARCHAR)), 1, 12))::BIGINT)
+                AS sig
+       FROM sh, UNNEST(generate_series(0, 15)) AS seed(i)
+       GROUP BY doc_id, seed.i),
+bands AS (SELECT doc_id, seed // 4 AS band,
+                 string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed) AS key
+          FROM hs GROUP BY doc_id, seed // 4),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                  AND a.doc_id < b.doc_id),
+agree AS (SELECT c.doc_a, c.doc_b,
+                 CAST(SUM(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+          FROM cand c
+          JOIN hs x ON x.doc_id = c.doc_a
+          JOIN hs y ON y.doc_id = c.doc_b AND y.seed = x.seed
+          GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, n_agree, round(n_agree / 16.0, 6) AS est_jaccard
+FROM agree
+"""
+
+
+@register("dedup_minhash_md5_estimate", oracle=_MINHASH_MD5_SQL)
+def dedup_minhash_md5_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATION itself under the full hash gate: a 16-seed
+    md5-family MinHash (seeded-suffix hashes, the
+    ``sketch_count_min_md5_topk`` exactness machinery applied to
+    MinHash) with 4×4 banding, emitting every candidate pair's
+    signature-agreement count and estimated Jaccard — so the DuckDB
+    oracle verifies the SKETCH VALUES (signatures, band keys,
+    candidate set, estimates), not just a verified-output equivalence
+    like ``dedup_minhash_lsh_pairs`` (whose xxhash64 family DuckDB
+    cannot reproduce, hence its exact-Jaccard oracle). Together the
+    two queries pin both halves of the MinHash story: the production
+    op's OUTPUT is exact, and the twin's ESTIMATOR algebra is
+    cross-engine bit-identical.
+
+    Plan/scale: identical asymptotics to the production LSH — shingle
+    set explode × 16 seeds map-side-combines to |docs|·16 signature
+    rows; banding groups to |docs|·4; the self-join keys on (band,
+    key) (candidates only, never all pairs); agreement re-joins the
+    16-row signatures for candidate pairs only. The 48-bit hash
+    (first 12 md5 hex digits) keeps min-collisions ~2^-48 while
+    staying inside BIGINT on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_of_tokens(F.col("_toks"), 3))).alias("s"),
+        )
+    )
+    hs = (
+        sh.select("doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("seed"))
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("s"), F.lit("#"), F.col("seed").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = hs.groupBy("doc_id", F.expr("seed div 4").alias("band")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                lambda x: x["sig"].cast("string"),
+            ),
+            ",",
+        ).alias("key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = hs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("sig").alias("sig_a"))
+    y = hs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("sig").alias("sig_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("sig_a") == F.col("sig_b")).cast("long")).alias("n_agree"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.round(F.col("n_agree") / 16.0, 6).alias("est_jaccard"),
+        )
+    )
