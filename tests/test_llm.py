@@ -1053,3 +1053,39 @@ def test_minhash_md5_estimate_tracks_exact_jaccard(spark):
     }
     confident = [(r.doc_a, r.doc_b) for r in est if r.est_jaccard >= 0.75]
     assert confident and all(p in exact for p in confident)
+
+
+def test_kmeans_exact_clusters_are_sane(spark):
+    """All k=4 clusters survive two Lloyd iterations on the fixture,
+    every vector lands in exactly one, distances are nonnegative, and
+    the clustering beats random: mean intra-cluster distance < mean
+    distance to OTHER clusters' centroids (re-derived in numpy from
+    the same integer recurrence)."""
+    import numpy as np
+
+    from vector_db_core_spark.sources import load_table
+
+    rows = QUERIES["sim_kmeans_lloyd_exact"](spark, SF_ORACLE).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_ORACLE, "embeddings").collect()
+    }
+    assert len(rows) == len(emb)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r.dist_sq >= 0
+        by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+    assert len(by_cluster) == 4
+    cents = {
+        c: np.mean([np.round(emb[v] * 1e6) for v in vs], axis=0)
+        for c, vs in by_cluster.items()
+    }
+    intra, inter = [], []
+    for c, vs in by_cluster.items():
+        for v in vs[:50]:
+            x = np.round(emb[v] * 1e6)
+            intra.append(float(((x - cents[c]) ** 2).sum()))
+            inter.extend(
+                float(((x - cents[o]) ** 2).sum()) for o in cents if o != c
+            )
+    assert np.mean(intra) < np.mean(inter)

@@ -56,6 +56,9 @@ def test_entry_smoke(spark):
     "graph_pagerank_exact",      # integer power-iteration fold
     "sim_pca_power_iteration_exact",  # integer spectral fold
     "sketch_count_min_md5_topk",      # md5-family counter cells
+    "sim_kmeans_lloyd_exact",         # integer Lloyd iterations
+    "timeseries_cusum_changepoint",   # scaled integer deviation argmax
+    "dedup_minhash_md5_estimate",     # md5-family minhash signatures
 ])
 def test_results_partition_independent(name, spark):
     """The exact-arithmetic policy's real claim: identical results at

@@ -4096,3 +4096,129 @@ def dedup_minhash_md5_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_agree") / 16.0, 6).alias("est_jaccard"),
         )
     )
+
+
+def _kmeans_exact_sql(iters: int = 2, k: int = 4) -> str:
+    """Unrolled-CTE Lloyd oracle: micro-quantized integer distances,
+    argmin ties to the lowest centroid id, integer-division centroid
+    updates — the same recurrence the Spark loop runs."""
+    head = f"""
+WITH x AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0)
+                                           AS BIGINT)) AS xm
+           FROM embeddings),
+init AS (SELECT vec_id,
+                CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                        vec_id) AS INT) - 1 AS cid
+         FROM embeddings
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+c0 AS (SELECT i.cid, x.xm AS cm FROM init i JOIN x ON x.vec_id = i.vec_id)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f""",
+d{t} AS (SELECT x.vec_id, c.cid, x.xm,
+               CAST(list_sum(list_transform(generate_series(1, len(x.xm)),
+                    j -> (x.xm[j] - c.cm[j]) * (x.xm[j] - c.cm[j])))
+                    AS BIGINT) AS dist
+        FROM x CROSS JOIN c{t - 1} c),
+a{t} AS (SELECT vec_id, cid, xm FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn FROM d{t})
+        WHERE rn = 1),
+c{t} AS (SELECT cid, list(s ORDER BY j) AS cm FROM
+          (SELECT cid, g.j AS j,
+                  CAST(SUM(xm[g.j]) // COUNT(*) AS BIGINT) AS s
+           FROM a{t}, UNNEST(generate_series(1, len(xm))) AS g(j)
+           GROUP BY cid, g.j)
+        GROUP BY cid)""")
+    return head + "".join(steps) + f"""
+SELECT x.vec_id, f.cid AS cluster, f.dist AS dist_sq FROM
+  (SELECT vec_id, cid, dist,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+   FROM (SELECT x.vec_id, c.cid,
+                CAST(list_sum(list_transform(generate_series(1, len(x.xm)),
+                     j -> (x.xm[j] - c.cm[j]) * (x.xm[j] - c.cm[j])))
+                     AS BIGINT) AS dist
+         FROM x CROSS JOIN c{iters} c) q) f
+JOIN x ON x.vec_id = f.vec_id
+WHERE f.rn = 1
+"""
+
+
+@register("sim_kmeans_lloyd_exact", oracle=_kmeans_exact_sql())
+def sim_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS (Lloyd) under the FULL hash gate — the integer twin of
+    the MLlib/float clustering the SemDeDup cells use, closing the
+    last rows-only-by-necessity algorithm family: 2 Lloyd iterations
+    with micro-quantized coordinates, squared distances and centroid
+    updates all in BIGINT (sum div count — truncation identical both
+    engines), argmin ties to the lowest centroid id, k=4 seeds chosen
+    by the deterministic md5 order of vec_id (the seeded-hash-family
+    device again). Per vector the final cluster and exact integer
+    distance hash-match DuckDB's unrolled-CTE replica of the same
+    recurrence. Empty clusters drop identically on both engines
+    (no-row groups vanish from the centroid table).
+
+    Plan/scale: per iteration ONE broadcast of the k-row centroid
+    table against the corpus (k× row fan-out from the crossJoin — k
+    is the algorithm's constant, not data), distance as a zero-fanout
+    ``aggregate(zip_with(...))`` fold inside codegen, argmin as a
+    ``min(struct(dist, cid))`` aggregate (no window over the corpus),
+    centroid update via d-wide posexplode map-side-combined to k·d
+    cells and re-collected to arrays — the linear-fanout mu pattern
+    from the exact-PCA build. Iteration tables are k rows; nothing
+    grows with corpus size except the two linear passes."""
+    k = 4
+    x = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " v -> cast(round(v * 1000000.0, 0) as bigint))"
+        ).alias("xm"),
+    )
+    init = (
+        x.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .withColumn(
+            "cid",
+            (
+                F.row_number().over(
+                    W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+                )
+                - 1
+            ).cast("int"),
+        )
+    )
+    cent = init.join(x, "vec_id").select("cid", F.col("xm").alias("cm"))
+    dist = F.expr(
+        "aggregate(zip_with(xm, cm, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+    def assign(c):
+        return (
+            x.crossJoin(F.broadcast(c))
+            .withColumn("dist", dist)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+        )
+
+    for _ in range(2):
+        a = assign(cent).join(x, "vec_id")
+        cent = (
+            a.select("cid", F.posexplode("xm").alias("j", "v"))
+            .groupBy("cid", "j")
+            .agg(F.expr("sum(v) div count(*)").alias("s"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, s))), p -> p.s)"
+                ).alias("cm")
+            )
+        )
+    return assign(cent).select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("dist_sq")
+    )
