@@ -2754,3 +2754,98 @@ def group_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(W.partitionBy("n_name").orderBy(F.desc("n_orders"))).cast("int"),
     )
     return r.where(F.col("rnk") <= 3).select("n_name", "c_custkey", "n_orders", "rnk")
+
+
+_MOM_SQL = """
+WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1)
+SELECT month, revenue, n_orders,
+       LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+       round(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month), 6) AS mom_pct
+FROM m
+"""
+
+
+@register("timeseries_month_over_month", oracle=_MOM_SQL)
+def timeseries_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONTH-OVER-MONTH growth: monthly order revenue with the
+    previous month's value and the percentage delta — the KPI query
+    every revenue dashboard opens with, and the simplest member of
+    the reporting family the multi-grain rollup feeds. Revenue sums
+    in exact DECIMAL (order-independent) then one double division +
+    round(6) per month-row.
+
+    Plan/scale: corpus reduces to month rows in one map-side-combined
+    aggregate; the LAG window is keyless but runs on MONTH-COUNT rows
+    (time-span-bounded — the reduce-before-window rule), so the
+    single partition holds dozens of rows at any corpus size."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    prev = F.lag("revenue").over(W.orderBy("month"))
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    )
+
+
+_EMB_PROFILE_SQL = """
+SELECT CAST(i - 1 AS INT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+            AS BIGINT) AS min_micro,
+       CAST(MAX(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+            AS BIGINT) AS max_micro,
+       CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS mean_micro,
+       CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) = 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+GROUP BY i
+"""
+
+
+@register("profile_embedding_dims", oracle=_EMB_PROFILE_SQL)
+def profile_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION PROFILE of the embedding column — min/max/mean
+    (micro-quantized integers, exact at any partitioning) and
+    zero-count per dimension. The vector-column data-quality check
+    an ANN/similarity pipeline runs before trusting an index: a
+    dimension stuck at zero (dead unit), a wildly off-scale range
+    (unnormalized batch), or a drifted mean all surface here before
+    they silently degrade recall. Completes the profiling family
+    (``profile_orders_columns`` profiles scalars; this profiles the
+    vector payload).
+
+    Plan/scale: posexplode to (dim, value) — the linear d-fanout the
+    mu-build uses — straight into ONE map-side-combined aggregate
+    keyed on the 64-value dim; nothing else touches the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+    )
+    micro = F.round(F.col("v") * 1_000_000.0, 0).cast("long")
+    return (
+        emb.groupBy(F.col("i").cast("int").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(micro).alias("min_micro"),
+            F.max(micro).alias("max_micro"),
+            F.expr(
+                "sum(cast(round(v * 1000000.0, 0) as bigint)) div count(*)"
+            ).alias("mean_micro"),
+            F.sum((F.col("v") == 0.0).cast("long")).alias("n_zero"),
+        )
+    )
