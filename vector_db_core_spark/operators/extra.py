@@ -2734,10 +2734,17 @@ def group_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs no extra ORDER BY column to hash-match.
 
     Plan/scale: count rollup per customer first (map-side combined,
-    one shuffle on custkey), bounded nation dim broadcast, rank
-    window partitioned by the 25-value nation key over
-    customer-count-sized rows — the reduce-before-window rule; the
-    fact table never sorts."""
+    one shuffle on custkey), bounded nation dim broadcast — and the
+    rank window NEVER sees the customer-count-sized table: the
+    rank-3 THRESHOLD value derives from the (nation, n_orders)
+    value-distribution reduction (distinct count values + their
+    multiplicities — bounded by value cardinality, not customers;
+    running-sum window over those tiny per-nation groups), broadcasts
+    back, and only customers at-or-above their nation's threshold
+    (the output set itself) reach the final rank window. A 25-value
+    partition key over millions of customers per nation would
+    otherwise be exactly the low-parallelism window the zipf cap
+    removed; here every window input is threshold- or output-sized."""
     c = (
         _t(spark, sf_dir, "customer")
         .join(
@@ -2749,7 +2756,21 @@ def group_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    r = c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")).withColumn(
+    c = c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    # value distribution per nation: |distinct n_orders| rows/nation
+    v = c.groupBy("n_name", "n_orders").agg(F.count("*").alias("m"))
+    wv = W.partitionBy("n_name").orderBy(F.desc("n_orders"))
+    thr = (
+        v.withColumn(
+            "cum", F.sum("m").over(wv.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .withColumn("cum_before", F.col("cum") - F.col("m"))
+        .where(F.col("cum_before") < 3)  # value spans rank positions <= 3
+        .groupBy("n_name")
+        .agg(F.min("n_orders").alias("thr"))
+    )
+    kept = c.join(F.broadcast(thr), "n_name").where(F.col("n_orders") >= F.col("thr"))
+    r = kept.withColumn(
         "rnk",
         F.rank().over(W.partitionBy("n_name").orderBy(F.desc("n_orders"))).cast("int"),
     )
