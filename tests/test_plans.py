@@ -891,3 +891,98 @@ def test_zipf_fit_head_rank_take_ordered(spark):
     vocab-sized global sort."""
     plan = _plan(QUERIES["text_zipf_fit"](spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pattern_sequences_single_shuffle_no_python(spark):
+    """Sessionized pattern matching: the session aggregate is the
+    only data-sized exchange; regexes run in codegen (no Python)."""
+    df = QUERIES["pattern_session_sequences"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round8_timeseries_windows_on_reductions(spark):
+    """CUSUM / MoM: every keyless or low-card window feeds from the
+    day- or month-rolled reduction (partial hash aggregate before any
+    SinglePartition exchange), never the raw corpus."""
+    for name in ("timeseries_cusum_changepoint", "timeseries_month_over_month"):
+        simple = _plan_simple(QUERIES[name](spark, SF_ORACLE))
+        lines = simple.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            subtree = lines[i + 1:]
+            agg = next(
+                (j for j, l in enumerate(subtree) if "HashAggregate" in l and "partial_" in l),
+                None,
+            )
+            scan = next(j for j, l in enumerate(subtree) if "FileScan" in l)
+            assert agg is not None and agg < scan, (name, ln)
+
+
+def test_oversample_corpus_never_shuffles(spark):
+    """Rebalancing: class counts broadcast back; the document scan
+    reaches the explode through zero non-broadcast exchanges."""
+    df = QUERIES["pipeline_oversample_minority"](spark, SF_ORACLE)
+    simple = _plan_simple(df)
+    # the only exchanges allowed are broadcasts and the tiny count
+    # aggregate's — no exchange may carry doc_id rows
+    for ln in simple.splitlines():
+        if "Exchange" in ln and "Broadcast" not in ln:
+            assert "doc_id" not in ln, ln
+    assert "BroadcastHashJoin" in simple
+
+
+def test_drift_kl_single_scan_broadcast_totals(spark):
+    """Train/val drift: both consumers (per-token rows, one-row
+    totals) read the PERSISTED vocab reduction — exactly one corpus
+    FileScan in the plan (inside the InMemoryRelation recipe),
+    totals broadcast."""
+    df = QUERIES["pipeline_unigram_drift_kl"](spark, SF_ORACLE)
+    simple = _plan_simple(df)
+    try:
+        assert simple.count("InMemoryTableScan") >= 2, simple
+        assert "BroadcastExchange" in simple
+        # every FileScan sits inside a cached-relation recipe (the
+        # text_unigram_logprob assertion): no direct corpus re-read
+        lines = simple.splitlines()
+        im_cols = [len(l) - len(l.lstrip(" :+-")) for l in lines if "InMemoryRelation" in l]
+        for l in lines:
+            if "FileScan parquet" in l:
+                depth = len(l) - len(l.lstrip(" :+-"))
+                assert any(c < depth for c in im_cols), l
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_topn_ties_rank_window_on_pruned_candidates(spark):
+    """The rank window must consume the threshold-pruned join output
+    (a Filter on n_orders >= thr between the window and the corpus
+    aggregate), not the full customer reduction."""
+    simple = _plan_simple(QUERIES["group_topn_with_ties"](spark, SF_ORACLE))
+    lines = simple.splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln and "rank(" in ln)
+    joined = next(
+        (i for i, ln in enumerate(lines[win:]) if "Join" in ln and "thr" in ln), None
+    )
+    assert joined is not None, simple
+
+
+def test_kmeans_exact_broadcast_centroids_no_corpus_window(spark):
+    """Lloyd iterations: centroid tables broadcast (k rows); the only
+    row_number window is the 4-row seed pick; assignment is a
+    min(struct) aggregate, so no window may key on vec_id."""
+    plan = _plan_simple(QUERIES["sim_kmeans_lloyd_exact"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan  # k-row centroid crossJoin
+    for ln in plan.splitlines():
+        if "Window" in ln:
+            assert "vec_id" not in ln.split("windowspecdefinition")[-1].split(",")[0], ln
+
+
+def test_minhash_md5_estimate_no_all_pairs(spark):
+    """The gated estimator must stay banded: no cartesian, no
+    nested-loop over documents."""
+    plan = _plan(QUERIES["dedup_minhash_md5_estimate"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1733,9 +1733,15 @@ def pipeline_unigram_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     form).
 
     Plan/scale: one corpus scan (split tag and tokens in the same
-    projection), one map-side-combined shuffle to the vocab table,
-    one-row totals broadcast-cross-joined — the
-    ``text_zipf_fit``/``filter_funnel`` shape."""
+    projection), one map-side-combined shuffle to the vocab table —
+    which is PERSISTED because two consumers read it (the per-token
+    rows and the one-row totals; unpersisted, Catalyst re-derives the
+    totals from a second corpus scan — the pre-replan DSIR pathology,
+    caught by a plan pin here). Totals broadcast-cross-join back, the
+    ``text_zipf_fit``/``filter_funnel`` shape; release is the
+    registry-wide clearCache contract (registry.py)."""
+    from pyspark import StorageLevel
+
     tagged = _docs(spark, sf_dir).select(
         (F.substring(F.md5("text"), 1, 1) <= "b").alias("is_train"),
         F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
@@ -1743,7 +1749,7 @@ def pipeline_unigram_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tagged.groupBy("token").agg(
         F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("n_train"),
         F.sum(F.when(F.col("is_train"), 0).otherwise(1)).alias("n_val"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = c.agg(
         F.sum("n_train").alias("t_train"),
         F.sum("n_val").alias("t_val"),
