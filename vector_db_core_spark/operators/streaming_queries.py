@@ -791,8 +791,8 @@ def streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WATERMARK LATE-DATA DROP under the full hash gate: two
     ``availableNow`` cycles against ONE checkpoint prove the
     watermark semantics end-to-end. Cycle 1 streams the whole events
-    fixture (one file → one microbatch, so the watermark can't drop
-    in-cycle rows) through a 6h tumbling count in APPEND mode to a
+    fixture (file count below maxFilesPerTrigger → one microbatch, so
+    the watermark can't drop in-cycle rows) through a 6h tumbling count in APPEND mode to a
     resumable PARQUET sink; the checkpoint records the final
     watermark (0s delay → max event time). Cycle 2 appends a REPLAYED
     file — an exact copy of the earliest ~10% of events, the
@@ -823,7 +823,12 @@ def streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     ev = load_table(spark, sf_dir, "events")
-    ev.coalesce(1).write.mode("overwrite").parquet(landing)
+    # natural parallel write — the parquet source's availableNow
+    # trigger still takes all of it in ONE microbatch (default
+    # maxFilesPerTrigger=1000 >> file count), so the watermark cannot
+    # drop in-cycle rows; a coalesce(1) here would serialize the
+    # landing write through one task (20s at ~sf10 in the ladder)
+    ev.write.mode("overwrite").parquet(landing)
 
     def cycle() -> None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -860,6 +865,6 @@ def streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ev.agg(
         F.expr("percentile(cast(unix_micros(ts) as double), 0.1)").alias("p")
     ).collect()[0][0]
-    ev.where(F.unix_micros("ts") < cut).coalesce(1).write.mode("append").parquet(landing)
+    ev.where(F.unix_micros("ts") < cut).write.mode("append").parquet(landing)
     cycle()
     return spark.read.parquet(out)
