@@ -427,3 +427,61 @@ def test_group_topn_ties_keeps_all_peers(spark):
         assert all(r.rnk <= 3 for r in rs)
         tied = [r for r in rs if r.n_orders == min(counts)]
         assert len({r.rnk for r in tied}) == 1, nation
+
+
+def test_time_to_convert_consistent_with_funnel(spark):
+    """Latency rows must be internally consistent (conv >= first view,
+    delta re-derivable, NULLs line up) and non-converters must remain
+    visible with NULL latency."""
+    rows = QUERIES["funnel_time_to_convert"](spark, SF_ORACLE).collect()
+    assert rows
+    n_conv = 0
+    for r in rows:
+        if r.converted:
+            assert r.first_purchase_after >= r.first_view
+            delta = r.first_purchase_after - r.first_view
+            want = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+            assert r.time_to_convert_us == want
+            n_conv += 1
+        else:
+            assert r.first_purchase_after is None
+            assert r.time_to_convert_us is None
+    assert 0 < n_conv <= len(rows)
+
+
+def test_triangle_clustering_matrix_check(spark):
+    """Triangle participation re-derived via numpy adjacency cube on
+    the same capped-basket edge set; coefficients in [0, 1]."""
+    import numpy as np
+
+    rows = QUERIES["graph_triangle_clustering"](spark, SF_ORACLE).collect()
+    assert rows and any(r.n_triangles > 0 for r in rows)
+    li = (
+        load_table(spark, SF_ORACLE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for items in baskets.values():
+        if not (2 <= len(items) <= 20):
+            continue
+        s = sorted(items)
+        for i, x in enumerate(s):
+            for y in s[i + 1:]:
+                edges.add((x, y))
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for x, y in edges:
+        A[idx[x], idx[y]] = A[idx[y], idx[x]] = 1
+    tri_per_node = np.diag(A @ A @ A) // 2
+    got = {r.node: (r.degree, r.n_triangles) for r in rows}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n] == (int(A[idx[n]].sum()), int(tri_per_node[idx[n]])), n
+    for r in rows:
+        assert 0.0 <= r.clustering_coeff <= 1.0

@@ -1763,3 +1763,138 @@ def sketch_bloom_md5_nonmembers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+_TRIANGLE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+bk AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+       HAVING COUNT(*) BETWEEN 2 AND 20),
+edges AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a
+          JOIN op b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+          JOIN bk ON bk.l_orderkey = a.l_orderkey),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+part AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM
+           (SELECT unnest([a, b, c]) AS node FROM tri)
+         GROUP BY node),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+          (SELECT unnest([u, v]) AS node FROM edges)
+        GROUP BY node)
+SELECT d.node, d.degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(p.n_triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN part p ON p.node = d.node
+"""
+
+
+@register("graph_triangle_clustering", oracle=_TRIANGLE_SQL)
+def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING + local clustering coefficient over the
+    co-purchase graph (same basket-derived edges as PageRank, capped
+    at 2-20 items): per node its degree, triangle count, and
+    2T/(d(d-1)) — the community-structure statistic (tightly-knit
+    product clusters vs hub-and-spoke) PageRank's flow view can't
+    see. The canonical-ORIENTED enumeration: edges stored once as
+    u < v, each triangle found exactly once as (a<b<c) via the
+    two-hop wedge a→b→c closed by the (a,c) edge — no 6× duplicate
+    counting, no post-dedup.
+
+    Plan/scale: the Spark enumeration uses the DEGREE-ORDERED
+    orientation (each undirected edge points low-(degree, id) →
+    high), so every wedge is rooted at its LOWEST-degree vertex —
+    the classic bound that caps wedge count at O(E^1.5) regardless
+    of hub degrees (id-ordered orientation on this co-purchase graph
+    generates Σd² wedges off the hubs: 69 s vs ~8 s at sf0.1). The
+    oracle keeps the simpler id-ordered SQL: per-node participation
+    and degree are ORIENTATION-INVARIANT, so the two engines may
+    enumerate differently and still hash-match. Wedge and closing
+    joins are hash equi-joins on the distinct oriented edge list;
+    degree and participation are UNION ALL + map-side-combined
+    counts; the coefficient is one double expression + round(6)."""
+    from pyspark import StorageLevel
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    bk = (
+        op.groupBy("l_orderkey")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz").between(2, 20))
+        .select("l_orderkey")
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .join(bk, "l_orderkey", "left_semi")
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg0 = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+    )
+    du = deg0.select(F.col("node").alias("u"), F.col("dg").alias("dg_u"))
+    dv = deg0.select(F.col("node").alias("v"), F.col("dg").alias("dg_v"))
+    lo_first = (F.col("dg_u") < F.col("dg_v")) | (
+        (F.col("dg_u") == F.col("dg_v")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lo_first, F.struct("dg_v", "v")).otherwise(
+                F.struct(F.col("dg_u").alias("dg_v"), F.col("u").alias("v"))
+            ).alias("dst"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = o.select("src", F.col("dst").alias("b"))
+    e2 = o.select("src", F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("b_node"), F.col("dst.v").alias("c_node"))
+    tri = (
+        e1.join(e2, "src")
+        .where(F.col("b") < F.col("c"))  # struct (deg, id) order: one wedge per pair
+        .join(
+            e3,
+            (F.col("b.v") == F.col("b_node")) & (F.col("c.v") == F.col("c_node")),
+            "left_semi",
+        )
+        .select(
+            F.col("src").alias("u"),
+            F.col("b.v").alias("v"),
+            F.col("c.v").alias("w"),
+        )
+    )
+    part = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    d = F.col("degree")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+    return deg.join(part, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("n_triangles"),
+        F.round(
+            F.when(d >= 2, 2.0 * t / (d * (d - 1))).otherwise(0.0), 6
+        ).alias("clustering_coeff"),
+    )

@@ -2870,3 +2870,74 @@ def profile_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("v") == 0.0).cast("long")).alias("n_zero"),
         )
     )
+
+
+_TIME_TO_CONVERT_SQL = """
+WITH f AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                  MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS first_purchase
+           FROM events GROUP BY user_id),
+c AS (SELECT user_id, first_view,
+             (SELECT MIN(ts) FROM events e
+              WHERE e.user_id = f.user_id AND e.event_type = 'purchase'
+                AND e.ts >= f.first_view) AS conv_ts
+      FROM f WHERE first_view IS NOT NULL)
+SELECT user_id, first_view,
+       conv_ts AS first_purchase_after,
+       CAST(epoch_us(conv_ts) - epoch_us(first_view) AS BIGINT)
+         AS time_to_convert_us,
+       conv_ts IS NOT NULL AS converted
+FROM c
+"""
+
+
+@register("funnel_time_to_convert", oracle=_TIME_TO_CONVERT_SQL)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION LATENCY: for every user who ever viewed, the time
+    from their FIRST view to their first purchase AT OR AFTER it —
+    the funnel family's missing time dimension
+    (``funnel_view_click_purchase`` answers *whether* users convert;
+    this answers *how long* it takes, the input to conversion-window
+    and attribution decisions). Integer-microsecond latency;
+    non-converting viewers keep NULLs and converted=false, so the
+    cohort denominators stay visible.
+
+    Spark-first plan: ONE conditional-MIN pass computes first_view
+    and the purchase-timestamp set reduction per user; the "first
+    purchase >= first view" is a second conditional MIN keyed the
+    same way — both fold into a single map-side-combined groupBy on
+    user_id (no self-join, no window: the oracle's correlated
+    subquery decorrelates by hand into min(CASE WHEN purchase AND ts
+    >= first_view), which needs first_view first, hence one re-join
+    of the two tiny per-user reductions on the already-shuffled
+    key)."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    ).where(F.col("first_view").isNotNull())
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    # the >= rides the JOIN condition (not a post-filter): a user whose
+    # purchases all precede their first view must keep a NULL row, not
+    # vanish
+    conv = (
+        f.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") >= F.col("first_view")),
+            "left",
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("pts").alias("conv_ts"))
+    )
+    return conv.select(
+        "user_id",
+        "first_view",
+        F.col("conv_ts").alias("first_purchase_after"),
+        (F.unix_micros("conv_ts") - F.unix_micros("first_view")).alias(
+            "time_to_convert_us"
+        ),
+        F.col("conv_ts").isNotNull().alias("converted"),
+    )
