@@ -106,6 +106,14 @@ HEADLINE = [
     "pipeline_nb_language_filter",
     "join_interval_overlap",
     "window_streak_islands",
+    # round-8 additions: sequence-pattern sessions, the gated MinHash
+    # estimator, integer Lloyd k-means, CUSUM changepoint, train/val
+    # drift KL — one representative per new family
+    "pattern_session_sequences",
+    "dedup_minhash_md5_estimate",
+    "sim_kmeans_lloyd_exact",
+    "timeseries_cusum_changepoint",
+    "pipeline_unigram_drift_kl",
 ]
 
 STORE_ROWS = 1_000_000
@@ -403,7 +411,13 @@ def main() -> None:
         # covariance cells the 8 mat-vec iterations reuse), so they
         # are timed inclusively like the streaming replays, with a
         # clearCache between samples so run 2 recomputes from parquet.
-        for name in ("graph_pagerank_exact", "sim_pca_power_iteration_exact"):
+        for name in (
+            "graph_pagerank_exact",
+            "sim_pca_power_iteration_exact",
+            # round-8: the wedge join is the catalog's next-heaviest
+            # plan (1.9M triangles at sf0.1) — tracked like the others
+            "graph_triangle_clustering",
+        ):
             if name not in queries:
                 continue
             try:
