@@ -485,3 +485,27 @@ def test_triangle_clustering_matrix_check(spark):
         assert got[n] == (int(A[idx[n]].sum()), int(tri_per_node[idx[n]])), n
     for r in rows:
         assert 0.0 <= r.clustering_coeff <= 1.0
+
+
+def test_decay_engagement_matches_python_fold(spark):
+    """Decayed scores re-derived in Python from the raw events (same
+    term formula, exact-decimal accumulation is order-free so a plain
+    sorted-sum suffices at test scale)."""
+    from decimal import Decimal
+    import math
+
+    ev = load_table(spark, SF_ORACLE, "events").select("user_id", "ts", "value").collect()
+    now = max(r.ts for r in ev)
+    acc: dict[int, Decimal] = {}
+    for r in ev:
+        age_days = ((now - r.ts).days * 86400 + (now - r.ts).seconds
+                    + (now - r.ts).microseconds / 1e6) / 86400.0
+        term = float(int(round(r.value * 100))) * math.exp(-age_days / 7.0)
+        acc[r.user_id] = acc.get(r.user_id, Decimal(0)) + Decimal(f"{term:.12f}")
+    got = {
+        r.user_id: r.decayed_engagement
+        for r in QUERIES["timeseries_decay_engagement"](spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(acc)
+    for u, total in acc.items():
+        assert abs(float(total) / 100.0 - got[u]) < 1e-4, u

@@ -335,3 +335,23 @@ def test_nb_calibration_consistent_with_filter(spark):
     top = max(cal, key=lambda r: r.bin)
     bot = min(cal, key=lambda r: r.bin)
     assert top.observed_en_rate > bot.observed_en_rate
+
+
+def test_lang_confusion_cells_complete_and_english_separable(spark):
+    """Cells re-aggregate the filter output; per-lang shares sum to
+    1; English must be predicted English at a higher rate than any
+    other language (the per-class separation signal)."""
+    rows = QUERIES["pipeline_lang_confusion"](spark, SF_ORACLE).collect()
+    by_lang: dict[str, dict] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.pred_en] = (r.n_docs, r.frac_of_lang)
+    for lang, cells in by_lang.items():
+        assert abs(sum(f for _, f in cells.values()) - 1.0) < 1e-6, lang
+    # the separation signal is RELATIVE: English must be predicted
+    # English at a strictly higher rate than every other language
+    # (absolute recall is a threshold-tuning question — exactly what
+    # the matrix exists to expose, not what this pin asserts)
+    en_rate = by_lang["en"].get(True, (0, 0.0))[1]
+    for lang, cells in by_lang.items():
+        if lang != "en":
+            assert cells.get(True, (0, 0.0))[1] < en_rate, (lang, en_rate)

@@ -2656,9 +2656,9 @@ WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
                   SUM(CAST(round(value * 100) AS BIGINT)) AS cents
            FROM events GROUP BY 1, 2)
 SELECT a.event_type, CAST(a.day AS TIMESTAMP) AS day,
-       a.cents AS cents,
-       b.cents AS cents_7d_ago,
-       a.cents - b.cents AS residual_cents,
+       CAST(a.cents AS BIGINT) AS cents,
+       CAST(b.cents AS BIGINT) AS cents_7d_ago,
+       CAST(a.cents - b.cents AS BIGINT) AS residual_cents,
        (abs(a.cents - b.cents) * 2 > abs(b.cents)) AS anomaly
 FROM d a JOIN d b
   ON a.event_type = b.event_type AND b.day = a.day - INTERVAL 7 DAY
@@ -2940,4 +2940,57 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "time_to_convert_us"
         ),
         F.col("conv_ts").isNotNull().alias("converted"),
+    )
+
+
+_DECAY_SQL = """
+WITH mx AS (SELECT MAX(ts) AS now FROM events),
+t AS (SELECT user_id,
+             CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+               * exp(-(CAST(epoch_us(mx.now) - epoch_us(ts) AS DOUBLE) / 86400000000.0) / 7.0)
+               AS term
+      FROM events, mx)
+SELECT user_id,
+       round(CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE) / 100.0, 6)
+         AS decayed_engagement
+FROM t GROUP BY user_id
+"""
+
+
+@register("timeseries_decay_engagement", oracle=_DECAY_SQL)
+def timeseries_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL TIME-DECAY engagement score per user: each event's
+    value weighted by exp(-age_days/7) against the corpus's max
+    timestamp (the deterministic 'now' — no wall clock, so reruns and
+    both engines agree), summed per user — the recency-weighted
+    activity score ranking/retention systems maintain, and the
+    closed-form batch twin of the streaming EWMA (EWMA folds the
+    recurrence; the decay sum is its order-free integral form).
+    Exactness policy: each per-event term is ONE double expression
+    (identical in both engines), then CAST TO DECIMAL(27,12) BEFORE
+    the per-user sum — the NB-filter device that makes the
+    accumulation order-independent — and round(6) seals the final
+    division.
+
+    Plan/scale: one-row max broadcast, map-only term computation,
+    ONE map-side-combined groupBy on user_id. Nothing else."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    t = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (
+            F.round(F.col("value") * 100).cast("long").cast("double")
+            * F.exp(
+                -(
+                    (F.unix_micros("now") - F.unix_micros("ts")).cast("double")
+                    / 86400000000.0
+                )
+                / 7.0
+            )
+        ).alias("term"),
+    )
+    return t.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(27,12)")).cast("double") / 100.0, 6
+        ).alias("decayed_engagement")
     )

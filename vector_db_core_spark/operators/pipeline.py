@@ -1865,3 +1865,45 @@ def pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("observed_en_rate"),
         )
     )
+
+
+_LANG_CONFUSION_SQL = (
+    "WITH nb AS (" + _NB_LANG_SQL + """),
+d AS (SELECT doc_id, lang FROM documents)
+SELECT d.lang, nb.pred_en,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY d.lang), 6) AS frac_of_lang
+FROM nb JOIN d USING (doc_id)
+GROUP BY d.lang, nb.pred_en
+"""
+)
+
+
+@register("pipeline_lang_confusion", oracle=_LANG_CONFUSION_SQL)
+def pipeline_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX for the NB language filter against the gold
+    ``lang`` labels: per (true language, predicted-English) cell the
+    document count and its share of that language — the per-class
+    error breakdown the scalar calibration curve can't show (is the
+    filter over-dropping German specifically, or all non-English
+    evenly?). Third member of the filter-evaluation family
+    (filter → calibration → confusion), again composing the
+    registered filter DataFrame AND its oracle text as a CTE.
+
+    Plan/scale: the filter's two-pass plan + one broadcast join back
+    to the label column + a 10-cell aggregate; the share is a window
+    over the <=10-row result."""
+    nb = pipeline_nb_language_filter(spark, sf_dir).select("doc_id", "pred_en")
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    cells = nb.join(d, "doc_id").groupBy("lang", "pred_en").agg(
+        F.count("*").alias("n_docs")
+    )
+    from pyspark.sql import Window as W
+
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(
+        W.partitionBy("lang")
+    )
+    return cells.select(
+        "lang", "pred_en", "n_docs", F.round(share, 6).alias("frac_of_lang")
+    )
