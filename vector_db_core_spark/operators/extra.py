@@ -373,7 +373,7 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.session_window("ts", "24 hours").alias("w"), "user_id")
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
             dsum("value", "session_value"),
