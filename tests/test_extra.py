@@ -509,3 +509,59 @@ def test_decay_engagement_matches_python_fold(spark):
     assert set(got) == set(acc)
     for u, total in acc.items():
         assert abs(float(total) / 100.0 - got[u]) < 1e-4, u
+
+
+def test_autocorrelation_matches_numpy(spark):
+    """ACF values re-derived with numpy Pearson on the calendar-lagged
+    daily series (gap days pair with nothing — the honest pairing the
+    op defines)."""
+    import numpy as np
+
+    daily = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    series: dict[str, dict] = {}
+    for r in daily:
+        series.setdefault(r.event_type, {})[r.day] = r.cents
+    got = {
+        (r.event_type, r.k): (r.n_pairs, r.acf)
+        for r in QUERIES["timeseries_autocorrelation"](spark, SF_ORACLE).collect()
+    }
+    import datetime
+
+    for et, by_day in series.items():
+        for k in range(1, 8):
+            pairs = [
+                (c, by_day[d - datetime.timedelta(days=k)])
+                for d, c in by_day.items()
+                if d - datetime.timedelta(days=k) in by_day
+            ]
+            if not pairs:
+                assert (et, k) not in got
+                continue
+            x = np.array([p[0] for p in pairs], dtype=np.float64)
+            y = np.array([p[1] for p in pairs], dtype=np.float64)
+            want = float(np.corrcoef(x, y)[0, 1])
+            n, acf = got[(et, k)]
+            assert n == len(pairs)
+            assert abs(acf - want) < 1e-5, (et, k, acf, want)
+
+
+def test_bounce_rate_reaggregates_sessions(spark):
+    """Daily bounce rows must re-aggregate the registered
+    sessionization query (same 30-min gap) keyed by session start
+    day."""
+    sess = QUERIES["window_session_user_activity"](spark, SF_ORACLE).collect()
+    by_day: dict = {}
+    for r in sess:
+        d = r.session_start.date()
+        n, b = by_day.get(d, (0, 0))
+        by_day[d] = (n + 1, b + (1 if r.n_events == 1 else 0))
+    got = {
+        r.day.date(): (r.n_sessions, r.n_bounces)
+        for r in QUERIES["funnel_bounce_rate_daily"](spark, SF_ORACLE).collect()
+    }
+    assert got == by_day

@@ -2994,3 +2994,143 @@ def timeseries_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("term").cast("decimal(27,12)")).cast("double") / 100.0, 6
         ).alias("decayed_engagement")
     )
+
+
+_ACF_SQL = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type, lag.k AS k, a.cents, b.cents AS prev
+      FROM d a, UNNEST(generate_series(1, 7)) AS lag(k)
+      JOIN d b ON b.event_type = a.event_type
+              AND b.day = a.day - CAST(lag.k AS INTEGER)),
+m AS (SELECT event_type, CAST(k AS INT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(cents) AS BIGINT) AS sx,
+             CAST(SUM(prev) AS BIGINT) AS sy,
+             CAST(SUM(cents * prev) AS BIGINT) AS sxy,
+             CAST(SUM(cents * cents) AS BIGINT) AS sxx,
+             CAST(SUM(prev * prev) AS BIGINT) AS syy
+      FROM p GROUP BY event_type, k)
+SELECT event_type, k, n_pairs,
+       round((CAST(sxy AS DOUBLE) / n_pairs
+              - (CAST(sx AS DOUBLE) / n_pairs) * (CAST(sy AS DOUBLE) / n_pairs))
+             / sqrt((CAST(sxx AS DOUBLE) / n_pairs
+                     - (CAST(sx AS DOUBLE) / n_pairs) * (CAST(sx AS DOUBLE) / n_pairs))
+                    * (CAST(syy AS DOUBLE) / n_pairs
+                       - (CAST(sy AS DOUBLE) / n_pairs) * (CAST(sy AS DOUBLE) / n_pairs))),
+             6) AS acf
+FROM m
+"""
+
+
+@register("timeseries_autocorrelation", oracle=_ACF_SQL)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION (Pearson r at lags 1-7 days) of each
+    event type's daily value series — the seasonality detector that
+    justifies the seasonal-naive baseline quantitatively (a weekly
+    cycle shows as an ACF peak at lag 7). Exactness: the five
+    co-moment sums are EXACT BIGINT (integer cents, bounded:
+    cents² ~ 1e12 × ~1e3 days ≪ 2^63) at any partitioning; the
+    Pearson finish is the identical double expression both engines
+    run + round(6) — the ``agg_covariance_matrix`` recipe applied to
+    a lagged self-pairing.
+
+    Plan/scale: corpus → (type, day) rollup once (map-side combined,
+    time-span-bounded); the lag spine explodes the REDUCTION ×7 (not
+    the corpus), windows partition by (type, k) over day-count rows,
+    and the co-moment aggregate reduces 7·|types| rows out."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    # CALENDAR lags (day - k), not row lags: on gappy series a row
+    # LAG pairs different weekdays — the same honesty rule as
+    # timeseries_seasonal_naive_residuals; both engines pair via a
+    # self-join of the day-rolled reduction on the shifted date
+    k_spine = d.select(
+        "event_type", "day", "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
+    )
+    shifted = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("pday"),
+        F.col("cents").alias("prev"),
+    )
+    p = k_spine.join(
+        shifted,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("pday") == F.expr("date_sub(day, k)")),
+    ).drop("et2", "pday")
+    m = p.groupBy("event_type", F.col("k").cast("int").alias("k")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("cents").alias("sx"),
+        F.sum("prev").alias("sy"),
+        F.sum(F.col("cents") * F.col("prev")).alias("sxy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.sum(F.col("prev") * F.col("prev")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    ex = F.col("sx").cast("double") / n
+    ey = F.col("sy").cast("double") / n
+    cov = F.col("sxy").cast("double") / n - ex * ey
+    vx = F.col("sxx").cast("double") / n - ex * ex
+    vy = F.col("syy").cast("double") / n - ey * ey
+    return m.select(
+        "event_type", "k", "n_pairs",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("acf"),
+    )
+
+
+_BOUNCE_SQL = """
+WITH t AS (SELECT user_id, ts, event_id FROM events),
+b AS (SELECT *, CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                       OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b),
+g AS (SELECT user_id, sid, MIN(CAST(ts AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sid)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bounce_rate
+FROM g GROUP BY day
+"""
+
+
+@register("funnel_bounce_rate_daily", oracle=_BOUNCE_SQL)
+def funnel_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY BOUNCE RATE: sessions (30-min gap) grouped by their
+    start day, with the single-event-session fraction — the
+    engagement-quality KPI beside DAU
+    (``timeseries_active_users``): high DAU with a rising bounce
+    rate is a different product story than high DAU with sticky
+    sessions. Bounce = EXACTLY one event in the session, days keyed
+    by session START (a session spanning midnight counts once,
+    where it began).
+
+    Plan/scale: one session_window shuffle (same shape as
+    ``window_session_user_activity``), then a day-count-sized rollup
+    — reduce-before-everything; the rate is one division + round(6)
+    per day row."""
+    ev = _t(spark, sf_dir, "events")
+    g = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("date").alias("day"), "n_events")
+    )
+    bounce = F.sum((F.col("n_events") == 1).cast("long"))
+    return (
+        g.groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            bounce.alias("n_bounces"),
+            F.round(bounce.cast("double") / F.count("*"), 6).alias("bounce_rate"),
+        )
+    )

@@ -4222,3 +4222,53 @@ def sim_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign(cent).select(
         "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("dist_sq")
     )
+
+
+_STOPWORD_SQL = r"""
+WITH t AS (SELECT doc_id,
+                  list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> '')) AS toks
+           FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t),
+df AS (SELECT u.tok AS token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+       FROM t, UNNEST(toks) AS u(tok) GROUP BY u.tok)
+SELECT token, doc_freq,
+       round(CAST(doc_freq AS DOUBLE) / n_docs, 6) AS df_ratio,
+       round(ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS idf,
+       (doc_freq * 2 > n_docs) AS is_stopword
+FROM df CROSS JOIN n
+"""
+
+
+@register("text_stopword_discovery", oracle=_STOPWORD_SQL)
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-DERIVED STOPWORD LIST: per token its document frequency,
+    df-ratio, idf, and the classic df > 50% stopword flag — the
+    data-driven replacement for hand-curated stopword lists
+    (language- and domain-adaptive: a code corpus's 'return' is a
+    stopword, English's isn't), feeding the quality-scoring family
+    which currently hardcodes its stopword set. The flag compares
+    EXACT integers (doc_freq·2 > n_docs — no float threshold), idf is
+    one double ln + round(6) per token row.
+
+    Plan/scale: per-doc DISTINCT tokens inside codegen
+    (array_distinct before the explode — df counts documents, not
+    occurrences), one map-side-combined shuffle to the df table,
+    one-row corpus count broadcast. The zipf/filter-funnel shape."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    n = t.agg(F.count("*").alias("n_docs"))
+    df = (
+        t.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    j = df.crossJoin(F.broadcast(n))
+    return j.select(
+        "token",
+        "doc_freq",
+        F.round(F.col("doc_freq").cast("double") / F.col("n_docs"), 6).alias("df_ratio"),
+        F.round(F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6).alias("idf"),
+        (F.col("doc_freq") * 2 > F.col("n_docs")).alias("is_stopword"),
+    )
