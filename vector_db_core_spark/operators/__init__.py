@@ -42,7 +42,20 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: driver itself refreshed (cube, distinct, funnel); it drops the other
 #: 5 r7-fresh families (group, json, pivot, rollup, topk).
 #: Queries oracled AFTER this rotation (round-8 additions) go first in
-#: the ROUND-9 window by the same recompute.
+#: the ROUND-9 window by the same recompute. As of end-of-round-8 the
+#: expected round-9 backlog is the 22 round-8 oracled additions:
+#: sql_api_tpch_q4, ref_schema_evolution, ref_compact_preserves_content,
+#: pattern_session_sequences, timeseries_cusum_changepoint,
+#: timeseries_seasonal_naive_residuals, timeseries_month_over_month,
+#: timeseries_decay_engagement, timeseries_autocorrelation,
+#: pipeline_unigram_drift_kl, pipeline_oversample_minority,
+#: pipeline_quality_calibration, pipeline_lang_confusion,
+#: streaming_late_data_replay, group_topn_with_ties,
+#: dedup_minhash_md5_estimate, sim_kmeans_lloyd_exact,
+#: profile_embedding_dims, graph_triangle_clustering,
+#: funnel_time_to_convert, funnel_bounce_rate_daily,
+#: text_stopword_discovery — plus whatever the r8 driver leaves
+#: unsampled; sentinels again by oldest-last-green family.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
 #: (tests/test_oracle.py).
