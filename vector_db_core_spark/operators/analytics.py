@@ -1883,11 +1883,10 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
-    deg = (
-        edges.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("degree"))
-    )
+    # reuse the orientation's degree aggregate — a second differently-
+    # shaped degree plan would defeat ReuseExchange and re-shuffle the
+    # edge list (self-review finding)
+    deg = deg0.select("node", F.col("dg").alias("degree"))
     d = F.col("degree")
     t = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
     return deg.join(part, "node", "left").select(

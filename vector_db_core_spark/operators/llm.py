@@ -38,6 +38,7 @@ from pyspark.storagelevel import StorageLevel
 
 from vector_db_core_spark.functions.text import (
     canonical_text,
+    distinct_tokens,
     lsh_band_keys,
     minhash_sig_of_set,
     shingles_of_tokens,
@@ -4256,7 +4257,7 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences), one map-side-combined shuffle to the df table,
     one-row corpus count broadcast. The zipf/filter-funnel shape."""
     t = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+        "doc_id", distinct_tokens(F.col("text")).alias("toks")
     )
     n = t.agg(F.count("*").alias("n_docs"))
     df = (

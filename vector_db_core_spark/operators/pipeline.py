@@ -1742,10 +1742,12 @@ def pipeline_unigram_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry-wide clearCache contract (registry.py)."""
     from pyspark import StorageLevel
 
+    from vector_db_core_spark.functions.text import tokens
+
     tagged = _docs(spark, sf_dir).select(
         (F.substring(F.md5("text"), 1, 1) <= "b").alias("is_train"),
-        F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
-    ).where(F.col("token") != "")
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
     c = tagged.groupBy("token").agg(
         F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("n_train"),
         F.sum(F.when(F.col("is_train"), 0).otherwise(1)).alias("n_val"),

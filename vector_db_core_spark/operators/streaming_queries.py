@@ -823,11 +823,13 @@ def streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     ev = load_table(spark, sf_dir, "events")
-    # natural parallel write — the parquet source's availableNow
-    # trigger still takes all of it in ONE microbatch (default
-    # maxFilesPerTrigger=1000 >> file count), so the watermark cannot
-    # drop in-cycle rows; a coalesce(1) here would serialize the
-    # landing write through one task (20s at ~sf10 in the ladder)
+    # natural parallel write — with maxFilesPerTrigger UNSET (the
+    # default) the availableNow trigger takes every available file in
+    # ONE microbatch regardless of file count, so the watermark cannot
+    # drop in-cycle rows; do NOT set maxFilesPerTrigger here (it would
+    # split cycle 1 and let the advancing watermark drop late in-cycle
+    # rows), and do not coalesce(1) (a single-task landing write cost
+    # 20 s at ~sf10 in the ladder)
     ev.write.mode("overwrite").parquet(landing)
 
     def cycle() -> None:
