@@ -24,95 +24,86 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
 #: The 50 queries surfaced to the driver's correctness window.
 #:
-#: Round-8 rotation (mechanical). Basis:
-#:   covered = union of hash_match rows across CORRECTNESS_r0{1..7}.json
-#:           == 188 distinct queries (r7 closed the whole 34-query backlog)
-#:   backlog = [n for n in ORACLE if n not in covered]   # == 21
-#: The 21 backlog entries are exactly the round-7 additions (registered
-#: after the r7 window rotated; the judge hash-verified all 21 at
-#: sf0.01 AND sf0.1 in the r7 session). They go FIRST; a green run
-#: makes distinct ever-driver-green == 209/209 for the round-7 registry.
-#: The remaining 29 slots are drift sentinels, same rule as r6/r7:
-#: group the 188 covered queries into operator families (name prefix,
-#: TPC-H collapsed to one family; 34 families), take each family's
+#: Round-9 rotation (mechanical, same recompute as r6/r7/r8). Basis:
+#:   covered = union of hash_match rows across CORRECTNESS_r0{1..8}.json
+#:           == 209 distinct queries (r8 closed the whole 21-query
+#:              round-7 backlog)
+#:   backlog = [n for n in ORACLE if n not in covered]   # == 22
+#: The 22 backlog entries are exactly the round-8 oracled additions
+#: (registered after the r8 window rotated; the r8 judge hash-verified
+#: all 22 at sf0.01 AND sf0.1). They go FIRST; a green run makes
+#: distinct ever-driver-green == 231/231 for the round-8 registry.
+#: The remaining 28 slots are drift sentinels, same rule as before:
+#: group the 209 covered queries into operator families (name prefix,
+#: TPC-H collapsed to one family; 37 families), take each family's
 #: member whose LAST green row is oldest (min over members of
 #: max(round) per name, tie alphabetical), rank families by that round
-#: ascending, keep 29. The cut keeps all 26 families last refreshed in
-#: r3/r4/r5 and the first 3 (alphabetical) of the 8 families the r7
-#: driver itself refreshed (cube, distinct, funnel); it drops the other
-#: 5 r7-fresh families (group, json, pivot, rollup, topk).
-#: Queries oracled AFTER this rotation (round-8 additions) go first in
-#: the ROUND-9 window by the same recompute. As of end-of-round-8 the
-#: expected round-9 backlog is the 22 round-8 oracled additions:
-#: sql_api_tpch_q4, ref_schema_evolution, ref_compact_preserves_content,
-#: pattern_session_sequences, timeseries_cusum_changepoint,
-#: timeseries_seasonal_naive_residuals, timeseries_month_over_month,
-#: timeseries_decay_engagement, timeseries_autocorrelation,
-#: pipeline_unigram_drift_kl, pipeline_oversample_minority,
-#: pipeline_quality_calibration, pipeline_lang_confusion,
-#: streaming_late_data_replay, group_topn_with_ties,
-#: dedup_minhash_md5_estimate, sim_kmeans_lloyd_exact,
-#: profile_embedding_dims, graph_triangle_clustering,
-#: funnel_time_to_convert, funnel_bounce_rate_daily,
-#: text_stopword_discovery — plus whatever the r8 driver leaves
-#: unsampled; sentinels again by oldest-last-green family.
+#: ascending (tie alphabetical), keep 28. The cut keeps all 16 families
+#: last refreshed in r3/r4/r5, the 5 families the r7 driver refreshed
+#: (group, json, pivot, rollup, topk), and the first 7 (alphabetical)
+#: of the 16 families the r8 driver itself refreshed (assoc,
+#: attribution, case, checksum, cohort, cube, distinct); it drops the
+#: other 9 r8-fresh families.
+#: Queries oracled AFTER this rotation (round-9 additions) go first in
+#: the ROUND-10 window by the same recompute; sentinels again by
+#: oldest-last-green family.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
 #: (tests/test_oracle.py).
 DRIVER_WINDOW = (
-    # --- 21-query backlog: the round-7 additions, never driver-checked ---
-    "text_perplexity_buckets",
-    "dedup_paragraph_keep_first",
-    "text_zipf_fit",
-    "text_mattr_diversity",
-    "pipeline_tokenizer_fertility",
-    "pipeline_filter_funnel",
-    "pipeline_nb_language_filter",
-    "pipeline_shard_manifest",
-    "streaming_cdc_upsert_replay",
-    "agg_mode_frequency",
-    "agg_covariance_matrix",
-    "window_streak_islands",
-    "join_interval_overlap",
-    "join_asof_nearest",
-    "sql_api_nation_revenue",
-    "graph_pagerank_exact",
-    "sketch_count_min_md5_topk",
-    "sketch_bloom_md5_nonmembers",
-    "sim_pca_power_iteration_exact",
-    "timeseries_holt_linear",
-    "timeseries_rolling_median",
-    # --- 29 drift sentinels: per family the member whose LAST green
+    # --- 22-query backlog: the round-8 additions, never driver-checked ---
+    "ref_schema_evolution",
+    "ref_compact_preserves_content",
+    "sql_api_tpch_q4",
+    "dedup_minhash_md5_estimate",
+    "sim_kmeans_lloyd_exact",
+    "text_stopword_discovery",
+    "pattern_session_sequences",
+    "timeseries_cusum_changepoint",
+    "timeseries_seasonal_naive_residuals",
+    "group_topn_with_ties",
+    "timeseries_month_over_month",
+    "profile_embedding_dims",
+    "funnel_time_to_convert",
+    "timeseries_decay_engagement",
+    "timeseries_autocorrelation",
+    "funnel_bounce_rate_daily",
+    "pipeline_unigram_drift_kl",
+    "pipeline_oversample_minority",
+    "pipeline_quality_calibration",
+    "pipeline_lang_confusion",
+    "streaming_late_data_replay",
+    "graph_triangle_clustering",
+    # --- 28 drift sentinels: per family the member whose LAST green
     # --- row is oldest; families ranked by that round ascending ---
-    "agg_salted_returnflag_totals",    # last green r3
-    "dedup_decontaminate_benchmark",   # last green r3
-    "join_asof_error_after_click",     # last green r3
-    "multimodal_doc_embedding_join",   # last green r3
-    "pipeline_pack_sequences",         # last green r3
-    "ref_is_empty",                    # last green r3
-    "scalar_math_functions",           # last green r3
-    "set_union_active_custkeys",       # last green r3
-    "sim_cosine_topk",                 # last green r3
-    "streaming_interval_join_replay",  # last green r3
-    "subquery_exists_priority_counts", # last green r3
-    "text_inverted_index",             # last green r3
-    "timeseries_ewma_daily_value",     # last green r3
-    "q3_shipping_priority",            # last green r3 (TPC-H family)
-    "window_running_total",            # last green r3
-    "assoc_part_pairs_in_orders",      # last green r4
-    "case_bucketize_orders",           # last green r4
-    "cohort_daily_retention",          # last green r4
-    "grouping_sets_status_priority",   # last green r4
-    "profile_orders_columns",          # last green r4
-    "unpivot_nation_measures",         # last green r4
-    "attribution_last_touch",          # last green r5
-    "checksum_orders_table",           # last green r5
-    "merge_upsert_orders",             # last green r5
-    "quality_expectations_orders",     # last green r5
-    "scd2_user_event_intervals",       # last green r5
-    "cube_status_priority",            # last green r7
-    "distinct_market_segments",        # last green r7
-    "funnel_view_click_purchase",      # last green r7
+    "agg_stats_lineitem",              # last green r3
+    "dedup_exact_documents",           # last green r3
+    "join_broadcast_nation_volume",    # last green r3
+    "pipeline_source_mixture",         # last green r3
+    "ref_len",                         # last green r3
+    "scalar_string_functions",         # last green r3
+    "sim_label_centroids",             # last green r3
+    "streaming_tumbling_counts_replay",# last green r3
+    "text_lang_profile",               # last green r3
+    "q5_local_supplier_volume",        # last green r3 (TPC-H family)
+    "window_session_user_activity",    # last green r3
+    "set_except_inactive_custkeys",    # last green r4
+    "subquery_scalar_above_avg_parts", # last green r4
+    "timeseries_gap_filled_daily_revenue",  # last green r4
+    "multimodal_decode_features",      # last green r5
+    "profile_lineitem_key_skew",       # last green r5
+    "group_topk_orders_per_customer",  # last green r7
+    "json_extract_props",              # last green r7
+    "pivot_status_by_priority",        # last green r7
+    "rollup_returnflag_status",        # last green r7
+    "topk_orders_by_price",            # last green r7
+    "assoc_part_pairs_in_orders",      # last green r8
+    "attribution_last_touch",          # last green r8
+    "case_bucketize_orders",           # last green r8
+    "checksum_orders_table",           # last green r8
+    "cohort_daily_retention",          # last green r8
+    "cube_status_priority",            # last green r8
+    "distinct_market_segments",        # last green r8
 )
 
 
