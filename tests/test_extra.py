@@ -565,3 +565,75 @@ def test_bounce_rate_reaggregates_sessions(spark):
         for r in QUERIES["funnel_bounce_rate_daily"](spark, SF_ORACLE).collect()
     }
     assert got == by_day
+
+
+def _write_events_fixture(spark, tmp_path, rows):
+    """Materialize a synthetic events.parquet with the fixture schema
+    so registered queries can run against a controlled sf_dir."""
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_session_gap_boundary_is_strictly_greater(spark, tmp_path):
+    """An inter-event gap EXACTLY equal to the session threshold must
+    NOT break the session (the oracle's ``ts - lag(ts) > gap`` rule,
+    now shared by the Spark gaps-and-islands form — round-8 advice:
+    session_window's [start, last+gap) would split here)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    h24 = datetime.timedelta(hours=24)
+    rows = [
+        # user 1: view, +24h exactly click, +24h+1µs purchase
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + h24, 1, "click", 1.0, "{}"),
+        (2, t0 + h24 + h24 + datetime.timedelta(microseconds=1), 1, "purchase", 1.0, "{}"),
+    ]
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    got = sorted(
+        QUERIES["pattern_session_sequences"](spark, sf).collect(),
+        key=lambda r: r.session_start,
+    )
+    # exact-24h gap keeps (view, click) together; the +1µs gap splits
+    assert [(r.seq, r.n_events) for r in got] == [("vc", 2), ("p", 1)]
+
+
+def test_bounce_gap_boundary_is_strictly_greater(spark, tmp_path):
+    """Same strictly-greater rule for the 30-minute bounce sessions:
+    two events exactly 30 minutes apart form ONE session (not a
+    bounce); 30 minutes + 1µs forms two singleton sessions."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    m30 = datetime.timedelta(minutes=30)
+    us1 = datetime.timedelta(microseconds=1)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + m30, 1, "click", 1.0, "{}"),  # same session: not a bounce
+        (2, t0, 2, "view", 1.0, "{}"),
+        (3, t0 + m30 + us1, 2, "click", 1.0, "{}"),  # splits: two bounces
+    ]
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    (row,) = QUERIES["funnel_bounce_rate_daily"](spark, sf).collect()
+    assert (row.n_sessions, row.n_bounces) == (3, 2)
+
+
+def test_autocorrelation_zero_variance_emits_null(spark, tmp_path):
+    """A constant daily series has zero variance at every lag: the
+    shared vx·vy = 0 guard must emit NULL (round-8 advice — unguarded,
+    Spark NULLs a zero divisor while DuckDB follows IEEE)."""
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i, 12, 0, 0), 1, "view", 1.0, "{}")
+        for i in range(10)
+    ]
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    got = QUERIES["timeseries_autocorrelation"](spark, sf).collect()
+    assert got  # lags 1..7 all pair some days
+    assert all(r.acf is None for r in got)

@@ -2542,38 +2542,56 @@ def pattern_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     patterns test the full sequence structure, adjacency and
     exclusion included.
 
-    Spark-first plan: ``session_window`` sessionization (same
-    one-shuffle shape as ``join_interval_overlap``'s session side),
-    per-session ``collect_list(struct(ts, event_id, ini))`` +
-    ``array_sort`` + ``transform``/``array_join`` builds the sequence
-    string INSIDE the aggregate — sessions are human-bounded (no
-    skew beyond the salting playbook), so state per group is tiny;
-    the regexes are codegen ``rlike`` on the reduced per-session
-    rows. Determinism: ties at equal ts order by event_id in BOTH
-    engines (struct sort == ORDER BY ts, event_id). One shuffle
-    total; output linear in session count."""
+    Spark-first plan: gaps-and-islands sessionization — lag + a
+    running sum of session breaks over (user_id | ts, event_id), the
+    SAME strictly-greater gap comparison the oracle states
+    (``ts > prev + 24h`` == ``ts - lag(ts) > INTERVAL '24 hours'``),
+    so an event landing exactly on the gap boundary sessionizes
+    identically in both engines. ``session_window`` was the previous
+    form, but its window is ``[start, last+gap)`` — a gap EQUAL to
+    the threshold starts a new session there while the oracle's ``>``
+    keeps it, a latent cross-engine divergence (round-8 advice).
+    Both window exprs share one (user_id) exchange+sort, and the
+    (user_id, sid) aggregate reuses that partitioning (subset key),
+    so the shuffle count is unchanged. Per-session
+    ``collect_list(struct(ts, event_id, ini))`` + ``array_sort`` +
+    ``transform``/``array_join`` builds the sequence string INSIDE
+    the aggregate — sessions are human-bounded (no skew beyond the
+    salting playbook), so state per group is tiny; the regexes are
+    codegen ``rlike`` on the reduced per-session rows. Determinism:
+    ties at equal ts order by event_id in BOTH engines (struct sort
+    == ORDER BY ts, event_id). One shuffle total; output linear in
+    session count."""
+    from pyspark.sql import Window as W
+
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
         F.substring("event_type", 1, 1).alias("ini"),
     )
-    g = (
-        ev.groupBy(F.session_window("ts", "24 hours").alias("w"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
-                    lambda x: x["ini"],
-                ),
-                "",
-            ).alias("seq"),
-        )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 24 HOURS")), 1
+    ).otherwise(0)
+    s = ev.withColumn("brk", brk).withColumn(
+        "sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    g = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                lambda x: x["ini"],
+            ),
+            "",
+        ).alias("seq"),
     )
     return g.select(
         "user_id",
-        F.col("w.start").alias("session_start"),
+        "session_start",
         "n_events",
         "seq",
         F.col("seq").rlike("v.*c.*p").alias("converted"),
@@ -3013,13 +3031,19 @@ m AS (SELECT event_type, CAST(k AS INT) AS k,
              CAST(SUM(prev * prev) AS BIGINT) AS syy
       FROM p GROUP BY event_type, k)
 SELECT event_type, k, n_pairs,
-       round((CAST(sxy AS DOUBLE) / n_pairs
-              - (CAST(sx AS DOUBLE) / n_pairs) * (CAST(sy AS DOUBLE) / n_pairs))
-             / sqrt((CAST(sxx AS DOUBLE) / n_pairs
-                     - (CAST(sx AS DOUBLE) / n_pairs) * (CAST(sx AS DOUBLE) / n_pairs))
-                    * (CAST(syy AS DOUBLE) / n_pairs
-                       - (CAST(sy AS DOUBLE) / n_pairs) * (CAST(sy AS DOUBLE) / n_pairs))),
-             6) AS acf
+       CASE WHEN (CAST(sxx AS DOUBLE) / n_pairs
+                  - (CAST(sx AS DOUBLE) / n_pairs) * (CAST(sx AS DOUBLE) / n_pairs))
+                 * (CAST(syy AS DOUBLE) / n_pairs
+                    - (CAST(sy AS DOUBLE) / n_pairs) * (CAST(sy AS DOUBLE) / n_pairs)) = 0
+            THEN NULL
+            ELSE round((CAST(sxy AS DOUBLE) / n_pairs
+                        - (CAST(sx AS DOUBLE) / n_pairs) * (CAST(sy AS DOUBLE) / n_pairs))
+                       / sqrt((CAST(sxx AS DOUBLE) / n_pairs
+                               - (CAST(sx AS DOUBLE) / n_pairs) * (CAST(sx AS DOUBLE) / n_pairs))
+                              * (CAST(syy AS DOUBLE) / n_pairs
+                                 - (CAST(sy AS DOUBLE) / n_pairs) * (CAST(sy AS DOUBLE) / n_pairs))),
+                       6)
+       END AS acf
 FROM m
 """
 
@@ -3034,7 +3058,11 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents² ~ 1e12 × ~1e3 days ≪ 2^63) at any partitioning; the
     Pearson finish is the identical double expression both engines
     run + round(6) — the ``agg_covariance_matrix`` recipe applied to
-    a lagged self-pairing.
+    a lagged self-pairing. Degenerate series (zero variance on either
+    side — a constant series or a single-pair lag) emit NULL via the
+    SAME ``vx·vy = 0`` guard stated in both engines: unguarded, Spark's
+    Divide returns NULL on a zero divisor while DuckDB follows IEEE
+    (inf/NaN), a latent hash divergence (round-8 advice).
 
     Plan/scale: corpus → (type, day) rollup once (map-side combined,
     time-span-bounded); the lag spine explodes the REDUCTION ×7 (not
@@ -3079,7 +3107,9 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     vy = F.col("syy").cast("double") / n - ey * ey
     return m.select(
         "event_type", "k", "n_pairs",
-        F.round(cov / F.sqrt(vx * vy), 6).alias("acf"),
+        F.when(vx * vy == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(cov / F.sqrt(vx * vy), 6))
+        .alias("acf"),
     )
 
 
@@ -3115,15 +3145,28 @@ def funnel_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     by session START (a session spanning midnight counts once,
     where it began).
 
-    Plan/scale: one session_window shuffle (same shape as
-    ``window_session_user_activity``), then a day-count-sized rollup
-    — reduce-before-everything; the rate is one division + round(6)
-    per day row."""
-    ev = _t(spark, sf_dir, "events")
+    Plan/scale: gaps-and-islands sessionization (lag + running sum of
+    breaks over one (user_id) exchange — the same strictly-greater
+    gap comparison the oracle states, see
+    ``pattern_session_sequences`` for why session_window's
+    equal-gap-boundary semantics diverge), then a day-count-sized
+    rollup — reduce-before-everything; the rate is one division +
+    round(6) per day row."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    s = ev.withColumn("brk", brk).withColumn(
+        "sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
     g = (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").cast("date").alias("day"), "n_events")
+        s.groupBy("user_id", "sid")
+        .agg(F.min(F.col("ts").cast("date")).alias("day"), F.count("*").alias("n_events"))
+        .select("day", "n_events")
     )
     bounce = F.sum((F.col("n_events") == 1).cast("long"))
     return (

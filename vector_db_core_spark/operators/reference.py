@@ -130,6 +130,7 @@ def ref_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: evolution costs one footer read per file at planning time
     (compact() amortizes it); NULL backfill is metadata-only."""
     import hashlib
+    import os
     import shutil
     import tempfile
 
@@ -140,9 +141,13 @@ def ref_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = ev.where(F.col("event_id") >= 3000).select(
         "event_id", "user_id", "event_type", "value"
     )
+    # pid-keyed scratch: concurrent consumers over the same fixture
+    # (parallel pytest workers, bench beside a sweep) must not race
+    # each other's rmtree/pushx sequence (round-8 advice)
     path = (
         tempfile.gettempdir()
         + f"/spark_graft_schema_evo_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}"
+        + f"_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
     store = OrdinalStore(spark, path)
@@ -178,6 +183,7 @@ def ref_compact_preserves_content(spark: SparkSession, sf_dir: str) -> DataFrame
     (asserted by tests/test_store.py compaction pins at larger
     geometries)."""
     import hashlib
+    import os
     import shutil
     import tempfile
 
@@ -188,9 +194,11 @@ def ref_compact_preserves_content(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("event_id") < 4000)
         .select("event_id", "user_id", "event_type")
     )
+    # pid-keyed scratch, same rationale as ref_schema_evolution
     path = (
         tempfile.gettempdir()
         + f"/spark_graft_compact_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}"
+        + f"_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
     store = OrdinalStore(spark, path)

@@ -45,9 +45,16 @@ from vector_db_core_spark.streaming.ingest import (
     windowed_event_counts,
 )
 
-#: one landing/checkpoint root per (sf_dir, query) so repeated driver
-#: calls in one session don't collide; contents are tiny (sf<=0.1).
-_REPLAY_ROOT = os.path.join(tempfile.gettempdir(), "vdbc_stream_replay")
+#: one landing/checkpoint root per (process, sf_dir, query): repeated
+#: driver calls in one session reuse (and rmtree-refresh) their key,
+#: while the pid component keeps CONCURRENT consumers (parallel pytest
+#: workers, a bench beside a sweep) from racing each other's
+#: rmtree/write/append sequences on a shared fixture (round-8 advice).
+#: Contents are tiny (sf<=0.1) and live under tmpdir, so an exited
+#: process's leftover tree is bounded and reaped with the OS tmpdir.
+_REPLAY_ROOT = os.path.join(
+    tempfile.gettempdir(), f"vdbc_stream_replay_{os.getpid()}"
+)
 
 
 def _replay_events(spark: SparkSession, sf_dir: str, tag: str) -> tuple[DataFrame, str]:
