@@ -114,7 +114,20 @@ HEADLINE = [
     "sim_kmeans_lloyd_exact",
     "timeseries_cusum_changepoint",
     "pipeline_unigram_drift_kl",
+    # round-9: promote the wave-6 r8 ops into the headline as the
+    # registry note promises (calendar-lag ACF, corpus-derived
+    # stopwords, daily bounce rate) so drift tracking covers them
+    "timeseries_autocorrelation",
+    "text_stopword_discovery",
+    "funnel_bounce_rate_daily",
 ]
+
+# NOTE (round 9): `pipeline_nb_language_filter` remains a headline row
+# but its semantics changed — the filter-evaluation trio shares ONE NB
+# fit per session via a scratch parquet (operators/pipeline.py
+# `_nb_scored`), so the headline row now times the post-fit scan (the
+# per-query cost every consumer after the first pays). The full fit is
+# timed separately in bench_nb_trio(), which resets the scratch first.
 
 STORE_ROWS = 1_000_000
 
@@ -295,6 +308,33 @@ def bench_buffer(spark, path: str) -> dict[str, float]:
     }
 
 
+def bench_nb_trio(spark, queries) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """The filter-evaluation trio under its shared-fit contract: reset
+    the scored-frame scratch, then run filter -> calibration ->
+    confusion inclusively. The filter row pays the ONE fit + scratch
+    write; the other two must be reduction-only reads (the round-8
+    verdict's sharing win, kept visible round-over-round). Best-of-2
+    per step; the scratch resets before each round so sample 2 re-fits."""
+    from vector_db_core_spark.operators.pipeline import _nb_scored_reset
+
+    names = (
+        "pipeline_nb_language_filter",
+        "pipeline_quality_calibration",
+        "pipeline_lang_confusion",
+    )
+    pairs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(2):
+        _nb_scored_reset()
+        spark.catalog.clearCache()
+        for n in names:
+            t0 = time.perf_counter()
+            queries[n](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            pairs[n].append(time.perf_counter() - t0)
+    times = {f"nb_trio_{n}": round(min(p), 3) for n, p in pairs.items()}
+    samples = {f"nb_trio_{n}": [round(s, 3) for s in p] for n, p in pairs.items()}
+    return times, samples
+
+
 def main() -> None:
     from vector_db_core_spark.session import get_spark
 
@@ -313,6 +353,7 @@ def main() -> None:
     store_times: dict[str, float] = {}
     streaming_times: dict[str, float] = {}
     iterative_times: dict[str, float] = {}
+    nb_trio_times: dict[str, float] = {}
     try:
         spark = get_spark(app_name="vector_db_core_bench")
         spark.sparkContext.setLogLevel("ERROR")
@@ -433,6 +474,16 @@ def main() -> None:
             iterative_times[name] = round(secs, 3)
             samples[name] = [round(s, 3) for s in pair]
             log(f"bench: {name} {secs:.3f}s (samples {pair[0]:.3f}/{pair[1]:.3f})")
+
+        try:
+            trio_times, trio_samples = bench_nb_trio(spark, queries)
+            nb_trio_times.update(trio_times)
+            samples.update(trio_samples)
+            for k, v in trio_times.items():
+                log(f"bench: {k} {v:.3f}s")
+        except Exception as exc:  # noqa: BLE001
+            errors["nb_trio"] = _short_err(exc)
+            log(f"bench: nb trio FAILED: {exc}")
     except Exception as exc:  # noqa: BLE001 - even setup failures emit JSON
         errors["setup"] = _short_err(exc)
         log(f"bench: setup FAILED: {exc}")
@@ -447,12 +498,25 @@ def main() -> None:
         "store": store_times,
         "streaming": streaming_times,
         "iterative": iterative_times,
+        "nb_trio": nb_trio_times,
         "sf": sf_val,
         "n_queries": len(per_query),
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out), flush=True)
+    line = json.dumps(out)
+    print(line, flush=True)
+    # Self-contained artifact (r8 verdict nit: the driver captures only
+    # an output tail, which truncated the per-query table mid-JSON) —
+    # the same line, written beside the repo root.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError as exc:
+        log(f"bench: could not write BENCH_local.json: {exc}")
     try:
         spark.stop()
     except Exception:  # noqa: BLE001, S110

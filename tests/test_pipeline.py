@@ -256,6 +256,54 @@ def test_nb_language_filter_beats_majority_baseline(spark):
     assert correct > majority, (correct, majority, n)
 
 
+def test_nb_language_filter_operating_point_recall_floors(spark):
+    """The calibration-derived keep cut (NB_KEEP_CUT) must hold the
+    measured operating point: English recall materially above the
+    raw-log-odds-0 cut's 0.41 (round-8 finding), non-English
+    rejection still discriminating, and balanced accuracy above
+    chance (the prior-free signal pin — measured 0.702 / 0.475 /
+    0.589 at sf0.01)."""
+    rows = QUERIES["pipeline_nb_language_filter"](spark, SF_ORACLE).collect()
+    en = [r for r in rows if r.is_en]
+    ot = [r for r in rows if not r.is_en]
+    en_recall = sum(r.pred_en for r in en) / len(en)
+    ot_rejection = sum(not r.pred_en for r in ot) / len(ot)
+    assert en_recall >= 0.65, en_recall
+    assert ot_rejection >= 0.45, ot_rejection
+    assert (en_recall + ot_rejection) / 2 >= 0.55
+    # score is the length-invariant per-token log-odds, and the keep
+    # decision is exactly the documented cut on it
+    from vector_db_core_spark.operators.pipeline import NB_KEEP_CUT
+
+    for r in rows:
+        # tolerance, not equality: Python's round() is half-even while
+        # Spark's F.round is HALF_UP (the engines agree with each
+        # other via the shared SQL text; this pin is only the shape)
+        assert abs(r.score - r.log_odds / r.n_tokens) < 1e-6, r
+        assert r.pred_en == (r.score >= NB_KEEP_CUT), r
+
+
+def test_nb_trio_fits_once_per_session(spark):
+    """The filter-evaluation trio shares ONE fit per (process,
+    sf_dir): after a scratch reset, the first consumer pays the fit
+    and the other two read the materialized scored frame (round-8
+    verdict task 5). The post-fit queries must plan as parquet scans
+    of the scratch — no re-explode of the corpus."""
+    from vector_db_core_spark.operators import pipeline as P
+
+    P._nb_scored_reset()
+    before = P._NB_FIT_COUNT
+    QUERIES["pipeline_quality_calibration"](spark, SF_ORACLE).collect()
+    assert P._NB_FIT_COUNT == before + 1
+    QUERIES["pipeline_lang_confusion"](spark, SF_ORACLE).collect()
+    df = QUERIES["pipeline_nb_language_filter"](spark, SF_ORACLE)
+    df.collect()
+    assert P._NB_FIT_COUNT == before + 1  # no further fits
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode: reading the scratch
+    assert P._NB_SCORED_PATHS[SF_ORACLE] in plan
+
+
 def test_tokenizer_fertility_bounds(spark):
     rows = QUERIES["pipeline_tokenizer_fertility"](spark, SF_ORACLE).collect()
     assert len(rows) == 5
@@ -335,6 +383,32 @@ def test_nb_calibration_consistent_with_filter(spark):
     top = max(cal, key=lambda r: r.bin)
     bot = min(cal, key=lambda r: r.bin)
     assert top.observed_en_rate > bot.observed_en_rate
+
+
+def test_nb_calibration_diagram_discriminates(spark):
+    """The reliability diagram must actually say WHERE to move the
+    cut (round-8 verdict: the raw-log-odds bins saturated to 2): at
+    least 8 populated bins, an observed-rate trend (the pooled rate
+    at/above the keep cut strictly above the pooled rate below), and
+    near-pure confident-English top bins."""
+    cal = sorted(
+        QUERIES["pipeline_quality_calibration"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.bin,
+    )
+    assert len(cal) >= 8, [r.bin for r in cal]
+    lo = [r for r in cal if r.bin < -1]
+    hi = [r for r in cal if r.bin >= -1]
+    rate = lambda rows: sum(r.n_actual_en for r in rows) / sum(r.n_docs for r in rows)
+    assert rate(hi) > rate(lo)
+    # the two highest bins are confidently English (>= 0.7 observed)
+    assert all(r.observed_en_rate >= 0.7 for r in cal[-2:]), cal[-2:]
+    # prediction column consistent with the cut: every doc in a bin
+    # strictly below -1 is predicted non-English, bins >= 0 all kept
+    for r in cal:
+        if r.bin < -1:
+            assert r.n_pred_en == 0, r
+        if r.bin >= 0:
+            assert r.n_pred_en == r.n_docs, r
 
 
 def test_lang_confusion_cells_complete_and_english_separable(spark):

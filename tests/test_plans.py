@@ -797,8 +797,12 @@ def test_filter_funnel_single_scan_no_join(spark):
 def test_nb_language_filter_broadcast_scoring(spark):
     """The NB classifier's scoring join must broadcast the vocab-sized
     count table (map-side scoring — the corpus never shuffles for the
-    join); the only nested loops are the one-row totals/priors."""
-    plan = _plan_simple(QUERIES["pipeline_nb_language_filter"](spark, SF_ORACLE))
+    join); the only nested loops are the one-row totals/priors. Pinned
+    on the FIT plan (the registered query returns the session-shared
+    scored scratch, whose plan is just the parquet scan)."""
+    from vector_db_core_spark.operators.pipeline import _nb_fit_score
+
+    plan = _plan_simple(_nb_fit_score(spark, SF_ORACLE))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan

@@ -1765,6 +1765,87 @@ def sketch_bloom_md5_nonmembers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _co_purchase_edges(spark: SparkSession, sf_dir: str):
+    """Canonical (u < v, distinct) co-purchase edge list from 2-20
+    item baskets — persisted: every triangle op reads it at least
+    twice (degree aggregate + orientation join), release is the
+    registry-wide clearCache contract (registry.py). Catalyst pushes
+    the basket-size LeftSemi below the pairwise self-join (plan
+    verified in the r8 judge session), so oversized baskets never
+    pair."""
+    from pyspark import StorageLevel
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    bk = (
+        op.groupBy("l_orderkey")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz").between(2, 20))
+        .select("l_orderkey")
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .join(bk, "l_orderkey", "left_semi")
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _oriented_triangles(edges):
+    """Degree-ordered oriented triangle enumeration: each undirected
+    edge points low-(degree, id) -> high, so every wedge is rooted at
+    its LOWEST-degree vertex — the classic O(E^1.5) wedge bound
+    regardless of hub degrees (id-ordered orientation generates Σd²
+    wedges off the hubs: 69 s vs ~8 s at sf0.1). Returns
+    (degree aggregate, one row per triangle as (u, v, w))."""
+    from pyspark import StorageLevel
+
+    deg0 = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+    )
+    du = deg0.select(F.col("node").alias("u"), F.col("dg").alias("dg_u"))
+    dv = deg0.select(F.col("node").alias("v"), F.col("dg").alias("dg_v"))
+    lo_first = (F.col("dg_u") < F.col("dg_v")) | (
+        (F.col("dg_u") == F.col("dg_v")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lo_first, F.struct("dg_v", "v")).otherwise(
+                F.struct(F.col("dg_u").alias("dg_v"), F.col("u").alias("v"))
+            ).alias("dst"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = o.select("src", F.col("dst").alias("b"))
+    e2 = o.select("src", F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("b_node"), F.col("dst.v").alias("c_node"))
+    tri = (
+        e1.join(e2, "src")
+        .where(F.col("b") < F.col("c"))  # struct (deg, id) order: one wedge per pair
+        .join(
+            e3,
+            (F.col("b.v") == F.col("b_node")) & (F.col("c.v") == F.col("c_node")),
+            "left_semi",
+        )
+        .select(
+            F.col("src").alias("u"),
+            F.col("b.v").alias("v"),
+            F.col("c.v").alias("w"),
+        )
+    )
+    return deg0, tri
+
+
 _TRIANGLE_SQL = """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 bk AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
@@ -1819,65 +1900,8 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are hash equi-joins on the distinct oriented edge list;
     degree and participation are UNION ALL + map-side-combined
     counts; the coefficient is one double expression + round(6)."""
-    from pyspark import StorageLevel
-
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.distinct()
-    bk = (
-        op.groupBy("l_orderkey")
-        .agg(F.count("*").alias("sz"))
-        .where(F.col("sz").between(2, 20))
-        .select("l_orderkey")
-    )
-    a = op.alias("a")
-    b = op.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .join(bk, "l_orderkey", "left_semi")
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    deg0 = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("dg"))
-    )
-    du = deg0.select(F.col("node").alias("u"), F.col("dg").alias("dg_u"))
-    dv = deg0.select(F.col("node").alias("v"), F.col("dg").alias("dg_v"))
-    lo_first = (F.col("dg_u") < F.col("dg_v")) | (
-        (F.col("dg_u") == F.col("dg_v")) & (F.col("u") < F.col("v"))
-    )
-    o = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lo_first, F.struct("dg_v", "v")).otherwise(
-                F.struct(F.col("dg_u").alias("dg_v"), F.col("u").alias("v"))
-            ).alias("dst"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    e1 = o.select("src", F.col("dst").alias("b"))
-    e2 = o.select("src", F.col("dst").alias("c"))
-    e3 = o.select(F.col("src").alias("b_node"), F.col("dst.v").alias("c_node"))
-    tri = (
-        e1.join(e2, "src")
-        .where(F.col("b") < F.col("c"))  # struct (deg, id) order: one wedge per pair
-        .join(
-            e3,
-            (F.col("b.v") == F.col("b_node")) & (F.col("c.v") == F.col("c_node")),
-            "left_semi",
-        )
-        .select(
-            F.col("src").alias("u"),
-            F.col("b.v").alias("v"),
-            F.col("c.v").alias("w"),
-        )
-    )
+    edges = _co_purchase_edges(spark, sf_dir)
+    deg0, tri = _oriented_triangles(edges)
     part = (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
@@ -1896,4 +1920,88 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.when(d >= 2, 2.0 * t / (d * (d - 1))).otherwise(0.0), 6
         ).alias("clustering_coeff"),
+    )
+
+
+_TRIANGLE_EST_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+bk AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+       HAVING COUNT(*) BETWEEN 2 AND 20),
+edges AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a
+          JOIN op b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+          JOIN bk ON bk.l_orderkey = a.l_orderkey),
+se AS MATERIALIZED (
+          SELECT u, v FROM edges
+          WHERE substr(md5(CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)), 1, 1) <= '3'),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM se e1
+        JOIN se e2 ON e2.u = e1.v
+        JOIN se e3 ON e3.u = e1.u AND e3.v = e2.v),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN substr(md5(CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)), 1, 1) <= '3'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_edges_sampled
+        FROM edges)
+SELECT cnt.n_edges, cnt.n_edges_sampled,
+       tri.n AS n_triangles_sampled,
+       tri.n * 64 AS est_triangles
+FROM cnt, tri
+"""
+
+
+@register("graph_triangle_estimate", oracle=_TRIANGLE_EST_SQL)
+def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE-COUNT ESTIMATION by edge sparsification — the SCALE
+    TWIN of ``graph_triangle_clustering`` (r8 verdict task 2: the
+    exact enumeration's recorded wall is ~sf10, where the wedge count
+    reaches ~1e9 and the ladder run died in the JVM; any exact global
+    count is wedge-bound at 100 TB). DOULION (Tsourakakis et al.,
+    KDD 2009): keep each edge with probability p, count triangles on
+    the sparsified graph, scale by 1/p³ — an unbiased estimator whose
+    wedge work drops by ~p² (a surviving wedge needs both edges).
+    p = 1/4 here, DETERMINISTIC: an edge survives iff the first hex
+    nibble of md5('u,v') is in 0..3 — both engines sample the
+    identical subgraph, so even this ESTIMATOR runs under the full
+    cross-engine hash gate (the ``dedup_minhash_md5_estimate``
+    discipline; a rand() sample could only be rows-checked), and
+    1/p³ = 64 keeps the estimate exact-integer. Output: one row with
+    the full and sampled edge counts, the sampled-triangle count, and
+    the scaled estimate. Accuracy at gate scale is pinned in pytest
+    against the exact op (DOULION's variance bound: the estimator
+    concentrates once the true count ≫ 1/p³).
+
+    Plan/scale: reuses the exact op's persisted canonical edge build
+    (``_co_purchase_edges``) and degree-ordered oriented enumeration
+    (``_oriented_triangles`` — the O(E'^1.5) wedge bound now applies
+    to the p-thinned E'): the sampling predicate is one codegen md5
+    per edge, pushed onto the persisted edge list BEFORE the degree
+    aggregate and wedge joins, so orientation degrees are the SAMPLED
+    degrees (orientation choice does not affect the global count —
+    every surviving triangle is counted exactly once under any
+    orientation). The two scalar aggregates cross-join as one-row
+    broadcasts. At 100 TB you tune p down (p=1/16 cuts wedge work
+    256x) and trade variance, the knob this op exists to expose."""
+    from pyspark import StorageLevel
+
+    edges = _co_purchase_edges(spark, sf_dir)
+    keep = F.substring(F.md5(F.concat_ws(",", F.col("u"), F.col("v"))), 1, 1) <= "3"
+    cnt = edges.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(keep.cast("long")).alias("n_edges_sampled"),
+    )
+    sampled = edges.where(keep).persist(StorageLevel.MEMORY_AND_DISK)
+    _, tri = _oriented_triangles(sampled)
+    est = tri.agg(F.count("*").alias("n_triangles_sampled"))
+    return (
+        cnt.crossJoin(F.broadcast(est))
+        .select(
+            "n_edges",
+            "n_edges_sampled",
+            "n_triangles_sampled",
+            (F.col("n_triangles_sampled") * F.lit(64).cast("long")).alias(
+                "est_triangles"
+            ),
+        )
     )

@@ -1532,7 +1532,23 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(F.explode(stages).alias("s")).select("s.*")
 
 
-_NB_LANG_SQL = r"""
+#: Keep cut on the per-token score (``log_odds / n_tokens``), chosen
+#: FROM the calibration table (the evaluate-your-filter loop closing
+#: on itself — round-8 verdict): at the raw-log-odds 0 cut the filter
+#: under-recalled English badly (41% at sf0.01) because log-odds
+#: scale with document length and English is the minority prior. The
+#: reliability diagram over per-token score bins (width 0.01) shows
+#: bins below -0.01 are confidently non-English (observed English
+#: rate <= 0.35 at sf0.01) while [-0.01, 0) sits at the corpus prior
+#: — so the filter drops only what the classifier actively marks
+#: non-English and keeps the uncertain mass for downstream quality
+#: gates (the standard curation posture). Measured at sf0.01:
+#: English recall 0.41 -> 0.70, precision 0.586 -> 0.508, non-English
+#: rejection 0.475, balanced accuracy 0.589 (floors pinned in
+#: tests/test_pipeline.py).
+NB_KEEP_CUT = -0.01
+
+_NB_LANG_SQL = rf"""
     WITH tok AS (SELECT doc_id, lang = 'en' AS is_en,
                         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
                  FROM documents),
@@ -1548,41 +1564,39 @@ _NB_LANG_SQL = r"""
                    CAST(COUNT(*) AS DOUBLE) AS v
             FROM cls),
     s AS (SELECT doc_id, is_en,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
                  SUM(CAST(ln((c_en + 1) / (t_en + v)) - ln((c_ot + 1) / (t_ot + v))
                           AS DECIMAL(27,15))) AS lr
           FROM tok JOIN cls USING (token), tot
           GROUP BY doc_id, is_en)
-    SELECT doc_id, is_en,
+    SELECT doc_id, is_en, n_tokens,
            round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6) AS log_odds,
-           round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6) > 0.0 AS pred_en
+           round(round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6) / n_tokens, 6)
+             AS score,
+           round(round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6) / n_tokens, 6)
+             >= {NB_KEEP_CUT} AS pred_en
     FROM s, pri
 """
 
+#: One NB fit per (process, sf_dir): the scored frame is materialized
+#: to a pid-keyed scratch parquet the first time any of the
+#: filter-evaluation trio (filter -> calibration -> confusion) needs
+#: it, and every later consumer reads the materialization — the
+#: ``_doc_avg_logprob`` shared-tf replan, lifted across queries
+#: (round-8 verdict task 5: calibration and confusion each re-ran the
+#: full fit+score, ~6 s each at ~sf1 vs the filter's ~5 s). A scratch
+#: FILE rather than persist() because the registry's clearCache-per-
+#: query contract (registry.py) would evict a cached frame between
+#: queries; parquet round-trips doubles/longs/booleans bit-exactly,
+#: so the hash gate is unaffected. pid-keyed like the replay roots so
+#: concurrent consumers never race.
+_NB_SCORED_PATHS: dict[str, str] = {}
+_NB_FIT_COUNT = 0  # pytest pin: exactly one fit per (process, sf_dir)
 
-@register("pipeline_nb_language_filter", oracle=_NB_LANG_SQL)
-def pipeline_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fastText-style LANGUAGE FILTER trained in-engine: a multinomial
-    Naive Bayes classifier (Laplace-smoothed token likelihoods, the
-    closed-form cousin of the fastText linear classifier CCNet /
-    RedPajama use for language filtering) is fit on the corpus's own
-    labels (en vs not-en) and applied back to every document — per doc
-    the log-odds and the keep/drop decision. Fixture languages share a
-    vocabulary but differ in token FREQUENCIES, so the classifier has
-    real signal to learn; training and scoring are the same two-pass
-    shape a real fastText-scored curation run has (fit once, score
-    everything).
 
-    Plan/scale: pass 1 reduces exploded tokens to the per-token class
-    count table (map-side combined; |vocab| rows); its totals and the
-    label priors are one-row broadcast aggregates. Pass 2 re-explodes
-    the corpus and equi-joins tokens to the count table — UNHINTED:
-    vocabulary-sized tables broadcast automatically while they fit
-    (Catalyst's estimate, plan-pinned at fixture scale) and degrade
-    to a shuffle join beyond the 8 GB broadcast ceiling, which a
-    forced hint would turn into a failure. Per-token log-likelihood
-    ratios are DECIMAL-cast before the per-doc sum (order-independent;
-    round(6) absorbs last-ulp ``ln`` drift), and the keep decision
-    compares the ROUNDED log-odds so both engines decide identically."""
+def _nb_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure fit+score plan (see ``pipeline_nb_language_filter``
+    for semantics; this is the DataFrame the scratch materializes)."""
     from vector_db_core_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
@@ -1612,17 +1626,82 @@ def pipeline_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(cls, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "is_en")
-        .agg(F.sum(lr).alias("lr"))
+        .agg(F.count("*").alias("n_tokens"), F.sum(lr).alias("lr"))
     )
     log_odds = F.round(
         F.col("lr").cast("double") + F.log(F.col("n_en") / F.col("n_ot")), 6
     )
+    score = F.round(log_odds / F.col("n_tokens"), 6)
     return s.crossJoin(F.broadcast(pri)).select(
         "doc_id",
         "is_en",
+        "n_tokens",
         log_odds.alias("log_odds"),
-        (log_odds > 0.0).alias("pred_en"),
+        score.alias("score"),
+        (score >= F.lit(NB_KEEP_CUT)).alias("pred_en"),
     )
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored corpus, fit at most once per (process, sf_dir)."""
+    import hashlib
+    import os
+    import tempfile
+
+    global _NB_FIT_COUNT
+    path = _NB_SCORED_PATHS.get(sf_dir)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"vdbc_nb_scored_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+            f"_{os.getpid()}",
+        )
+        _nb_fit_score(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _NB_FIT_COUNT += 1
+        _NB_SCORED_PATHS[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def _nb_scored_reset() -> None:
+    """Drop the scratch bookkeeping so the next consumer re-fits
+    (bench hook: lets a timed sample pay the real fit cost)."""
+    _NB_SCORED_PATHS.clear()
+
+
+@register("pipeline_nb_language_filter", oracle=_NB_LANG_SQL)
+def pipeline_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style LANGUAGE FILTER trained in-engine: a multinomial
+    Naive Bayes classifier (Laplace-smoothed token likelihoods, the
+    closed-form cousin of the fastText linear classifier CCNet /
+    RedPajama use for language filtering) is fit on the corpus's own
+    labels (en vs not-en) and applied back to every document — per doc
+    the log-odds, the LENGTH-INVARIANT per-token score
+    (``log_odds / n_tokens`` — raw log-odds scale with document
+    length, so a fixed cut on them conflates length with language),
+    and the keep/drop decision at ``score >= NB_KEEP_CUT``, the
+    operating point read off the calibration table (see NB_KEEP_CUT:
+    English recall 0.41 -> 0.70 at sf0.01, precision recorded there).
+    Fixture languages share a vocabulary but differ in token
+    FREQUENCIES, so the classifier has real signal to learn; training
+    and scoring are the same two-pass shape a real fastText-scored
+    curation run has (fit once, score everything).
+
+    Plan/scale: pass 1 reduces exploded tokens to the per-token class
+    count table (map-side combined; |vocab| rows); its totals and the
+    label priors are one-row broadcast aggregates. Pass 2 re-explodes
+    the corpus and equi-joins tokens to the count table — UNHINTED:
+    vocabulary-sized tables broadcast automatically while they fit
+    (Catalyst's estimate, plan-pinned at fixture scale) and degrade
+    to a shuffle join beyond the 8 GB broadcast ceiling, which a
+    forced hint would turn into a failure. Per-token log-likelihood
+    ratios are DECIMAL-cast before the per-doc sum (order-independent;
+    round(6) absorbs last-ulp ``ln`` drift), and both the score and
+    the keep decision derive from the ROUNDED log-odds so both engines
+    decide identically. The scored frame is materialized ONCE per
+    session to a scratch parquet shared by the whole evaluation trio
+    (``_nb_scored``), so calibration and confusion add aggregates, not
+    re-fits."""
+    return _nb_scored(spark, sf_dir)
 
 
 @register(
@@ -1821,7 +1900,7 @@ def pipeline_oversample_minority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NB_CALIBRATION_SQL = (
     "WITH nb AS (" + _NB_LANG_SQL + """)
-SELECT CAST(least(greatest(floor(log_odds / 100.0), -5), 5) AS INT) AS bin,
+SELECT CAST(least(greatest(floor(score * 100.0), -5), 5) AS INT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_actual_en,
        CAST(SUM(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
@@ -1835,24 +1914,33 @@ FROM nb GROUP BY 1
 @register("pipeline_quality_calibration", oracle=_NB_CALIBRATION_SQL)
 def pipeline_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLASSIFIER CALIBRATION (reliability diagram) for the in-engine
-    NB language filter: bucket every document's log-odds into clamped
-    100-wide score bins and compare the OBSERVED English rate per bin
-    against the prediction — the before-you-trust-the-filter check
-    every model-scored curation step needs (a filter whose 'confident'
-    bins aren't near-pure is mis-thresholded, and the bin table says
-    WHERE to move the cut). Composes the registered
-    ``pipeline_nb_language_filter`` output (same DataFrame, same
-    oracle text as a CTE — the registry's queries are building
-    blocks, not endpoints). Bin assignment floors the ROUNDED
-    log-odds, so both engines bin identical doubles identically; the
-    rate is one division + round(6) per output row.
+    NB language filter: bucket every document's PER-TOKEN score
+    (``log_odds / n_tokens``) into clamped 0.01-wide bins and compare
+    the OBSERVED English rate per bin against the prediction — the
+    before-you-trust-the-filter check every model-scored curation
+    step needs (a filter whose 'confident' bins aren't near-pure is
+    mis-thresholded, and the bin table says WHERE to move the cut —
+    NB_KEEP_CUT is literally read off this table). Binning the
+    NORMALIZED score is load-bearing: raw log-odds scale with
+    document token count, so the previous 100-wide raw bins saturated
+    their clamp and populated only 2 bins at every fixture scale — a
+    two-bin diagram cannot localize the cut (round-8 verdict). The
+    per-token bins populate 10 of the 11 slots at sf0.01 with a
+    rising observed-rate trend (pinned in tests/test_pipeline.py).
+    Composes the registered ``pipeline_nb_language_filter`` output
+    (same scored frame, same oracle text as a CTE — the registry's
+    queries are building blocks, not endpoints). Bin assignment
+    floors ``score * 100`` on the ROUNDED score, so both engines bin
+    identical doubles identically; the rate is one division +
+    round(6) per output row.
 
-    Plan/scale: adds ONE map-side-combined 11-bin aggregate on top of
-    the filter's two-pass plan — asymptotically free."""
-    nb = pipeline_nb_language_filter(spark, sf_dir)
+    Plan/scale: ONE map-side-combined 11-bin aggregate over the
+    session-shared scored scratch (``_nb_scored``) — after the trio's
+    single fit, this query costs a column-pruned parquet scan."""
+    nb = _nb_scored(spark, sf_dir)
     bin_col = (
         F.least(
-            F.greatest(F.floor(F.col("log_odds") / 100.0), F.lit(-5).cast("long")),
+            F.greatest(F.floor(F.col("score") * 100.0), F.lit(-5).cast("long")),
             F.lit(5).cast("long"),
         )
     ).cast("int")
@@ -1891,12 +1979,17 @@ def pipeline_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter over-dropping German specifically, or all non-English
     evenly?). Third member of the filter-evaluation family
     (filter → calibration → confusion), again composing the
-    registered filter DataFrame AND its oracle text as a CTE.
+    registered filter DataFrame AND its oracle text as a CTE. This
+    matrix is where the round-8 operating-point finding closed: at
+    the raw-log-odds 0 cut English recall was 0.41; at the
+    calibration-derived NB_KEEP_CUT it is 0.70 at sf0.01 (recall
+    floors pinned in tests/test_pipeline.py).
 
-    Plan/scale: the filter's two-pass plan + one broadcast join back
-    to the label column + a 10-cell aggregate; the share is a window
-    over the <=10-row result."""
-    nb = pipeline_nb_language_filter(spark, sf_dir).select("doc_id", "pred_en")
+    Plan/scale: one broadcast join from the session-shared scored
+    scratch (``_nb_scored`` — no re-fit) back to the label column +
+    a 10-cell aggregate; the share is a window over the <=10-row
+    result."""
+    nb = _nb_scored(spark, sf_dir).select("doc_id", "pred_en")
     d = _docs(spark, sf_dir).select("doc_id", "lang")
     cells = nb.join(d, "doc_id").groupBy("lang", "pred_en").agg(
         F.count("*").alias("n_docs")
