@@ -1089,3 +1089,25 @@ def test_kmeans_exact_clusters_are_sane(spark):
                 float(((x - cents[o]) ** 2).sum()) for o in cents if o != c
             )
     assert np.mean(intra) < np.mean(inter)
+
+
+def test_gopher_line_rules_discriminate(spark):
+    """Every line-shaped rule must reject a non-empty, non-total slice
+    of the fixture (the registration bar the single-line raw text
+    could not meet — measured 450/454/475 of 500 passing at sf0.01),
+    and the fractions must re-derive from the integer counts."""
+    rows = QUERIES["text_gopher_line_rules"](spark, SF_ORACLE).collect()
+    n = len(rows)
+    assert n > 0
+    for c in ("pass_dup_lines", "pass_ellipsis_lines", "pass_bullet_lines"):
+        k = sum(getattr(r, c) for r in rows)
+        assert 0 < k < n, (c, k, n)
+    for r in rows:
+        assert r.n_lines >= 1
+        assert abs(r.dup_line_frac - r.n_dup_lines / r.n_lines) < 1e-6
+        assert r.line_rules_keep == (
+            r.pass_dup_lines and r.pass_ellipsis_lines and r.pass_bullet_lines
+        )
+        # the all-bullets pathology: bullet_line_frac 1.0 docs fail
+        if r.bullet_line_frac == 1.0:
+            assert not r.pass_bullet_lines

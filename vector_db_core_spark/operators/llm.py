@@ -2730,10 +2730,11 @@ def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean word length in [3, 10]; >= 2 stop words; >= 80% of words
     contain an alphabetic character; symbol-to-word ratio ('#' or
     '...') <= 0.1. The remaining Gopher rules are line-shaped
-    (bullet/ellipsis line starts, duplicate lines) — this fixture's
-    documents are single-line word streams, so those rules are
-    structurally vacuous here and live with the repetition family
-    (``text_repetition_ratio``) instead. On this fixture the word-count
+    (bullet/ellipsis lines, duplicate lines) — this fixture's
+    documents are single-line word streams, so they are vacuous on
+    the RAW text and are registered separately over a deterministic
+    multi-line reconstruction (``text_gopher_line_rules``; decision
+    made explicit per the r8 verdict task 8). On this fixture the word-count
     and stop-word rules genuinely discriminate (277/500 and 224/500
     pass at sf0.01 — pinned non-vacuous in tests/test_llm.py).
 
@@ -4272,4 +4273,131 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("doc_freq").cast("double") / F.col("n_docs"), 6).alias("df_ratio"),
         F.round(F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6).alias("idf"),
         (F.col("doc_freq") * 2 > F.col("n_docs")).alias("is_stopword"),
+    )
+
+
+_GOPHER_LINE_SQL = r"""
+WITH t AS (SELECT doc_id, substr(md5(text), 1, 1) = '0' AS all_bullets,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+c AS (SELECT doc_id, all_bullets, toks,
+             CAST(ceil(len(toks) / 8.0) AS INT) AS n_chunks
+      FROM t WHERE len(toks) > 0),
+l AS (SELECT doc_id,
+             (CASE WHEN i % 7 = 3 OR all_bullets THEN '- ' ELSE '' END)
+             || (CASE WHEN i % 11 = 5 AND i > 0
+                      THEN array_to_string(list_slice(toks, 1, 8), ' ')
+                      ELSE array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')
+                 END)
+             || (CASE WHEN i % 5 = 2 THEN ' ...' ELSE '' END) AS line
+      FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)),
+per AS (SELECT doc_id, line, COUNT(*) AS cnt,
+               ends_with(line, '...') AS is_ellipsis,
+               starts_with(line, '- ') AS is_bullet
+        FROM l GROUP BY doc_id, line),
+a AS (SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_lines,
+             CAST(SUM(CASE WHEN is_ellipsis THEN cnt ELSE 0 END) AS BIGINT) AS n_ellipsis_lines,
+             CAST(SUM(CASE WHEN is_bullet THEN cnt ELSE 0 END) AS BIGINT) AS n_bullet_lines
+      FROM per GROUP BY doc_id)
+SELECT doc_id, n_lines, n_dup_lines, n_ellipsis_lines, n_bullet_lines,
+       round(CAST(n_dup_lines AS DOUBLE) / n_lines, 6) AS dup_line_frac,
+       round(CAST(n_ellipsis_lines AS DOUBLE) / n_lines, 6) AS ellipsis_line_frac,
+       round(CAST(n_bullet_lines AS DOUBLE) / n_lines, 6) AS bullet_line_frac,
+       (CAST(n_dup_lines AS DOUBLE) / n_lines <= 0.30) AS pass_dup_lines,
+       (CAST(n_ellipsis_lines AS DOUBLE) / n_lines <= 0.30) AS pass_ellipsis_lines,
+       (CAST(n_bullet_lines AS DOUBLE) / n_lines < 0.90) AS pass_bullet_lines,
+       ((CAST(n_dup_lines AS DOUBLE) / n_lines <= 0.30)
+        AND (CAST(n_ellipsis_lines AS DOUBLE) / n_lines <= 0.30)
+        AND (CAST(n_bullet_lines AS DOUBLE) / n_lines < 0.90)) AS line_rules_keep
+FROM a
+"""
+
+
+@register("text_gopher_line_rules", oracle=_GOPHER_LINE_SQL)
+def text_gopher_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINE-SHAPED Gopher rules (Rae et al. 2021, Appendix A) the
+    flag suite ``text_gopher_quality_flags`` had to exclude as
+    structurally vacuous — this fixture's documents are single-line
+    word streams — now registered over a DETERMINISTIC multi-line
+    reconstruction, the decision the r8 verdict asked to make
+    explicitly (task 8; the PII/URL ops' synthesize-the-missing-column
+    pattern). Line synthesis, stated identically in the oracle: the
+    token stream chunks into 8-token lines; line i duplicates line 0
+    when i % 11 == 5 (duplicate-line signal), takes a '- ' bullet
+    prefix when i % 7 == 3 — or on EVERY line for the ~1/16 of docs
+    whose content md5 starts '0', the all-bullets pathology the rule
+    exists to drop — and an ' ...' suffix when i % 5 == 2. Rules at
+    the published thresholds: duplicate-line fraction <= 0.30,
+    ellipsis-line fraction <= 0.30, bullet-line fraction < 0.90.
+    Every rule discriminates on this fixture (some docs pass, some
+    fail — pinned in tests/test_llm.py).
+
+    Plan/scale: line construction is pure codegen (sequence +
+    transform + slice — no UDF, no extra scan); duplicate detection
+    needs line identity across a document, so the explode shuffles
+    (doc_id, line) once (map-side combined) and the per-doc rollup
+    reuses that partitioning (subset key) — the
+    ``dedup_paragraph_keep_first`` shape. Output linear in docs;
+    state per group is one line string."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.substring(F.md5("text"), 1, 1) == "0").alias("all_bullets"),
+        tokens("text").alias("toks"),
+    ).where(F.size("toks") > 0)
+    toks = F.col("toks")
+    idx = F.sequence(
+        F.lit(0), F.ceil(F.size(toks) / F.lit(8.0)).cast("int") - 1
+    )
+    base0 = F.array_join(F.slice(toks, 1, 8), " ")
+
+    def _line(i):
+        body = F.when((i % 11 == 5) & (i > 0), base0).otherwise(
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " ")
+        )
+        return F.concat(
+            F.when((i % 7 == 3) | F.col("all_bullets"), F.lit("- ")).otherwise(
+                F.lit("")
+            ),
+            body,
+            F.when(i % 5 == 2, F.lit(" ...")).otherwise(F.lit("")),
+        )
+
+    l = docs.select(
+        "doc_id", F.explode(F.transform(idx, _line)).alias("line")
+    )
+    per = l.groupBy("doc_id", "line").agg(
+        F.count("*").alias("cnt"),
+        F.max(F.col("line").endswith("...")).alias("is_ellipsis"),
+        F.max(F.col("line").startswith("- ")).alias("is_bullet"),
+    )
+    a = per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "n_dup_lines"
+        ),
+        F.sum(F.when(F.col("is_ellipsis"), F.col("cnt")).otherwise(0)).alias(
+            "n_ellipsis_lines"
+        ),
+        F.sum(F.when(F.col("is_bullet"), F.col("cnt")).otherwise(0)).alias(
+            "n_bullet_lines"
+        ),
+    )
+    dup = F.col("n_dup_lines").cast("double") / F.col("n_lines")
+    ell = F.col("n_ellipsis_lines").cast("double") / F.col("n_lines")
+    bul = F.col("n_bullet_lines").cast("double") / F.col("n_lines")
+    return a.select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        "n_ellipsis_lines",
+        "n_bullet_lines",
+        F.round(dup, 6).alias("dup_line_frac"),
+        F.round(ell, 6).alias("ellipsis_line_frac"),
+        F.round(bul, 6).alias("bullet_line_frac"),
+        (dup <= 0.30).alias("pass_dup_lines"),
+        (ell <= 0.30).alias("pass_ellipsis_lines"),
+        (bul < 0.90).alias("pass_bullet_lines"),
+        ((dup <= 0.30) & (ell <= 0.30) & (bul < 0.90)).alias("line_rules_keep"),
     )
