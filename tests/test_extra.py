@@ -651,3 +651,72 @@ def test_triangle_estimate_error_bound(spark):
     assert est.est_triangles == est.n_triangles_sampled * 64
     assert abs(est.n_edges_sampled / est.n_edges - 0.25) < 0.02
     assert abs(est.est_triangles - exact) / exact <= 0.05, (est, exact)
+
+
+def test_gini_matches_numpy_rederivation(spark):
+    """Gini must equal the independent numpy closed form on the raw
+    per-customer rollup, and sit strictly inside (0, 1)."""
+    import numpy as np
+
+    c = (
+        load_table(spark, SF_ORACLE, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    x = np.sort(np.array([r.cents for r in c], dtype=np.float64))
+    n = len(x)
+    want = (2 * np.sum(np.arange(1, n + 1) * x) - (n + 1) * x.sum()) / (n * x.sum())
+    (got,) = QUERIES["agg_gini_customer_spend"](spark, SF_ORACLE).collect()
+    assert got.n_customers == n
+    assert 0.0 < got.gini < 1.0
+    assert abs(got.gini - want) < 1e-6, (got.gini, want)
+
+
+def test_theil_sen_matches_numpy_rederivation(spark):
+    """Per-type Theil-Sen slope must equal numpy's median of all
+    pairwise slopes over the same daily rollup."""
+    import numpy as np
+
+    daily = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    got = {
+        r.event_type: (r.n_pairs, r.theil_sen_slope_cents_per_day)
+        for r in QUERIES["timeseries_theil_sen_trend"](spark, SF_ORACLE).collect()
+    }
+    by_type: dict[str, list] = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append((r.day, r.cents))
+    for et, series in by_type.items():
+        series.sort()
+        slopes = [
+            (c2 - c1) / (d2 - d1).days
+            for i, (d1, c1) in enumerate(series)
+            for (d2, c2) in series[i + 1:]
+        ]
+        n_pairs, slope = got[et]
+        assert n_pairs == len(slopes)
+        assert abs(slope - float(np.median(slopes))) < 1e-5, et
+
+
+def test_dedup_curve_monotone_and_consistent(spark):
+    """The operating curve must be monotone non-increasing as the
+    threshold tightens and must re-aggregate the registered estimator
+    output exactly."""
+    est = QUERIES["dedup_minhash_md5_estimate"](spark, SF_ORACLE).collect()
+    curve = sorted(
+        QUERIES["dedup_threshold_operating_curve"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.min_agree,
+    )
+    assert [r.min_agree for r in curve] == [4, 8, 12, 16]
+    for a, b in zip(curve, curve[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_flagged >= b.n_docs_flagged
+    for r in curve:
+        keep = [e for e in est if e.n_agree >= r.min_agree]
+        assert r.n_pairs == len(keep)
+        assert r.n_docs_flagged == len({e.doc_b for e in keep})

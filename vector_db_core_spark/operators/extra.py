@@ -3177,3 +3177,135 @@ def funnel_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(bounce.cast("double") / F.count("*"), 6).alias("bounce_rate"),
         )
     )
+
+
+_GINI_SQL = """
+WITH c AS (SELECT o_custkey,
+                  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY o_custkey),
+r AS (SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+      FROM c),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             SUM(CAST(i AS DECIMAL(38,0)) * cents) AS iw
+      FROM r)
+SELECT n AS n_customers, total AS total_cents,
+       round((2.0 * CAST(iw AS DOUBLE) - (n + 1.0) * CAST(total AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
+FROM a
+"""
+
+
+@register("agg_gini_customer_spend", oracle=_GINI_SQL)
+def agg_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer spend — the inequality/
+    concentration statistic (how much of the revenue sits with how few
+    customers; the same machinery profiles corpus-source token
+    concentration before a training mix is weighted). Exact form on
+    the SORTED reduction: G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with
+    1-based ranks — per-customer cents are exact integers, the
+    rank-weighted sum accumulates in DECIMAL(38,0) (i·x reaches ~1e20
+    past BIGINT by ~sf10), and ties take a (cents, custkey) total
+    order whose rank assignment is tie-invariant for the sum (equal x
+    across consecutive ranks contributes the same Σi·x under any
+    permutation). One double finish + round(6).
+
+    Plan/scale: corpus → per-customer rollup (map-side combined, one
+    shuffle); the global ranking is a single-partition window over the
+    CUSTOMER REDUCTION (|customers| rows, not |orders|) — the same
+    deliberate reduce-then-rank shape as ``timeseries_*``'s
+    day-rollup windows; a 100 TB run ranks its reduction the same way
+    (15M customers sort in one task comfortably; past that the
+    prefix-rank goes two-phase like the store's rowid assignment)."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    r = c.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).cast("long").alias("i"),
+    )
+    a = r.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("iw"),
+    )
+    n = F.col("n").cast("double")
+    total = F.col("total").cast("double")
+    return a.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.round(
+            (2.0 * F.col("iw").cast("double") - (n + 1.0) * total) / (n * total), 6
+        ).alias("gini"),
+    )
+
+
+_THEIL_SEN_SQL = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / date_diff('day', a.day, b.day) AS slope
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(median(slope), 6) AS theil_sen_slope_cents_per_day
+FROM p GROUP BY event_type
+"""
+
+
+@register("timeseries_theil_sen_trend", oracle=_THEIL_SEN_SQL)
+def timeseries_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN ROBUST TREND per event type: the median of all
+    pairwise slopes of the daily value series — the trend estimator
+    that shrugs off the outlier days OLS chases (29% breakdown point;
+    Sen 1968), i.e. the number to read when CUSUM
+    (``timeseries_cusum_changepoint``) says the level moved and you
+    want the drift rate without the spike days voting. Slopes are one
+    double division each from exact integer cents and exact day
+    differences — identical IEEE values both engines — and the median
+    interpolates the two middle doubles identically (Spark
+    ``percentile(0.5)`` == DuckDB ``median`` on DOUBLE); round(6)
+    absorbs the finish.
+
+    Plan/scale: the pairwise self-join runs on the DAY-ROLLUP
+    REDUCTION, never the corpus — pairs are time-span-bounded
+    (365 days → ~66k slopes per type regardless of corpus size, the
+    ``join_interval_overlap`` reduction discipline), then one
+    map-side-combined aggregate per type. The corpus is touched once
+    for the rollup."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    a = d.select("event_type", F.col("day").alias("d1"), F.col("cents").alias("c1"))
+    b = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    p = (
+        a.join(b, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2")))
+        .select(
+            "event_type",
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / F.datediff(F.col("d2"), F.col("d1"))
+            ).alias("slope"),
+        )
+    )
+    return p.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile(F.col("slope"), F.lit(0.5)), 6).alias(
+            "theil_sen_slope_cents_per_day"
+        ),
+    )

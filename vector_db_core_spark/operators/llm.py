@@ -4401,3 +4401,46 @@ def text_gopher_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bul < 0.90).alias("pass_bullet_lines"),
         ((dup <= 0.30) & (ell <= 0.30) & (bul < 0.90)).alias("line_rules_keep"),
     )
+
+
+_DEDUP_CURVE_SQL = (
+    "WITH est AS (" + _MINHASH_MD5_SQL + """),
+t AS (SELECT u.m AS min_agree FROM UNNEST([4, 8, 12, 16]) AS u(m)),
+f AS (SELECT t.min_agree, est.doc_b
+      FROM t JOIN est ON est.n_agree >= t.min_agree)
+SELECT min_agree,
+       round(min_agree / 16.0, 6) AS threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_flagged
+FROM f GROUP BY min_agree
+"""
+)
+
+
+@register("dedup_threshold_operating_curve", oracle=_DEDUP_CURVE_SQL)
+def dedup_threshold_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP OPERATING CURVE: for each candidate similarity threshold
+    (signature agreement 4/16, 8/16, 12/16, 16/16 — the estimator's
+    native quantization), the surviving candidate-pair count and how
+    many documents a keep-lowest-id dedup would flag — the table a
+    curation run reads to PICK its near-dup threshold (how much corpus
+    do I lose at 0.5 vs 0.75?), the same evaluate-the-knob discipline
+    NB_KEEP_CUT applies to the language filter. Composes the
+    registered ``dedup_minhash_md5_estimate`` (same DataFrame, same
+    oracle text as a CTE), so the whole curve inherits the estimator's
+    cross-engine bit-identical sketch algebra.
+
+    Plan/scale: the candidate pairs come from LSH banding (never
+    all-pairs); the curve adds one 4-way threshold explode over the
+    CANDIDATE-PAIR reduction and a distinct-count per threshold —
+    output is 4 rows whatever the corpus. At 100 TB the same query
+    runs on the banded candidates, which is the whole point of
+    publishing the curve before committing to a deletion pass."""
+    est = dedup_minhash_md5_estimate(spark, sf_dir)
+    t = spark.range(1, 5).select((F.col("id") * 4).cast("int").alias("min_agree"))
+    f = est.join(F.broadcast(t), F.col("n_agree") >= F.col("min_agree"))
+    return f.groupBy("min_agree").agg(
+        F.round(F.col("min_agree") / 16.0, 6).alias("threshold"),
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_b").alias("n_docs_flagged"),
+    )
