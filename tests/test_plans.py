@@ -990,3 +990,39 @@ def test_minhash_md5_estimate_no_all_pairs(spark):
     plan = _plan(QUERIES["dedup_minhash_md5_estimate"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round9_gini_and_theil_sen_rank_reductions(spark):
+    """Gini's global ranking window and Theil-Sen's pairwise self-join
+    must feed from the per-customer / per-day reduction (partial hash
+    aggregate between the scan and any SinglePartition exchange or
+    join), never the raw fact table — the reduce-then-rank/pair
+    discipline that keeps both ops corpus-size-independent past the
+    first rollup."""
+    for name in ("agg_gini_customer_spend", "timeseries_theil_sen_trend"):
+        simple = _plan_simple(QUERIES[name](spark, SF_ORACLE))
+        lines = simple.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            subtree = lines[i + 1:]
+            agg = next(
+                (j for j, l in enumerate(subtree) if "HashAggregate" in l and "partial_" in l),
+                None,
+            )
+            scan = next(j for j, l in enumerate(subtree) if "FileScan" in l)
+            assert agg is not None and agg < scan, (name, ln)
+        assert "Python" not in simple and "CartesianProduct" not in simple
+
+
+def test_round9_triangle_estimate_samples_before_orientation(spark):
+    """The DOULION sample predicate must sit below the degree
+    aggregate and wedge joins (orientation runs on the thinned graph,
+    the whole point of the twin); no Python, no cartesian product."""
+    plan = _plan_simple(QUERIES["graph_triangle_estimate"](spark, SF_ORACLE))
+    assert "Python" not in plan and "CartesianProduct" not in plan
+    # the sampled-edge relation is built once and reused (persisted):
+    # its md5 filter appears, and every wedge join input is a reuse of
+    # the same InMemoryRelation rather than a re-derivation
+    assert "md5" in plan
+    assert "InMemoryTableScan" in plan
