@@ -720,3 +720,39 @@ def test_dedup_curve_monotone_and_consistent(spark):
         keep = [e for e in est if e.n_agree >= r.min_agree]
         assert r.n_pairs == len(keep)
         assert r.n_docs_flagged == len({e.doc_b for e in keep})
+
+
+def test_benford_profile_sums_and_chi2(spark):
+    """Digits cover 1-9, frequencies sum to 1, counts re-derive from
+    the raw column, and the fixture's uniform price generator FAILS
+    Benford (large total chi-square) — the signal the op exists for."""
+    rows = sorted(
+        QUERIES["agg_benford_first_digit"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.digit,
+    )
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_freq for r in rows) - 1.0) < 1e-4
+    # chi-square far beyond the 95% critical value for 8 dof (15.5):
+    # uniform magnitudes are exactly what Benford screening flags
+    assert sum(r.chi2_term for r in rows) > 15.5
+
+
+def test_degree_distribution_consistent_with_triangle_degrees(spark):
+    """The histogram must re-aggregate the exact op's per-node degree
+    column, and the profile must report this fixture's true shape: a
+    NEAR-FLAT log-log slope (|slope| < 1 — the co-purchase graph is
+    binomial-ish, not scale-free; a power-law graph fits ~ -2..-3)
+    over a bell whose tail decays (the max-degree bin is thinner than
+    the modal bin)."""
+    tri = QUERIES["graph_triangle_clustering"](spark, SF_ORACLE).collect()
+    want: dict[int, int] = {}
+    for r in tri:
+        want[r.degree] = want.get(r.degree, 0) + 1
+    rows = QUERIES["graph_degree_distribution"](spark, SF_ORACLE).collect()
+    got = {r.degree: r.n_nodes for r in rows}
+    assert got == want
+    assert abs(rows[0].loglog_slope) < 1.0
+    top = max(rows, key=lambda r: r.degree)
+    modal = max(rows, key=lambda r: r.n_nodes)
+    assert top.n_nodes < modal.n_nodes

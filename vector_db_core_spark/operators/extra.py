@@ -3309,3 +3309,53 @@ def timeseries_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_sen_slope_cents_per_day"
         ),
     )
+
+
+_BENFORD_SQL = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_totalprice > 0),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
+a AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM a)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+       round(pow(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit) * total, 6) AS chi2_term
+FROM a, t
+"""
+
+
+@register("agg_benford_first_digit", oracle=_BENFORD_SQL)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit profile of order totals: observed
+    vs expected leading-digit frequencies and the per-digit chi-square
+    contribution — the anomaly screen auditors run on financial
+    columns and data teams run on any organically-generated magnitude
+    column (synthetic or truncated data shows up as a flat digit
+    histogram; TPC-H's uniform price generator deliberately FAILS
+    Benford, which the chi2 terms quantify). Exactness: the leading
+    digit comes from the INTEGER cents rendered as a string (both
+    engines print a BIGINT identically — no float log10 in the digit
+    path); frequencies and the chi-square finish are one double
+    expression per 9-row output + round(6).
+
+    Plan/scale: one map-side-combined 9-group aggregate over the scan
+    (the digit projection fuses into it); the total is a one-row
+    broadcast cross-join. Output: 9 rows at any scale."""
+    c = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    a = c.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count("*").alias("n"))
+    t = a.agg(F.sum("n").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return a.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_freq"),
+        F.round(ben, 6).alias("benford_freq"),
+        F.round(F.pow(obs - ben, 2) / ben * F.col("total"), 6).alias("chi2_term"),
+    )
