@@ -1795,6 +1795,18 @@ def _co_purchase_edges(spark: SparkSession, sf_dir: str):
     )
 
 
+def _degrees(edges):
+    """Per-node degree of the canonical (u < v) edge list — the single
+    definition every graph op shares (orientation, clustering
+    denominator, the distribution profile)."""
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("dg"))
+    )
+
+
 def _oriented_triangles(edges):
     """Degree-ordered oriented triangle enumeration: each undirected
     edge points low-(degree, id) -> high, so every wedge is rooted at
@@ -1804,12 +1816,7 @@ def _oriented_triangles(edges):
     (degree aggregate, one row per triangle as (u, v, w))."""
     from pyspark import StorageLevel
 
-    deg0 = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("dg"))
-    )
+    deg0 = _degrees(edges)
     du = deg0.select(F.col("node").alias("u"), F.col("dg").alias("dg_u"))
     dv = deg0.select(F.col("node").alias("v"), F.col("dg").alias("dg_v"))
     lo_first = (F.col("dg_u") < F.col("dg_v")) | (
@@ -2031,11 +2038,14 @@ s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
              SUM(CAST(lx * lx AS DECIMAL(27,15))) AS sxx
       FROM f)
 SELECT h.degree, h.n_nodes,
-       round((CAST(s.k AS DOUBLE) * CAST(s.sxy AS DOUBLE)
-              - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
-             / (CAST(s.k AS DOUBLE) * CAST(s.sxx AS DOUBLE)
-                - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)), 6)
-         AS loglog_slope
+       CASE WHEN CAST(s.k AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                 - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) = 0
+            THEN NULL
+            ELSE round((CAST(s.k AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                        - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+                       / (CAST(s.k AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                          - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)), 6)
+       END AS loglog_slope
 FROM h, s
 """
 
@@ -2066,12 +2076,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge joins anywhere — this is the cheap profile beside the
     expensive enumeration."""
     edges = _co_purchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("degree"))
-    )
+    deg = _degrees(edges).select("node", F.col("dg").alias("degree"))
     h = deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
     lx = F.log(F.col("degree").cast("double"))
     ly = F.log(F.col("n_nodes").cast("double"))
@@ -2085,11 +2090,15 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("k").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
-    slope = (k * F.col("sxy").cast("double") - sx * sy) / (
-        k * F.col("sxx").cast("double") - sx * sx
-    )
+    # zero-denominator guard shared with the oracle (a single-degree
+    # histogram has no regression): Spark NULLs a zero divisor while
+    # DuckDB follows IEEE — the ACF-guard class (review finding)
+    den = k * F.col("sxx").cast("double") - sx * sx
+    slope = (k * F.col("sxy").cast("double") - sx * sy) / den
     return h.crossJoin(F.broadcast(s)).select(
         "degree",
         "n_nodes",
-        F.round(slope, 6).alias("loglog_slope"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("loglog_slope"),
     )

@@ -2505,6 +2505,25 @@ def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sessionize(ev: DataFrame, gap: str) -> DataFrame:
+    """Gaps-and-islands sessionization shared by every session-shaped
+    op: lag + a running sum of breaks over (user_id | ts, event_id),
+    with the STRICTLY-GREATER gap comparison the DuckDB oracles state
+    (``ts - lag(ts) > INTERVAL ...``) — so an event exactly on the
+    boundary sessionizes identically in both engines
+    (``session_window``'s [start, last+gap) splits there; round-8
+    advice). Adds a ``sid`` column; one (user_id) exchange, which the
+    downstream (user_id, sid) aggregate reuses (subset key)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    return ev.withColumn("brk", brk).withColumn(
+        "sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+
+
 _PATTERN_SQL = """
 WITH t AS (SELECT user_id, ts, event_id,
                   substr(event_type, 1, 1) AS ini
@@ -2562,23 +2581,13 @@ def pattern_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties at equal ts order by event_id in BOTH engines (struct sort
     == ORDER BY ts, event_id). One shuffle total; output linear in
     session count."""
-    from pyspark.sql import Window as W
-
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
         F.substring("event_type", 1, 1).alias("ini"),
     )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    brk = F.when(
-        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 24 HOURS")), 1
-    ).otherwise(0)
-    s = ev.withColumn("brk", brk).withColumn(
-        "sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
-    g = s.groupBy("user_id", "sid").agg(
+    g = _sessionize(ev, "24 HOURS").groupBy("user_id", "sid").agg(
         F.min("ts").alias("session_start"),
         F.count("*").alias("n_events"),
         F.array_join(
@@ -3034,7 +3043,7 @@ SELECT event_type, k, n_pairs,
        CASE WHEN (CAST(sxx AS DOUBLE) / n_pairs
                   - (CAST(sx AS DOUBLE) / n_pairs) * (CAST(sx AS DOUBLE) / n_pairs))
                  * (CAST(syy AS DOUBLE) / n_pairs
-                    - (CAST(sy AS DOUBLE) / n_pairs) * (CAST(sy AS DOUBLE) / n_pairs)) = 0
+                    - (CAST(sy AS DOUBLE) / n_pairs) * (CAST(sy AS DOUBLE) / n_pairs)) <= 0
             THEN NULL
             ELSE round((CAST(sxy AS DOUBLE) / n_pairs
                         - (CAST(sx AS DOUBLE) / n_pairs) * (CAST(sy AS DOUBLE) / n_pairs))
@@ -3060,7 +3069,9 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     run + round(6) — the ``agg_covariance_matrix`` recipe applied to
     a lagged self-pairing. Degenerate series (zero variance on either
     side — a constant series or a single-pair lag) emit NULL via the
-    SAME ``vx·vy = 0`` guard stated in both engines: unguarded, Spark's
+    SAME ``vx·vy <= 0`` guard stated in both engines (<=, not ==: large
+    constant cents can round the moment difference to -eps, and
+    sqrt(negative) is a hard DuckDB error): unguarded, Spark's
     Divide returns NULL on a zero divisor while DuckDB follows IEEE
     (inf/NaN), a latent hash divergence (round-8 advice).
 
@@ -3107,7 +3118,10 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     vy = F.col("syy").cast("double") / n - ey * ey
     return m.select(
         "event_type", "k", "n_pairs",
-        F.when(vx * vy == 0, F.lit(None).cast("double"))
+        # <= 0, not == 0: a constant LARGE-cents series can round the
+        # moment difference to -eps past 2^53, and sqrt(negative) is a
+        # hard error in DuckDB while Spark returns NaN (review finding)
+        F.when(vx * vy <= 0, F.lit(None).cast("double"))
         .otherwise(F.round(cov / F.sqrt(vx * vy), 6))
         .alias("acf"),
     )
@@ -3152,19 +3166,10 @@ def funnel_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-gap-boundary semantics diverge), then a day-count-sized
     rollup — reduce-before-everything; the rate is one division +
     round(6) per day row."""
-    from pyspark.sql import Window as W
-
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    brk = F.when(
-        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
-    ).otherwise(0)
-    s = ev.withColumn("brk", brk).withColumn(
-        "sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
     g = (
-        s.groupBy("user_id", "sid")
+        _sessionize(ev, "30 MINUTES")
+        .groupBy("user_id", "sid")
         .agg(F.min(F.col("ts").cast("date")).alias("day"), F.count("*").alias("n_events"))
         .select("day", "n_events")
     )
@@ -3312,8 +3317,10 @@ def timeseries_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BENFORD_SQL = """
-WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-           FROM orders WHERE o_totalprice > 0),
+WITH c AS (SELECT cents FROM
+             (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+           WHERE cents >= 1),
 d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
 a AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
 t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM a)
@@ -3343,8 +3350,13 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: one map-side-combined 9-group aggregate over the scan
     (the digit projection fuses into it); the total is a one-row
     broadcast cross-join. Output: 9 rows at any scale."""
-    c = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0).select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    # guard on the INTEGER cents, not the raw price: 0 < price < 0.005
+    # rounds to cents = 0 whose "first digit" is 0 and divides the
+    # Benford expectation by zero (review finding)
+    c = (
+        _t(spark, sf_dir, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .where(F.col("cents") >= 1)
     )
     a = c.select(
         F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit")

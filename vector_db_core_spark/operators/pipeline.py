@@ -1648,13 +1648,17 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from vector_db_core_spark.scratch import reap_at_exit
+
     global _NB_FIT_COUNT
     path = _NB_SCORED_PATHS.get(sf_dir)
     if path is None:
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"vdbc_nb_scored_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-            f"_{os.getpid()}",
+        path = reap_at_exit(
+            os.path.join(
+                tempfile.gettempdir(),
+                f"vdbc_nb_scored_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+                f"_{os.getpid()}",
+            )
         )
         _nb_fit_score(spark, sf_dir).write.mode("overwrite").parquet(path)
         _NB_FIT_COUNT += 1

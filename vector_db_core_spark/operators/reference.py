@@ -141,10 +141,13 @@ def ref_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = ev.where(F.col("event_id") >= 3000).select(
         "event_id", "user_id", "event_type", "value"
     )
+    from vector_db_core_spark.scratch import reap_at_exit
+
     # pid-keyed scratch: concurrent consumers over the same fixture
     # (parallel pytest workers, bench beside a sweep) must not race
-    # each other's rmtree/pushx sequence (round-8 advice)
-    path = (
+    # each other's rmtree/pushx sequence (round-8 advice); reaped at
+    # process exit (round-9 review finding)
+    path = reap_at_exit(
         tempfile.gettempdir()
         + f"/spark_graft_schema_evo_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}"
         + f"_{os.getpid()}"
@@ -194,8 +197,10 @@ def ref_compact_preserves_content(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("event_id") < 4000)
         .select("event_id", "user_id", "event_type")
     )
+    from vector_db_core_spark.scratch import reap_at_exit
+
     # pid-keyed scratch, same rationale as ref_schema_evolution
-    path = (
+    path = reap_at_exit(
         tempfile.gettempdir()
         + f"/spark_graft_compact_{hashlib.md5(sf_dir.encode()).hexdigest()[:6]}"
         + f"_{os.getpid()}"

@@ -50,10 +50,13 @@ from vector_db_core_spark.streaming.ingest import (
 #: while the pid component keeps CONCURRENT consumers (parallel pytest
 #: workers, a bench beside a sweep) from racing each other's
 #: rmtree/write/append sequences on a shared fixture (round-8 advice).
-#: Contents are tiny (sf<=0.1) and live under tmpdir, so an exited
-#: process's leftover tree is bounded and reaped with the OS tmpdir.
-_REPLAY_ROOT = os.path.join(
-    tempfile.gettempdir(), f"vdbc_stream_replay_{os.getpid()}"
+#: Contents are tiny (sf<=0.1); the tree is reaped at interpreter exit
+#: (scratch.reap_at_exit), with the OS tmpdir as the backstop for
+#: killed processes.
+from vector_db_core_spark.scratch import reap_at_exit as _reap
+
+_REPLAY_ROOT = _reap(
+    os.path.join(tempfile.gettempdir(), f"vdbc_stream_replay_{os.getpid()}")
 )
 
 
