@@ -120,6 +120,16 @@ HEADLINE = [
     "timeseries_autocorrelation",
     "text_stopword_discovery",
     "funnel_bounce_rate_daily",
+    # round-9 additions, one per new family. Excluded on purpose:
+    # graph_triangle_estimate (edge-build-bound — tracked in the
+    # iterative section beside the exact op) and
+    # dedup_threshold_operating_curve (estimator-bound twin of the
+    # dedup_minhash_md5_estimate row already here; ladder-tracked)
+    "text_gopher_line_rules",
+    "agg_gini_customer_spend",
+    "timeseries_theil_sen_trend",
+    "agg_benford_first_digit",
+    "graph_degree_distribution",
 ]
 
 # NOTE (round 9): `pipeline_nb_language_filter` remains a headline row
@@ -458,6 +468,8 @@ def main() -> None:
             # round-8: the wedge join is the catalog's next-heaviest
             # plan (1.9M triangles at sf0.1) — tracked like the others
             "graph_triangle_clustering",
+            # round-9: the DOULION scale twin, beside its exact op
+            "graph_triangle_estimate",
         ):
             if name not in queries:
                 continue
