@@ -756,3 +756,62 @@ def test_degree_distribution_consistent_with_triangle_degrees(spark):
     top = max(rows, key=lambda r: r.degree)
     modal = max(rows, key=lambda r: r.n_nodes)
     assert top.n_nodes < modal.n_nodes
+
+
+def test_ols_trend_matches_numpy_and_diverges_from_theil_sen(spark):
+    """OLS slope must equal numpy's polyfit on the daily rollup. The
+    two trend estimators DISAGREE on sign for at least one type on
+    this fixture (click: OLS +140 vs Theil-Sen -90 cents/day — the
+    daily series carry the level shifts CUSUM detects, which OLS
+    chases and the median-of-slopes shrugs off): that divergence is
+    exactly the robust-vs-classical diagnostic the pair exists to
+    expose, so pin that it is VISIBLE, not absent."""
+    import numpy as np
+
+    daily = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    ols = {
+        r.event_type: r.ols_slope_cents_per_day
+        for r in QUERIES["timeseries_ols_trend"](spark, SF_ORACLE).collect()
+    }
+    ts = {
+        r.event_type: r.theil_sen_slope_cents_per_day
+        for r in QUERIES["timeseries_theil_sen_trend"](spark, SF_ORACLE).collect()
+    }
+    by_type: dict[str, list] = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append((r.day.toordinal(), r.cents))
+    for et, series in by_type.items():
+        xs = np.array([x for x, _ in series], dtype=np.float64)
+        ys = np.array([y for _, y in series], dtype=np.float64)
+        want = float(np.polyfit(xs, ys, 1)[0])
+        assert abs(ols[et] - want) < 1e-3, (et, ols[et], want)
+    assert set(ols) == set(ts)
+    # the diagnostic gap is non-degenerate on this fixture
+    assert any(abs(ols[et] - ts[et]) > 10 for et in ols), (ols, ts)
+
+
+def test_lorenz_deciles_consistent_with_gini(spark):
+    """The decile table must be a valid Lorenz curve (shares sum to 1,
+    cum_share increasing and convex-ish: the top decile holds the
+    largest share), and its implied Gini must approximate the exact
+    scalar op within the decile-discretization error."""
+    rows = sorted(
+        QUERIES["agg_lorenz_deciles"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    cums = [r.cum_share for r in rows]
+    assert cums == sorted(cums) and abs(cums[-1] - 1.0) < 1e-6
+    assert rows[-1].share == max(r.share for r in rows)
+    # trapezoid Gini from the 10-point curve vs the exact scalar
+    (g,) = QUERIES["agg_gini_customer_spend"](spark, SF_ORACLE).collect()
+    pts = [0.0] + cums
+    area = sum((a + b) / 2 for a, b in zip(pts, pts[1:])) / 10
+    approx_gini = 1 - 2 * area
+    assert abs(approx_gini - g.gini) < 0.02, (approx_gini, g.gini)

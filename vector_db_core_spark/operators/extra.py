@@ -3383,3 +3383,148 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ben, 6).alias("benford_freq"),
         F.round(F.pow(obs - ben, 2) / ben * F.col("total"), 6).alias("chi2_term"),
     )
+
+
+_OLS_TREND_SQL = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1, 2),
+x AS (SELECT event_type, cents,
+             CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS xd
+      FROM d),
+s AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xd) AS BIGINT) AS sx,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             SUM(CAST(xd AS DECIMAL(38,0)) * cents) AS sxy,
+             CAST(SUM(xd * xd) AS BIGINT) AS sxx
+      FROM x GROUP BY event_type)
+SELECT event_type, n AS n_days,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+            THEN NULL
+            ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       END AS ols_slope_cents_per_day
+FROM s
+"""
+
+
+@register("timeseries_ols_trend", oracle=_OLS_TREND_SQL)
+def timeseries_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL least-squares trend per event type — the companion
+    to ``timeseries_theil_sen_trend``: OLS chases outlier days while
+    Theil-Sen shrugs them off, and the GAP between the two slopes is
+    the standard outlier-influence diagnostic (agree → trust the
+    cheap OLS; diverge → the robust estimate is the honest one).
+    Exactness: x is the epoch day NUMBER (exact integer both
+    engines), so all five regression sums are exact — x·y accumulates
+    in DECIMAL(38,0) (day-number × cents reaches ~2e13 per row);
+    the finish is one double expression + round(6) behind the shared
+    zero-denominator guard (single-day series → NULL, the ACF-guard
+    class).
+
+    Plan/scale: one corpus scan to the (type, day) rollup (map-side
+    combined), one 5-term aggregate per type — NO pairwise join at
+    all, the O(n) counterpart to Theil-Sen's O(n²)-on-the-reduction.
+    Output: one row per event type."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    x = d.select(
+        "event_type",
+        "cents",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("xd"),
+    )
+    s = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("xd").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("xd").cast("decimal(38,0)") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    den = n * F.col("sxx").cast("double") - sx * sx
+    slope = (n * F.col("sxy").cast("double") - sx * sy) / den
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("ols_slope_cents_per_day"),
+    )
+
+
+_LORENZ_SQL = """
+WITH c AS (SELECT o_custkey,
+                  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY o_custkey),
+r AS (SELECT o_custkey, cents,
+             NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM c),
+a AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM r GROUP BY decile),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM a)
+SELECT CAST(decile AS INT) AS decile, n_customers, cents,
+       round(CAST(cents AS DOUBLE) / total, 6) AS share,
+       round(CAST(SUM(cents) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / total, 6) AS cum_share
+FROM a, t
+"""
+
+
+@register("agg_lorenz_deciles", oracle=_LORENZ_SQL)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE by customer-spend decile — the table behind the
+    ``agg_gini_customer_spend`` scalar: cumulative revenue share of
+    the poorest k/10 of customers (Gini is twice the area between
+    this curve and the diagonal; the decile table is what a revenue
+    team actually reads — 'the top decile is X% of revenue').
+    Exactness: deciles come from NTILE(10) over the identical
+    (cents, custkey) total order, integer sums per decile, one
+    division + round(6) per output row; the cumulative share is a
+    10-row window.
+
+    Plan/scale: the same reduce-then-rank shape as Gini — per-customer
+    rollup (one map-side-combined shuffle), a single-partition NTILE
+    over the CUSTOMER REDUCTION, then a 10-row aggregate. Output: 10
+    rows at any scale."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    r = c.select(
+        "cents",
+        F.ntile(10).over(W.orderBy("cents", "o_custkey")).alias("decile"),
+    )
+    a = r.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("cents"),
+    )
+    t = a.agg(F.sum("cents").alias("total"))
+    cum = F.sum("cents").over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        a.crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "cents",
+            F.round(F.col("cents").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(cum.cast("double") / F.col("total"), 6).alias("cum_share"),
+        )
+    )
