@@ -815,3 +815,37 @@ def test_lorenz_deciles_consistent_with_gini(spark):
     area = sum((a + b) / 2 for a, b in zip(pts, pts[1:])) / 10
     approx_gini = 1 - 2 * area
     assert abs(approx_gini - g.gini) < 0.02, (approx_gini, g.gini)
+
+
+def test_ks_two_sample_matches_numpy_and_discriminates(spark):
+    """The organic pair's KS statistic must equal an independent numpy
+    ECDF re-derivation from the raw joined samples; each row's flag
+    must re-derive from the asymptotic critical value; and the two
+    rows exercise BOTH outcomes (organic same-distribution pair not
+    rejected, synthesized +10%-inflated twin rejected)."""
+    import numpy as np
+
+    o = load_table(spark, SF_ORACLE, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = load_table(spark, SF_ORACLE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    rows = o.join(c, "o_custkey").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).collect()
+    a = np.sort([r.cents for r in rows if r.c_mktsegment == "BUILDING"])
+    b = np.sort([r.cents for r in rows if r.c_mktsegment == "MACHINERY"])
+    grid = np.union1d(a, b)
+    f1 = np.searchsorted(a, grid, side="right") / len(a)
+    f2 = np.searchsorted(b, grid, side="right") / len(b)
+    want = float(np.max(np.abs(f1 - f2)))
+    got = {r.pair: r for r in QUERIES["agg_ks_two_sample"](spark, SF_ORACLE).collect()}
+    org = got["building_vs_machinery"]
+    assert (org.n1, org.n2) == (len(a), len(b))
+    assert abs(org.ks_stat - want) < 1e-6, (org.ks_stat, want)
+    for r in got.values():
+        crit = 1.358 * ((r.n1 + r.n2) / (r.n1 * r.n2)) ** 0.5
+        assert r.reject_same_dist_005 == (r.ks_stat > crit), r
+    assert not org.reject_same_dist_005
+    assert got["building_vs_inflated_twin"].reject_same_dist_005

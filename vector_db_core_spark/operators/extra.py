@@ -3528,3 +3528,131 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cum.cast("double") / F.col("total"), 6).alias("cum_share"),
         )
     )
+
+
+_KS_SQL = """
+WITH base AS (SELECT c.c_mktsegment AS seg,
+                     CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+s AS (SELECT 'building_vs_machinery' AS pair,
+             CASE WHEN seg = 'BUILDING' THEN 0 ELSE 1 END AS side, cents
+      FROM base
+      UNION ALL
+      SELECT 'building_vs_inflated_twin', 0, cents FROM base WHERE seg = 'BUILDING'
+      UNION ALL
+      SELECT 'building_vs_inflated_twin', 1, cents * 110 // 100
+      FROM base WHERE seg = 'BUILDING'),
+n AS (SELECT pair,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM s GROUP BY pair),
+e AS (SELECT pair, cents,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c2
+      FROM s GROUP BY pair, cents),
+f AS (SELECT pair,
+             SUM(c1) OVER (PARTITION BY pair ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (PARTITION BY pair ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS f2
+      FROM e),
+d AS (SELECT f.pair, CAST(MAX(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS dmax
+      FROM f JOIN n ON n.pair = f.pair GROUP BY f.pair)
+SELECT d.pair, n.n1, n.n2,
+       round(CAST(d.dmax AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2), 6) AS ks_stat,
+       (CAST(d.dmax AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))
+         > 1.358 * sqrt((n.n1 + CAST(n.n2 AS DOUBLE)) / (CAST(n.n1 AS DOUBLE) * n.n2))
+         AS reject_same_dist_005
+FROM d JOIN n ON n.pair = d.pair
+"""
+
+
+@register("agg_ks_two_sample", oracle=_KS_SQL)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV test — the numeric-column drift
+    detector beside the token-level ``pipeline_unigram_drift_kl``
+    (did this batch's value distribution shift vs the reference?).
+    Two pairs so BOTH outcomes of the decision are exercised on this
+    fixture (the line-rules registration bar): the ORGANIC pair
+    (BUILDING vs MACHINERY order totals — TPC-H's uniform generator
+    gives identical distributions, correctly NOT rejected at
+    ks ~ 0.022) and a SYNTHESIZED drifted twin (BUILDING vs its own
+    totals deterministically inflated 10%, integer ``cents*110 div
+    100`` stated in both engines — rejected). EXACT argmax: the ECDF
+    gap is maximized on the INTEGER cross-multiplied form
+    |F1*n2 - F2*n1| (no float ECDF anywhere near the max; bounded by
+    n1*n2 <~ 9e14 at sf100, inside BIGINT), then ONE double division +
+    round(6); the alpha=0.05 decision compares against the asymptotic
+    critical value 1.358*sqrt((n1+n2)/(n1*n2)) with both sides
+    computing identical doubles.
+
+    Plan/scale: join prunes to two segments, reduces to the DISTINCT
+    (pair, value) grid (one map-side-combined shuffle), then a
+    per-pair cumulative window over the GRID — the reduce-then-rank
+    shape, with the honest caveat that the grid is value-cardinality-
+    bounded, not time-bounded like the day rollups; at 100 TB you
+    pre-bin the value axis (binned KS is a valid conservative test)
+    the way ``agg_equidepth_histogram`` buckets, trading resolution
+    for a bounded grid. Output: 2 rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg"))
+    )
+    base = o.join(c, "o_custkey").select("seg", "cents")
+    organic = base.select(
+        F.lit("building_vs_machinery").alias("pair"),
+        F.when(F.col("seg") == "BUILDING", 0).otherwise(1).alias("side"),
+        "cents",
+    )
+    b = base.where(F.col("seg") == "BUILDING")
+    twin = b.select(
+        F.lit("building_vs_inflated_twin").alias("pair"),
+        F.lit(0).alias("side"),
+        "cents",
+    ).unionAll(
+        b.select(
+            F.lit("building_vs_inflated_twin").alias("pair"),
+            F.lit(1).alias("side"),
+            F.expr("cents * 110 div 100").alias("cents"),
+        )
+    )
+    s = organic.unionAll(twin)
+    n = s.groupBy("pair").agg(
+        F.sum((F.col("side") == 0).cast("long")).alias("n1"),
+        F.sum((F.col("side") == 1).cast("long")).alias("n2"),
+    )
+    e = s.groupBy("pair", "cents").agg(
+        F.sum((F.col("side") == 0).cast("long")).alias("c1"),
+        F.sum((F.col("side") == 1).cast("long")).alias("c2"),
+    )
+    wf = W.partitionBy("pair").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    f = e.select(
+        "pair",
+        F.sum("c1").over(wf).alias("f1"),
+        F.sum("c2").over(wf).alias("f2"),
+    )
+    d = (
+        f.join(F.broadcast(n), "pair")
+        .groupBy("pair")
+        .agg(
+            F.max(
+                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            ).alias("dmax")
+        )
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    ks = F.col("dmax").cast("double") / (n1 * n2)
+    crit = 1.358 * F.sqrt((F.col("n1") + n2) / (n1 * n2))
+    return d.join(F.broadcast(n), "pair").select(
+        "pair",
+        "n1",
+        "n2",
+        F.round(ks, 6).alias("ks_stat"),
+        (ks > crit).alias("reject_same_dist_005"),
+    )
