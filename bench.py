@@ -130,6 +130,11 @@ HEADLINE = [
     "timeseries_theil_sen_trend",
     "agg_benford_first_digit",
     "graph_degree_distribution",
+    # late round-9: the classical trend companion, the Lorenz table,
+    # and the exact two-sample KS drift test
+    "timeseries_ols_trend",
+    "agg_lorenz_deciles",
+    "agg_ks_two_sample",
 ]
 
 # NOTE (round 9): `pipeline_nb_language_filter` remains a headline row
