@@ -1111,3 +1111,40 @@ def test_gopher_line_rules_discriminate(spark):
         # the all-bullets pathology: bullet_line_frac 1.0 docs fail
         if r.bullet_line_frac == 1.0:
             assert not r.pass_bullet_lines
+
+
+def test_embedding_drift_halves_matches_numpy(spark):
+    """Per-label centroid drift must equal a numpy re-derivation from
+    the raw vectors under the same md5 split and micro-quantization,
+    and same-distribution halves must sit near zero relative to the
+    embedding scale (the split is random-by-hash, so the halves share
+    a distribution by construction)."""
+    import hashlib
+
+    import numpy as np
+
+    from vector_db_core_spark.sources import load_table
+
+    rows = load_table(spark, SF_ORACLE, "embeddings").collect()
+    got = {
+        r.label: r
+        for r in QUERIES["sim_embedding_drift_halves"](spark, SF_ORACLE).collect()
+    }
+    by_label: dict = {}
+    for r in rows:
+        in_a = hashlib.md5(str(r.vec_id).encode()).hexdigest()[0] <= "7"
+        by_label.setdefault(r.label, {True: [], False: []})[in_a].append(r.embedding)
+    for label, halves in by_label.items():
+        g = got[label]
+        assert (g.n_a, g.n_b) == (len(halves[True]), len(halves[False]))
+        mus = {}
+        for side, vecs in halves.items():
+            micro = np.round(np.array(vecs, dtype=np.float64) * 1_000_000.0)
+            s = micro.sum(axis=0)
+            cnt = len(vecs)
+            mus[side] = np.fix(s / cnt)  # truncating integer division
+        want_sq = int(((mus[True] - mus[False]) ** 2).sum())
+        assert g.shift_sq_micro == want_sq, (label, g.shift_sq_micro, want_sq)
+        # hash halves share the distribution: drift well under the
+        # unit-norm embedding scale
+        assert g.drift_l2 < 0.5, (label, g.drift_l2)

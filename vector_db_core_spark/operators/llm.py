@@ -4444,3 +4444,96 @@ def dedup_threshold_operating_curve(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("n_pairs"),
         F.countDistinct("doc_b").alias("n_docs_flagged"),
     )
+
+
+_EMB_DRIFT_SQL = """
+WITH h AS (SELECT vec_id, label,
+                  substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7' AS in_a,
+                  embedding
+           FROM embeddings),
+n AS (SELECT label,
+             CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM h GROUP BY label),
+e AS (SELECT label, in_a, CAST(i - 1 AS INT) AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS micro
+      FROM h, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+m AS (SELECT label, dim,
+             SUM(CASE WHEN in_a THEN micro ELSE 0 END)
+               // NULLIF(SUM(CASE WHEN in_a THEN 1 ELSE 0 END), 0) AS mu_a,
+             SUM(CASE WHEN in_a THEN 0 ELSE micro END)
+               // NULLIF(SUM(CASE WHEN in_a THEN 0 ELSE 1 END), 0) AS mu_b
+      FROM e GROUP BY label, dim),
+d AS (SELECT label,
+             CAST(SUM((mu_a - mu_b) * (mu_a - mu_b)) AS BIGINT) AS shift_sq_micro
+      FROM m GROUP BY label)
+SELECT d.label, n.n_a, n.n_b, d.shift_sq_micro,
+       round(sqrt(CAST(d.shift_sq_micro AS DOUBLE)) / 1000000.0, 6) AS drift_l2
+FROM d JOIN n ON n.label = d.label
+"""
+
+
+@register("sim_embedding_drift_halves", oracle=_EMB_DRIFT_SQL)
+def sim_embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE DRIFT between the content-hash halves of the
+    corpus, per label: the L2 distance between each half's centroid —
+    the vector-column member of the drift trio
+    (``pipeline_unigram_drift_kl`` for tokens, ``agg_ks_two_sample``
+    for scalar values, this for embeddings): a retraining pipeline
+    runs exactly this before trusting that a new batch's embedding
+    distribution matches the index it is about to join, and per-LABEL
+    shifts localize which class moved. The split is the deterministic
+    ``md5(vec_id)`` nibble rule (same device as the train/val split),
+    so both engines compare identical halves. Exactness: per-dim
+    micro-quantized integer means with truncating division (verified
+    identical toward-zero semantics on negatives in both engines —
+    the ``profile_embedding_dims`` convention), the squared shift
+    summed as exact BIGINT, and ONE sqrt + round(6) per label row.
+
+    Plan/scale: one posexplode pass to (label, half, dim, micro) —
+    the linear d-fanout every centroid op here pays — into a
+    map-side-combined (label, dim) aggregate (|labels|·d rows), then
+    a |labels|-row rollup joined to the half counts. The corpus is
+    touched twice (counts + dims) on column-pruned scans; at 100 TB
+    both passes are map-side-combined reductions."""
+    h = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        (F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "7").alias("in_a"),
+        "embedding",
+    )
+    n = h.groupBy("label").agg(
+        F.sum(F.col("in_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("in_a")).cast("long")).alias("n_b"),
+    )
+    e = h.select(
+        "label",
+        "in_a",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    ).select(
+        "label",
+        "in_a",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("v") * 1_000_000.0, 0).cast("long").alias("micro"),
+    )
+    m = e.groupBy("label", "dim").agg(
+        F.expr(
+            "sum(CASE WHEN in_a THEN micro ELSE 0 END)"
+            " div nullif(sum(CASE WHEN in_a THEN 1 ELSE 0 END), 0)"
+        ).alias("mu_a"),
+        F.expr(
+            "sum(CASE WHEN in_a THEN 0 ELSE micro END)"
+            " div nullif(sum(CASE WHEN in_a THEN 0 ELSE 1 END), 0)"
+        ).alias("mu_b"),
+    )
+    diff = F.col("mu_a") - F.col("mu_b")
+    d = m.groupBy("label").agg(F.sum(diff * diff).alias("shift_sq_micro"))
+    return d.join(n, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        "shift_sq_micro",
+        F.round(
+            F.sqrt(F.col("shift_sq_micro").cast("double")) / 1_000_000.0, 6
+        ).alias("drift_l2"),
+    )
