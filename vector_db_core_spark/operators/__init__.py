@@ -46,12 +46,13 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: other 9 r8-fresh families.
 #: Queries oracled AFTER this rotation (round-9 additions) go first in
 #: the ROUND-10 window by the same recompute. As of end-of-round-9 the
-#: expected round-10 backlog is the 10 round-9 oracled additions:
+#: expected round-10 backlog is the 11 round-9 oracled additions:
 #: graph_triangle_estimate, text_gopher_line_rules,
 #: agg_gini_customer_spend, timeseries_theil_sen_trend,
 #: dedup_threshold_operating_curve, agg_benford_first_digit,
 #: graph_degree_distribution, timeseries_ols_trend,
-#: agg_lorenz_deciles, agg_ks_two_sample — plus whatever the r9 driver leaves
+#: agg_lorenz_deciles, agg_ks_two_sample, sim_embedding_drift_halves
+#: — plus whatever the r9 driver leaves
 #: unsampled; sentinels again by oldest-last-green family.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
