@@ -131,10 +131,12 @@ HEADLINE = [
     "agg_benford_first_digit",
     "graph_degree_distribution",
     # late round-9: the classical trend companion, the Lorenz table,
-    # and the exact two-sample KS drift test
+    # the exact two-sample KS drift test, and the embedding-drift
+    # member of the drift trio
     "timeseries_ols_trend",
     "agg_lorenz_deciles",
     "agg_ks_two_sample",
+    "sim_embedding_drift_halves",
 ]
 
 # NOTE (round 9): `pipeline_nb_language_filter` remains a headline row
