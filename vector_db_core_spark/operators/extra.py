@@ -2536,6 +2536,30 @@ def _sessionize(ev: DataFrame, gap: str) -> DataFrame:
     )
 
 
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, cents) daily rollup — the ONE definition of
+    the integer-cents quantization every time-series op reduces to
+    (CUSUM, seasonal-naive, ACF, Theil-Sen, OLS). Map-side-combined,
+    time-span-bounded; an edit to the quantization rule lands in one
+    place (round-9 review finding: the block was inlined 5x)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+
+
+def _customer_spend_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, cents) per-customer spend rollup shared by the
+    paired inequality ops (Gini scalar, Lorenz deciles) whose mutual
+    consistency is pytest-pinned — one quantization definition."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+
+
 _PATTERN_SQL = """
 WITH t AS (SELECT user_id, ts, event_id,
                   substr(event_type, 1, 1) AS ini
@@ -2663,11 +2687,7 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined shuffle (time-span-bounded like the interval join's
     incident reduction); every window after partitions by event_type
     over day-count-sized rows. Output: one row per event type."""
-    d = (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
-    )
+    d = _daily_cents(spark, sf_dir)
     wo = W.partitionBy("event_type").orderBy("day")
     wp = W.partitionBy("event_type")
     o = (
@@ -2722,11 +2742,7 @@ def timeseries_seasonal_naive_residuals(spark: SparkSession, sf_dir: str) -> Dat
     time-span-bounded — then a SELF-join on the same key the rollup
     already partitioned by (no second corpus shuffle; the reduced
     table's equi-join reuses its partitioning on event_type)."""
-    d = (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
-    )
+    d = _daily_cents(spark, sf_dir)
     a = d.alias("a")
     b = d.select(
         "event_type",
@@ -3091,11 +3107,7 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-span-bounded); the lag spine explodes the REDUCTION ×7 (not
     the corpus), windows partition by (type, k) over day-count rows,
     and the co-moment aggregate reduces 7·|types| rows out."""
-    d = (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
-    )
+    d = _daily_cents(spark, sf_dir)
     # CALENDAR lags (day - k), not row lags: on gappy series a row
     # LAG pairs different weekdays — the same honesty rule as
     # timeseries_seasonal_naive_residuals; both engines pair via a
@@ -3235,13 +3247,7 @@ def agg_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-rollup windows; a 100 TB run ranks its reduction the same way
     (15M customers sort in one task comfortably; past that the
     prefix-rank goes two-phase like the store's rowid assignment)."""
-    c = (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
-        )
-    )
+    c = _customer_spend_cents(spark, sf_dir)
     from pyspark.sql import Window as W
 
     r = c.select(
@@ -3299,11 +3305,7 @@ def timeseries_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``join_interval_overlap`` reduction discipline), then one
     map-side-combined aggregate per type. The corpus is touched once
     for the rollup."""
-    d = (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
-    )
+    d = _daily_cents(spark, sf_dir)
     a = d.select("event_type", F.col("day").alias("d1"), F.col("cents").alias("c1"))
     b = d.select(
         F.col("event_type").alias("et2"),
@@ -3430,11 +3432,7 @@ def timeseries_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined), one 5-term aggregate per type — NO pairwise join at
     all, the O(n) counterpart to Theil-Sen's O(n²)-on-the-reduction.
     Output: one row per event type."""
-    d = (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
-    )
+    d = _daily_cents(spark, sf_dir)
     x = d.select(
         "event_type",
         "cents",
@@ -3499,13 +3497,7 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup (one map-side-combined shuffle), a single-partition NTILE
     over the CUSTOMER REDUCTION, then a 10-row aggregate. Output: 10
     rows at any scale."""
-    c = (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
-        )
-    )
+    c = _customer_spend_cents(spark, sf_dir)
     r = c.select(
         "cents",
         F.ntile(10).over(W.orderBy("cents", "o_custkey")).alias("decile"),
@@ -3543,10 +3535,6 @@ s AS (SELECT 'building_vs_machinery' AS pair,
       UNION ALL
       SELECT 'building_vs_inflated_twin', 1, cents * 110 // 100
       FROM base WHERE seg = 'BUILDING'),
-n AS (SELECT pair,
-             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
-      FROM s GROUP BY pair),
 e AS (SELECT pair, cents,
              SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c1,
              SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c2
@@ -3555,16 +3543,21 @@ f AS (SELECT pair,
              SUM(c1) OVER (PARTITION BY pair ORDER BY cents
                            ROWS UNBOUNDED PRECEDING) AS f1,
              SUM(c2) OVER (PARTITION BY pair ORDER BY cents
-                           ROWS UNBOUNDED PRECEDING) AS f2
+                           ROWS UNBOUNDED PRECEDING) AS f2,
+             SUM(c1) OVER (PARTITION BY pair) AS n1,
+             SUM(c2) OVER (PARTITION BY pair) AS n2
       FROM e),
-d AS (SELECT f.pair, CAST(MAX(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS dmax
-      FROM f JOIN n ON n.pair = f.pair GROUP BY f.pair)
-SELECT d.pair, n.n1, n.n2,
-       round(CAST(d.dmax AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2), 6) AS ks_stat,
-       (CAST(d.dmax AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))
-         > 1.358 * sqrt((n.n1 + CAST(n.n2 AS DOUBLE)) / (CAST(n.n1 AS DOUBLE) * n.n2))
+d AS (SELECT pair,
+             CAST(MAX(n1) AS BIGINT) AS n1,
+             CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(MAX(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS dmax
+      FROM f GROUP BY pair)
+SELECT pair, n1, n2,
+       round(CAST(dmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_stat,
+       (CAST(dmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))
+         > 1.358 * sqrt((n1 + CAST(n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * n2))
          AS reject_same_dist_005
-FROM d JOIN n ON n.pair = d.pair
+FROM d
 """
 
 
@@ -3622,34 +3615,36 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = organic.unionAll(twin)
-    n = s.groupBy("pair").agg(
-        F.sum((F.col("side") == 0).cast("long")).alias("n1"),
-        F.sum((F.col("side") == 1).cast("long")).alias("n2"),
-    )
     e = s.groupBy("pair", "cents").agg(
         F.sum((F.col("side") == 0).cast("long")).alias("c1"),
         F.sum((F.col("side") == 1).cast("long")).alias("c2"),
     )
+    # side totals ride the SAME per-pair exchange as the cumulative
+    # window (full-partition frames) instead of a separate aggregate
+    # subtree re-evaluating the corpus scan plus two joins back
+    # (round-9 review finding): one pass over the grid carries the
+    # ECDF numerators AND their denominators
     wf = W.partitionBy("pair").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    wp = W.partitionBy("pair")
     f = e.select(
         "pair",
         F.sum("c1").over(wf).alias("f1"),
         F.sum("c2").over(wf).alias("f2"),
+        F.sum("c1").over(wp).alias("n1"),
+        F.sum("c2").over(wp).alias("n2"),
     )
-    d = (
-        f.join(F.broadcast(n), "pair")
-        .groupBy("pair")
-        .agg(
-            F.max(
-                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
-            ).alias("dmax")
-        )
+    d = f.groupBy("pair").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        ).alias("dmax"),
     )
     n1 = F.col("n1").cast("double")
     n2 = F.col("n2").cast("double")
     ks = F.col("dmax").cast("double") / (n1 * n2)
     crit = 1.358 * F.sqrt((F.col("n1") + n2) / (n1 * n2))
-    return d.join(F.broadcast(n), "pair").select(
+    return d.select(
         "pair",
         "n1",
         "n2",

@@ -4448,7 +4448,8 @@ def dedup_threshold_operating_curve(spark: SparkSession, sf_dir: str) -> DataFra
 
 _EMB_DRIFT_SQL = """
 WITH h AS (SELECT vec_id, label,
-                  substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7' AS in_a,
+                  COALESCE(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <= '7',
+                           FALSE) AS in_a,
                   embedding
            FROM embeddings),
 n AS (SELECT label,
@@ -4499,7 +4500,15 @@ def sim_embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
-        (F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "7").alias("in_a"),
+        # COALESCE(..., false): a NULL vec_id yields NULL from md5 and
+        # would otherwise be skipped by the n_a/n_b sums while the
+        # CASE-based centroid divisors route it to B — the half
+        # assignment must be one total, NULL-safe rule in both engines
+        # (round-9 review finding)
+        F.coalesce(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "7",
+            F.lit(False),
+        ).alias("in_a"),
         "embedding",
     )
     n = h.groupBy("label").agg(
