@@ -24,93 +24,85 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
 #: The 50 queries surfaced to the driver's correctness window.
 #:
-#: Round-9 rotation (mechanical, same recompute as r6/r7/r8). Basis:
-#:   covered = union of hash_match rows across CORRECTNESS_r0{1..8}.json
-#:           == 209 distinct queries (r8 closed the whole 21-query
-#:              round-7 backlog)
-#:   backlog = [n for n in ORACLE if n not in covered]   # == 22
-#: The 22 backlog entries are exactly the round-8 oracled additions
-#: (registered after the r8 window rotated; the r8 judge hash-verified
-#: all 22 at sf0.01 AND sf0.1). They go FIRST; a green run makes
-#: distinct ever-driver-green == 231/231 for the round-8 registry.
-#: The remaining 28 slots are drift sentinels, same rule as before:
-#: group the 209 covered queries into operator families (name prefix,
-#: TPC-H collapsed to one family; 37 families), take each family's
+#: Round-10 rotation (mechanical, same recompute as r6..r9). Basis:
+#:   covered = union of hash_match rows across CORRECTNESS_r0{1..9}.json
+#:           == 231 distinct queries (r9 closed the whole 22-query
+#:              round-8 backlog)
+#:   backlog = [n for n in ORACLE if n not in covered]   # == 11
+#: The 11 backlog entries are exactly the round-9 oracled additions
+#: (registered after the r9 window rotated; the r9 judge hash-verified
+#: all 11 at sf0.01 AND sf0.1). They go FIRST; a green run makes
+#: distinct ever-driver-green == 242/242 for the round-9 registry.
+#: The remaining 39 slots are drift sentinels, same rule as before:
+#: group the 231 covered queries into operator families (name prefix,
+#: TPC-H collapsed to one family; 38 families), take each family's
 #: member whose LAST green row is oldest (min over members of
 #: max(round) per name, tie alphabetical), rank families by that round
-#: ascending (tie alphabetical), keep 28. The cut keeps all 16 families
-#: last refreshed in r3/r4/r5, the 5 families the r7 driver refreshed
-#: (group, json, pivot, rollup, topk), and the first 7 (alphabetical)
-#: of the 16 families the r8 driver itself refreshed (assoc,
-#: attribution, case, checksum, cohort, cube, distinct); it drops the
-#: other 9 r8-fresh families.
-#: Queries oracled AFTER this rotation (round-9 additions) go first in
-#: the ROUND-10 window by the same recompute. As of end-of-round-9 the
-#: expected round-10 backlog is the 11 round-9 oracled additions:
-#: graph_triangle_estimate, text_gopher_line_rules,
-#: agg_gini_customer_spend, timeseries_theil_sen_trend,
-#: dedup_threshold_operating_curve, agg_benford_first_digit,
-#: graph_degree_distribution, timeseries_ols_trend,
-#: agg_lorenz_deciles, agg_ks_two_sample, sim_embedding_drift_halves
-#: — plus whatever the r9 driver leaves
-#: unsampled; sentinels again by oldest-last-green family.
+#: ascending (tie alphabetical), keep 39.  38 families < 39 slots, so
+#: EVERY family gets a sentinel; the one spare slot goes to the
+#: second-oldest member of the single oldest family bucket (dedup,
+#: last green r3), tie-broken (round, name): dedup_canonical_documents
+#: (r4).
+#: Queries oracled AFTER this rotation (round-10 additions) go first
+#: in the ROUND-11 window by the same recompute.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
 #: (tests/test_oracle.py).
 DRIVER_WINDOW = (
-    # --- 22-query backlog: the round-8 additions, never driver-checked ---
-    "ref_schema_evolution",
-    "ref_compact_preserves_content",
-    "sql_api_tpch_q4",
-    "dedup_minhash_md5_estimate",
-    "sim_kmeans_lloyd_exact",
-    "text_stopword_discovery",
-    "pattern_session_sequences",
-    "timeseries_cusum_changepoint",
-    "timeseries_seasonal_naive_residuals",
-    "group_topn_with_ties",
-    "timeseries_month_over_month",
-    "profile_embedding_dims",
-    "funnel_time_to_convert",
-    "timeseries_decay_engagement",
-    "timeseries_autocorrelation",
-    "funnel_bounce_rate_daily",
-    "pipeline_unigram_drift_kl",
-    "pipeline_oversample_minority",
-    "pipeline_quality_calibration",
-    "pipeline_lang_confusion",
-    "streaming_late_data_replay",
-    "graph_triangle_clustering",
-    # --- 28 drift sentinels: per family the member whose LAST green
-    # --- row is oldest; families ranked by that round ascending ---
-    "agg_stats_lineitem",              # last green r3
-    "dedup_exact_documents",           # last green r3
-    "join_broadcast_nation_volume",    # last green r3
-    "pipeline_source_mixture",         # last green r3
-    "ref_len",                         # last green r3
-    "scalar_string_functions",         # last green r3
-    "sim_label_centroids",             # last green r3
-    "streaming_tumbling_counts_replay",# last green r3
-    "text_lang_profile",               # last green r3
-    "q5_local_supplier_volume",        # last green r3 (TPC-H family)
-    "window_session_user_activity",    # last green r3
-    "set_except_inactive_custkeys",    # last green r4
-    "subquery_scalar_above_avg_parts", # last green r4
-    "timeseries_gap_filled_daily_revenue",  # last green r4
-    "multimodal_decode_features",      # last green r5
-    "profile_lineitem_key_skew",       # last green r5
-    "group_topk_orders_per_customer",  # last green r7
-    "json_extract_props",              # last green r7
-    "pivot_status_by_priority",        # last green r7
-    "rollup_returnflag_status",        # last green r7
-    "topk_orders_by_price",            # last green r7
-    "assoc_part_pairs_in_orders",      # last green r8
-    "attribution_last_touch",          # last green r8
-    "case_bucketize_orders",           # last green r8
-    "checksum_orders_table",           # last green r8
-    "cohort_daily_retention",          # last green r8
-    "cube_status_priority",            # last green r8
-    "distinct_market_segments",        # last green r8
+    # --- 11-query backlog: the round-9 additions, never driver-checked ---
+    "text_gopher_line_rules",
+    "dedup_threshold_operating_curve",
+    "sim_embedding_drift_halves",
+    "agg_gini_customer_spend",
+    "timeseries_theil_sen_trend",
+    "agg_benford_first_digit",
+    "timeseries_ols_trend",
+    "agg_lorenz_deciles",
+    "agg_ks_two_sample",
+    "graph_triangle_estimate",
+    "graph_degree_distribution",
+    # --- 39 drift sentinels: per family the member whose LAST green
+    # --- row is oldest; families ranked by that round ascending.
+    # --- All 38 families fit; spare slot = 2nd pick of oldest family.
+    "dedup_minhash_lsh_pairs",          # last green r3
+    "join_cross_dense_spine",           # last green r3
+    "pipeline_train_val_test_split",    # last green r3
+    "ref_out_of_bounds",                # last green r3
+    "text_stats_documents",             # last green r3
+    "dedup_canonical_documents",        # last green r4 (spare slot)
+    "agg_argminmax_orders",             # last green r4
+    "scalar_array_functions",           # last green r4
+    "set_intersect_custkeys",           # last green r4
+    "sim_embedding_near_pairs",         # last green r4
+    "streaming_dedup_watermark_replay", # last green r4
+    "timeseries_locf_daily_value",      # last green r4
+    "q6_forecast_revenue",              # last green r4 (TPC-H family)
+    "window_lag_lead_delta",            # last green r4
+    "multimodal_binary_metadata",       # last green r7
+    "funnel_view_click_purchase",       # last green r8
+    "graph_pagerank_exact",             # last green r8
+    "grouping_sets_status_priority",    # last green r8
+    "merge_upsert_orders",              # last green r8
+    "profile_orders_columns",           # last green r8
+    "quality_expectations_orders",      # last green r8
+    "scd2_user_event_intervals",        # last green r8
+    "sketch_bloom_md5_nonmembers",      # last green r8
+    "sql_api_nation_revenue",           # last green r8
+    "subquery_exists_priority_counts",  # last green r8
+    "unpivot_nation_measures",          # last green r8
+    "assoc_part_pairs_in_orders",       # last green r9
+    "attribution_last_touch",           # last green r9
+    "case_bucketize_orders",            # last green r9
+    "checksum_orders_table",            # last green r9
+    "cohort_daily_retention",           # last green r9
+    "cube_status_priority",             # last green r9
+    "distinct_market_segments",         # last green r9
+    "group_topk_orders_per_customer",   # last green r9
+    "json_extract_props",               # last green r9
+    "pattern_session_sequences",        # last green r9
+    "pivot_status_by_priority",         # last green r9
+    "rollup_returnflag_status",         # last green r9
+    "topk_orders_by_price",             # last green r9
 )
 
 
