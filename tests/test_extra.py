@@ -350,6 +350,29 @@ def test_pagerank_exact_mass_and_float_agreement(spark):
     assert len(top_exact & top_float) >= 15, (top_exact, top_float)
 
 
+def test_graph_family_builds_edges_once_per_session(spark):
+    """The graph family shares ONE co-purchase edge build per
+    (process, sf_dir) — the `_nb_scored` scratch-parquet pattern (r9
+    verdict task 2): after a reset, the first consumer pays the basket
+    self-join and writes the scratch; every later graph op (degree
+    distribution, DOULION estimate, exact PageRank) must read the
+    materialized parquet, never rebuild. Post-build plans scan the
+    scratch path directly."""
+    from vector_db_core_spark.operators import analytics as A
+
+    A._co_purchase_edges_reset()
+    before = A._CO_EDGE_BUILD_COUNT
+    QUERIES["graph_degree_distribution"](spark, SF_ORACLE).collect()
+    assert A._CO_EDGE_BUILD_COUNT == before + 1
+    QUERIES["graph_triangle_estimate"](spark, SF_ORACLE).collect()
+    QUERIES["graph_pagerank_exact"](spark, SF_ORACLE).collect()
+    assert A._CO_EDGE_BUILD_COUNT == before + 1  # no further builds
+    df = QUERIES["graph_degree_distribution"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert A._CO_EDGE_PATHS[SF_ORACLE] in plan
+    spark.catalog.clearCache()
+
+
 def test_pattern_sequences_match_python_re(spark):
     """Every session's regex flags must agree with Python's re over
     the same sequence string (the row-pattern semantics, re-derived

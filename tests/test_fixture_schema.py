@@ -86,3 +86,35 @@ def test_all_tables_loadable_nonempty(spark, sf_dir):
     for t in TABLES:
         n = load_table(spark, sf_dir, t).limit(1).count()
         assert n == 1, f"{sf_dir}/{t} is empty or unreadable"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_no_event_gap_exactly_on_session_boundary(spark, sf_dir):
+    """The session ops deliberately keep BOTH semantics: Spark's
+    ``session_window`` window is [start, last+gap) — a gap EXACTLY
+    equal to 30 minutes starts a new session — while the gaps-and-
+    islands oracle's strictly-greater rule keeps it in the old one.
+    Their cross-engine hash agreement therefore rests on the fixture
+    never producing a per-user inter-event gap of exactly 30 minutes
+    (r9 advice: pin the assumption, so a fixture regeneration with
+    coarser timestamps fails HERE as one named assertion, not as an
+    opaque hash mismatch in the driver gate)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("gap_s"),
+    ).where(F.col("gap_s") == 1800.0)
+    n = gaps.count()
+    assert n == 0, (
+        f"{sf_dir}: {n} per-user inter-event gaps of exactly 30 min — "
+        "session_window vs strictly-greater oracle semantics now "
+        "diverge; align the oracle (extra.py window_session) before "
+        "trusting the hash gate"
+    )

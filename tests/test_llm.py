@@ -1139,7 +1139,11 @@ def test_embedding_drift_halves_matches_numpy(spark):
         assert (g.n_a, g.n_b) == (len(halves[True]), len(halves[False]))
         mus = {}
         for side, vecs in halves.items():
-            micro = np.round(np.array(vecs, dtype=np.float64) * 1_000_000.0)
+            # half-AWAY rounding to match the engines (Spark F.round /
+            # DuckDB round); np.round is half-to-even and would differ
+            # on a v*1e6 landing exactly on .5 (r9 advice)
+            scaled = np.array(vecs, dtype=np.float64) * 1_000_000.0
+            micro = np.floor(np.abs(scaled) + 0.5) * np.sign(scaled)
             s = micro.sum(axis=0)
             cnt = len(vecs)
             mus[side] = np.fix(s / cnt)  # truncating integer division

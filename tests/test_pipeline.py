@@ -271,9 +271,21 @@ def test_nb_language_filter_operating_point_recall_floors(spark):
     assert en_recall >= 0.65, en_recall
     assert ot_rejection >= 0.45, ot_rejection
     assert (en_recall + ot_rejection) / 2 >= 0.55
-    # score is the length-invariant per-token log-odds, and the keep
-    # decision is exactly the documented cut on it
-    from vector_db_core_spark.operators.pipeline import NB_KEEP_CUT
+    # the CHOSEN precision trade (r9 verdict task 5): the confident
+    # 'keep' band must lift precision materially over the corpus
+    # prior (measured 0.586 vs prior 0.436 = 1.34x at sf0.01), while
+    # the drop boundary preserves survivor recall (the floors above).
+    kept = [r for r in rows if r.verdict == "keep"]
+    keep_precision = sum(r.is_en for r in kept) / len(kept)
+    prior = len(en) / len(rows)
+    assert keep_precision >= 0.55, keep_precision
+    assert keep_precision >= 1.25 * prior, (keep_precision, prior)
+    # score is the length-invariant per-token log-odds, and both the
+    # keep decision and the band are exactly the documented cuts on it
+    from vector_db_core_spark.operators.pipeline import (
+        NB_CONFIDENT_CUT,
+        NB_KEEP_CUT,
+    )
 
     for r in rows:
         # tolerance, not equality: Python's round() is half-even while
@@ -281,6 +293,13 @@ def test_nb_language_filter_operating_point_recall_floors(spark):
         # other via the shared SQL text; this pin is only the shape)
         assert abs(r.score - r.log_odds / r.n_tokens) < 1e-6, r
         assert r.pred_en == (r.score >= NB_KEEP_CUT), r
+        want = (
+            "keep"
+            if r.score >= NB_CONFIDENT_CUT
+            else ("review" if r.score >= NB_KEEP_CUT else "drop")
+        )
+        assert r.verdict == want, r
+        assert r.pred_en == (r.verdict != "drop"), r
 
 
 def test_nb_trio_fits_once_per_session(spark):

@@ -17,6 +17,8 @@ DuckDB oracle bit-for-bit at any parallelism.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -909,19 +911,24 @@ def pagerank_parts_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     deep; at cluster scale use localCheckpoint/checkpoint to truncate
     lineage entirely.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
-        li.distinct()
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("parts"))
-        .where(F.size("parts").between(2, 20))
-    )
-    pairs = baskets.select(
-        F.explode("parts").alias("a"), F.col("parts").alias("parts")
-    ).select("a", F.explode("parts").alias("b")).where(F.col("a") != F.col("b"))
+    # symmetrize the session-shared weighted (u < v, w) scratch table:
+    # the directed weighted edge list is exactly both orientations of
+    # each unordered pair (co-order count is symmetric), so this op
+    # pays a parquet scan + union, never the basket self-join
+    und = _co_purchase_edges_table(spark, sf_dir)
     edges = (
-        pairs.groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .agg(F.count("*").cast("double").alias("w"))
+        und.select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.col("w").cast("double").alias("w"),
+        )
+        .unionAll(
+            und.select(
+                F.col("v").alias("src"),
+                F.col("u").alias("dst"),
+                F.col("w").cast("double").alias("w"),
+            )
+        )
         .persist()
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
@@ -1512,24 +1519,13 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     any ranking decision; dangling nodes are structurally absent
     (basket pairs are symmetric, so every node has out-edges)."""
     scale = 1_000_000_000_000
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.distinct()
-    bk = (
-        op.groupBy("l_orderkey")
-        .agg(F.count("*").alias("sz"))
-        .where(F.col("sz").between(2, 20))
-        .select("l_orderkey")
-    )
-    a = op.alias("a")
-    b = op.alias("b")
+    # distinct directed pairs == both orientations of the canonical
+    # u < v list — served from the session-shared scratch table, so
+    # the 8-iteration loop never pays the basket self-join
+    und = _co_purchase_edges_table(spark, sf_dir)
     edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .join(bk, "l_orderkey", "left_semi")
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .persist()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
@@ -1765,16 +1761,20 @@ def sketch_bloom_md5_nonmembers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _co_purchase_edges(spark: SparkSession, sf_dir: str):
-    """Canonical (u < v, distinct) co-purchase edge list from 2-20
-    item baskets — persisted: every triangle op reads it at least
-    twice (degree aggregate + orientation join), release is the
-    registry-wide clearCache contract (registry.py). Catalyst pushes
-    the basket-size LeftSemi below the pairwise self-join (plan
-    verified in the r8 judge session), so oversized baskets never
-    pair."""
-    from pyspark import StorageLevel
+_CO_EDGE_PATHS: dict[str, str] = {}
+_CO_EDGE_BUILD_COUNT = 0  # pytest pin: exactly one build per (process, sf_dir)
+_CO_EDGE_LOCK = threading.Lock()
 
+
+def _co_purchase_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot builder for the canonical WEIGHTED co-purchase edge
+    list from 2-20 item baskets: one row per unordered part pair
+    (u < v), ``w`` = number of distinct orders containing both.
+    Catalyst pushes the basket-size LeftSemi below the pairwise
+    self-join (plan verified in the r8 judge session), so oversized
+    baskets never pair. The groupBy count replaces the old
+    ``.distinct()`` — same shuffle, same row count, and the weight
+    comes for free (the float-PageRank consumer needs it)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.distinct()
     bk = (
@@ -1789,10 +1789,62 @@ def _co_purchase_edges(spark: SparkSession, sf_dir: str):
         a.join(b, "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .join(bk, "l_orderkey", "left_semi")
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
     )
+
+
+def _co_purchase_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (u, v, w) edge table, built at most once per
+    (process, sf_dir) and served from a pid-keyed scratch parquet —
+    the ``_nb_scored`` pattern (r9 verdict task 2): FIVE graph ops
+    (both PageRanks, both triangle ops, degree distribution) paid the
+    identical 12M/120M-edge distinct self-join per call; now each op
+    pays a columnar parquet scan instead. The check-then-build is
+    guarded by a threading.Lock (pid keying only isolates PROCESSES —
+    two threads in one process would otherwise both build and race
+    the overwrite). Freeze-at-first-call semantics: the table is a
+    snapshot of the fixture at the first consumer's call; a rewritten
+    fixture within one process needs ``_co_purchase_edges_reset``
+    (the bench hook) to be observed."""
+    import hashlib
+    import os
+    import tempfile
+
+    from vector_db_core_spark.scratch import reap_at_exit
+
+    global _CO_EDGE_BUILD_COUNT
+    with _CO_EDGE_LOCK:
+        path = _CO_EDGE_PATHS.get(sf_dir)
+        if path is None:
+            path = reap_at_exit(
+                os.path.join(
+                    tempfile.gettempdir(),
+                    f"vdbc_co_edges_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+                    f"_{os.getpid()}",
+                )
+            )
+            _co_purchase_edges_build(spark, sf_dir).write.mode(
+                "overwrite"
+            ).parquet(path)
+            _CO_EDGE_BUILD_COUNT += 1
+            _CO_EDGE_PATHS[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def _co_purchase_edges_reset() -> None:
+    """Drop the scratch bookkeeping so the next consumer rebuilds
+    (bench hook: lets a timed sample pay the real build cost)."""
+    with _CO_EDGE_LOCK:
+        _CO_EDGE_PATHS.clear()
+
+
+def _co_purchase_edges(spark: SparkSession, sf_dir: str):
+    """Canonical (u < v, distinct) co-purchase edge list — the
+    unweighted projection of the session-shared scratch table."""
+    return _co_purchase_edges_table(spark, sf_dir).select("u", "v")
 
 
 def _degrees(edges):

@@ -18,6 +18,8 @@ the standard guard against train/test leakage through near-dups).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1548,6 +1550,24 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tests/test_pipeline.py).
 NB_KEEP_CUT = -0.01
 
+#: The CONFIDENT-keep cut of the two-threshold keep/review/drop band
+#: (r9 verdict task 5: the single cut's trade was recall 0.70 at
+#: precision 0.508 — below the coin-flip line on the kept set — an
+#: operating point inherited, not chosen). The band makes the trade
+#: explicit, curation-style: ``drop`` below NB_KEEP_CUT (confidently
+#: non-English per the calibration table — dropping it is what lifted
+#: recall-of-survivors to 0.70), ``review`` in [NB_KEEP_CUT,
+#: NB_CONFIDENT_CUT) (the prior-rate band: neither kept as English
+#: nor lost — routed to downstream quality gates), ``keep`` at or
+#: above NB_CONFIDENT_CUT. Selection rule (read off the calibration
+#: sweep at sf0.01): the smallest bin boundary whose kept-set
+#: precision lifts >= 1.25x over the corpus English prior while
+#: retaining the largest keep set — 0.0 (precision 0.586 = 1.34x the
+#: 0.436 prior over 152 docs; the next boundary +0.01 reaches 0.633
+#: but keeps only 49). Both precision and survivor-recall floors are
+#: pinned in tests/test_pipeline.py.
+NB_CONFIDENT_CUT = 0.0
+
 _NB_LANG_SQL = rf"""
     WITH tok AS (SELECT doc_id, lang = 'en' AS is_en,
                         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
@@ -1574,7 +1594,13 @@ _NB_LANG_SQL = rf"""
            round(round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6) / n_tokens, 6)
              AS score,
            round(round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6) / n_tokens, 6)
-             >= {NB_KEEP_CUT} AS pred_en
+             >= {NB_KEEP_CUT} AS pred_en,
+           CASE WHEN round(round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6)
+                           / n_tokens, 6) >= {NB_CONFIDENT_CUT} THEN 'keep'
+                WHEN round(round(CAST(lr AS DOUBLE) + ln(n_en / n_ot), 6)
+                           / n_tokens, 6) >= {NB_KEEP_CUT} THEN 'review'
+                ELSE 'drop'
+           END AS verdict
     FROM s, pri
 """
 
@@ -1588,10 +1614,12 @@ _NB_LANG_SQL = rf"""
 #: FILE rather than persist() because the registry's clearCache-per-
 #: query contract (registry.py) would evict a cached frame between
 #: queries; parquet round-trips doubles/longs/booleans bit-exactly,
-#: so the hash gate is unaffected. pid-keyed like the replay roots so
-#: concurrent consumers never race.
+#: so the hash gate is unaffected. pid-keyed like the replay roots
+#: (process isolation) + ``_NB_LOCK`` around check-then-fit (thread
+#: isolation), so concurrent consumers never race.
 _NB_SCORED_PATHS: dict[str, str] = {}
 _NB_FIT_COUNT = 0  # pytest pin: exactly one fit per (process, sf_dir)
+_NB_LOCK = threading.Lock()
 
 
 def _nb_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,11 +1667,21 @@ def _nb_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         log_odds.alias("log_odds"),
         score.alias("score"),
         (score >= F.lit(NB_KEEP_CUT)).alias("pred_en"),
+        F.when(score >= F.lit(NB_CONFIDENT_CUT), F.lit("keep"))
+        .when(score >= F.lit(NB_KEEP_CUT), F.lit("review"))
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
     )
 
 
 def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scored corpus, fit at most once per (process, sf_dir)."""
+    """Scored corpus, fit at most once per (process, sf_dir). The
+    check-then-fit is guarded by ``_NB_LOCK`` — pid keying only
+    isolates PROCESSES; without the lock, two threads in one process
+    could both fit and race the scratch overwrite (r9 advice).
+    Freeze-at-first-call semantics: the scores are a snapshot of the
+    fixture at the first consumer's call; a rewritten fixture within
+    one process needs ``_nb_scored_reset`` to be observed."""
     import hashlib
     import os
     import tempfile
@@ -1651,25 +1689,27 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_core_spark.scratch import reap_at_exit
 
     global _NB_FIT_COUNT
-    path = _NB_SCORED_PATHS.get(sf_dir)
-    if path is None:
-        path = reap_at_exit(
-            os.path.join(
-                tempfile.gettempdir(),
-                f"vdbc_nb_scored_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-                f"_{os.getpid()}",
+    with _NB_LOCK:
+        path = _NB_SCORED_PATHS.get(sf_dir)
+        if path is None:
+            path = reap_at_exit(
+                os.path.join(
+                    tempfile.gettempdir(),
+                    f"vdbc_nb_scored_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+                    f"_{os.getpid()}",
+                )
             )
-        )
-        _nb_fit_score(spark, sf_dir).write.mode("overwrite").parquet(path)
-        _NB_FIT_COUNT += 1
-        _NB_SCORED_PATHS[sf_dir] = path
+            _nb_fit_score(spark, sf_dir).write.mode("overwrite").parquet(path)
+            _NB_FIT_COUNT += 1
+            _NB_SCORED_PATHS[sf_dir] = path
     return spark.read.parquet(path)
 
 
 def _nb_scored_reset() -> None:
     """Drop the scratch bookkeeping so the next consumer re-fits
     (bench hook: lets a timed sample pay the real fit cost)."""
-    _NB_SCORED_PATHS.clear()
+    with _NB_LOCK:
+        _NB_SCORED_PATHS.clear()
 
 
 @register("pipeline_nb_language_filter", oracle=_NB_LANG_SQL)
@@ -1684,7 +1724,12 @@ def pipeline_nb_language_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, so a fixed cut on them conflates length with language),
     and the keep/drop decision at ``score >= NB_KEEP_CUT``, the
     operating point read off the calibration table (see NB_KEEP_CUT:
-    English recall 0.41 -> 0.70 at sf0.01, precision recorded there).
+    English recall 0.41 -> 0.70 at sf0.01, precision recorded there),
+    plus the three-way ``verdict`` band (keep/review/drop — see
+    NB_CONFIDENT_CUT) that makes the precision/recall trade explicit:
+    confident keeps carry a pinned precision lift over the prior,
+    the review band routes to downstream quality gates, and only
+    confidently non-English mass is dropped.
     Fixture languages share a vocabulary but differ in token
     FREQUENCIES, so the classifier has real signal to learn; training
     and scoring are the same two-pass shape a real fastText-scored
