@@ -350,6 +350,26 @@ def test_pagerank_exact_mass_and_float_agreement(spark):
     assert len(top_exact & top_float) >= 15, (top_exact, top_float)
 
 
+def test_ks_binned_conservative_and_decision_agrees(spark):
+    """The binned KS twin must be CONSERVATIVE vs the exact test
+    (D_binned <= D_exact — bin boundaries are a subset of the exact
+    ECDF's jump points), agree on the alpha=0.05 decision at gate
+    scale, and sit within one bin's probability mass of the exact
+    statistic (resolution bound)."""
+    exact = {
+        r.pair: r for r in QUERIES["agg_ks_two_sample"](spark, SF_ORACLE).collect()
+    }
+    binned = {r.pair: r for r in QUERIES["agg_ks_binned"](spark, SF_ORACLE).collect()}
+    assert set(exact) == set(binned)
+    for pair, b in binned.items():
+        x = exact[pair]
+        assert (b.n1, b.n2) == (x.n1, x.n2), pair
+        assert b.n_bins >= 10, pair  # the grid actually resolves
+        assert b.ks_stat_binned <= x.ks_stat + 1e-9, pair
+        assert x.ks_stat - b.ks_stat_binned <= 0.05, pair
+        assert b.reject_same_dist_005 == x.reject_same_dist_005, pair
+
+
 def test_graph_family_builds_edges_once_per_session(spark):
     """The graph family shares ONE co-purchase edge build per
     (process, sf_dir) — the `_nb_scored` scratch-parquet pattern (r9

@@ -59,6 +59,8 @@ def test_entry_smoke(spark):
     "sim_kmeans_lloyd_exact",         # integer Lloyd iterations
     "timeseries_cusum_changepoint",   # scaled integer deviation argmax
     "dedup_minhash_md5_estimate",     # md5-family minhash signatures
+    "agg_gini_customer_spend",        # two-phase distributed rank
+    "agg_lorenz_deciles",             # NTILE closed form on the rank
 ])
 def test_results_partition_independent(name, spark):
     """The exact-arithmetic policy's real claim: identical results at

@@ -1015,6 +1015,29 @@ def test_round9_gini_and_theil_sen_rank_reductions(spark):
         assert "Python" not in simple and "CartesianProduct" not in simple
 
 
+def test_round10_gini_lorenz_two_phase_rank(spark):
+    """The inequality pair ranks the customer reduction with the
+    DISTRIBUTED two-phase protocol (range-partitioned parallel sort +
+    broadcast prefix offsets — store._dense_rowid_frame), replacing
+    the r9 single-task W.orderBy window (the verdict's named
+    perf-weak point): the rank sort must be within-partition only
+    (global=false under a rangepartitioning exchange), and no window
+    function may touch the customer rows — the only window allowed is
+    Lorenz's 10-row cumulative share over the decile aggregate."""
+    for name in ("agg_gini_customer_spend", "agg_lorenz_deciles"):
+        simple = _plan_simple(QUERIES[name](spark, SF_ORACLE))
+        assert "rangepartitioning" in simple, name
+        for ln in simple.splitlines():
+            if "Sort [cents" in ln:
+                assert ", false, 0" in ln, (name, ln)
+            if "windowspecdefinition" in ln:
+                # spec may AGGREGATE cents (the cumulative share) but
+                # must sort only the 10-row decile table, never the
+                # customer rows
+                assert "windowspecdefinition(decile" in ln, (name, ln)
+        spark.catalog.clearCache()
+
+
 def test_round9_triangle_estimate_samples_before_orientation(spark):
     """The DOULION sample predicate must sit below the degree
     aggregate and wedge joins (orientation runs on the thinned graph,

@@ -2560,6 +2560,44 @@ def _customer_spend_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ranked_customer_spend(spark: SparkSession, sf_dir: str):
+    """(o_custkey, cents, i) with the 1-based GLOBAL rank ``i`` in
+    (cents, o_custkey) order, plus the total row count — computed by
+    the DISTRIBUTED two-phase rank (r9 verdict task 3), not a
+    single-task ``W.orderBy`` window:
+
+      1. range-partition + sort WITHIN partitions on the rank key —
+         every partition sorts in parallel, partition p's keys all
+         precede partition p+1's;
+      2. per-partition row counts -> driver prefix sum -> broadcast
+         offsets; each row's rank = its partition's offset + its
+         local position (``store._dense_rowid_frame``, the exact
+         protocol ``OrdinalStore.pushx`` uses for dense rowids).
+
+    The sorted frame is PERSISTED before tagging because
+    ``monotonically_increasing_id`` requires deterministic
+    partitioning between the counts action and downstream use (the
+    ``with_dense_rowid`` contract); release is the registry-wide
+    clearCache-per-query contract. The rank key is a TOTAL order
+    (custkey is unique), so ranks — and everything derived — are
+    identical at any parallelism. At 100 TB this ranks 15M+ customer
+    rows with no single-partition stage anywhere: the only
+    single-point work is the K-row prefix sum on the driver."""
+    from pyspark import StorageLevel
+
+    from vector_db_core_spark.store import _dense_rowid_frame
+
+    c = _customer_spend_cents(spark, sf_dir)
+    srt = (
+        c.repartitionByRange("cents", "o_custkey")
+        .sortWithinPartitions("cents", "o_custkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tagged = srt.withColumn("_mid", F.monotonically_increasing_id())
+    ranked, n_total = _dense_rowid_frame(tagged, start=1)
+    return ranked.withColumnRenamed("rowid", "i"), n_total
+
+
 _PATTERN_SQL = """
 WITH t AS (SELECT user_id, ts, event_id,
                   substr(event_type, 1, 1) AS ini
@@ -3241,19 +3279,14 @@ def agg_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation). One double finish + round(6).
 
     Plan/scale: corpus → per-customer rollup (map-side combined, one
-    shuffle); the global ranking is a single-partition window over the
-    CUSTOMER REDUCTION (|customers| rows, not |orders|) — the same
-    deliberate reduce-then-rank shape as ``timeseries_*``'s
-    day-rollup windows; a 100 TB run ranks its reduction the same way
-    (15M customers sort in one task comfortably; past that the
-    prefix-rank goes two-phase like the store's rowid assignment)."""
-    c = _customer_spend_cents(spark, sf_dir)
-    from pyspark.sql import Window as W
-
-    r = c.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "o_custkey")).cast("long").alias("i"),
-    )
+    shuffle); the global ranking is the DISTRIBUTED two-phase rank
+    over the CUSTOMER REDUCTION (``_ranked_customer_spend``: parallel
+    range-partitioned sort + driver prefix-sum of per-partition
+    counts — the store's dense-rowid protocol), so no single-partition
+    sort exists anywhere in the plan (plan-pinned; the r9 verdict's
+    named perf-weak point); the rank-weighted sum is one map-side-
+    combined aggregate over the ranked rows."""
+    r, _ = _ranked_customer_spend(spark, sf_dir)
     a = r.agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("total"),
@@ -3494,15 +3527,26 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row window.
 
     Plan/scale: the same reduce-then-rank shape as Gini — per-customer
-    rollup (one map-side-combined shuffle), a single-partition NTILE
-    over the CUSTOMER REDUCTION, then a 10-row aggregate. Output: 10
-    rows at any scale."""
-    c = _customer_spend_cents(spark, sf_dir)
-    r = c.select(
-        "cents",
-        F.ntile(10).over(W.orderBy("cents", "o_custkey")).alias("decile"),
+    rollup (one map-side-combined shuffle), then the DISTRIBUTED
+    two-phase rank (``_ranked_customer_spend``) instead of a
+    single-partition NTILE: the decile is NTILE(10)'s closed form on
+    the global rank (with n = q·10 + rem, the first ``rem`` tiles
+    take q+1 rows, the rest q — bit-identical to the window
+    function), then a 10-row aggregate. Output: 10 rows at any
+    scale, no single-partition sort anywhere (plan-pinned)."""
+    r, n_total = _ranked_customer_spend(spark, sf_dir)
+    q, rem = divmod(n_total, 10)
+    i0 = F.col("i") - 1  # 0-based rank
+    head = rem * (q + 1)  # rows covered by the q+1-sized tiles
+    decile = (
+        F.when(i0 < head, F.expr(f"(i - 1) div {q + 1}"))
+        # max(q,1): with n < 10 the head covers every row and this
+        # branch is never selected; the guard only keeps the unused
+        # expression from dividing by zero
+        .otherwise(rem + F.expr(f"(i - 1 - {head}) div {max(q, 1)}"))
+        + 1
     )
-    a = r.groupBy("decile").agg(
+    a = r.select(decile.alias("decile"), "cents").groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.sum("cents").alias("cents"),
     )
@@ -3520,6 +3564,41 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cum.cast("double") / F.col("total"), 6).alias("cum_share"),
         )
     )
+
+
+def _ks_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pair, side, cents) sample construction shared by the exact
+    two-sample KS test and its binned scale twin: the organic
+    BUILDING-vs-MACHINERY pair plus the deterministically inflated
+    drifted twin (``cents * 110 div 100``) — one definition, so the
+    twin ops disagree only in their value axis, never their samples."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg"))
+    )
+    base = o.join(c, "o_custkey").select("seg", "cents")
+    organic = base.select(
+        F.lit("building_vs_machinery").alias("pair"),
+        F.when(F.col("seg") == "BUILDING", 0).otherwise(1).alias("side"),
+        "cents",
+    )
+    b = base.where(F.col("seg") == "BUILDING")
+    twin = b.select(
+        F.lit("building_vs_inflated_twin").alias("pair"),
+        F.lit(0).alias("side"),
+        "cents",
+    ).unionAll(
+        b.select(
+            F.lit("building_vs_inflated_twin").alias("pair"),
+            F.lit(1).alias("side"),
+            F.expr("cents * 110 div 100").alias("cents"),
+        )
+    )
+    return organic.unionAll(twin)
 
 
 _KS_SQL = """
@@ -3588,33 +3667,7 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-bin the value axis (binned KS is a valid conservative test)
     the way ``agg_equidepth_histogram`` buckets, trading resolution
     for a bounded grid. Output: 2 rows."""
-    o = _t(spark, sf_dir, "orders").select(
-        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
-    )
-    c = (
-        _t(spark, sf_dir, "customer")
-        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-        .select(F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg"))
-    )
-    base = o.join(c, "o_custkey").select("seg", "cents")
-    organic = base.select(
-        F.lit("building_vs_machinery").alias("pair"),
-        F.when(F.col("seg") == "BUILDING", 0).otherwise(1).alias("side"),
-        "cents",
-    )
-    b = base.where(F.col("seg") == "BUILDING")
-    twin = b.select(
-        F.lit("building_vs_inflated_twin").alias("pair"),
-        F.lit(0).alias("side"),
-        "cents",
-    ).unionAll(
-        b.select(
-            F.lit("building_vs_inflated_twin").alias("pair"),
-            F.lit(1).alias("side"),
-            F.expr("cents * 110 div 100").alias("cents"),
-        )
-    )
-    s = organic.unionAll(twin)
+    s = _ks_sides(spark, sf_dir)
     e = s.groupBy("pair", "cents").agg(
         F.sum((F.col("side") == 0).cast("long")).alias("c1"),
         F.sum((F.col("side") == 1).cast("long")).alias("c2"),
@@ -3649,5 +3702,112 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         F.round(ks, 6).alias("ks_stat"),
+        (ks > crit).alias("reject_same_dist_005"),
+    )
+
+
+#: Fixed bin width of the binned KS twin, in cents: $1,000. TPC-H
+#: order totals span ~$900-$560k, so the grid is <= ~560 populated
+#: bins AT ANY SCALE FACTOR — the property the twin exists for.
+KS_BIN_CENTS = 100_000
+
+_KS_BINNED_SQL = f"""
+WITH base AS (SELECT c.c_mktsegment AS seg,
+                     CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+s AS (SELECT 'building_vs_machinery' AS pair,
+             CASE WHEN seg = 'BUILDING' THEN 0 ELSE 1 END AS side, cents
+      FROM base
+      UNION ALL
+      SELECT 'building_vs_inflated_twin', 0, cents FROM base WHERE seg = 'BUILDING'
+      UNION ALL
+      SELECT 'building_vs_inflated_twin', 1, cents * 110 // 100
+      FROM base WHERE seg = 'BUILDING'),
+e AS (SELECT pair, cents // {KS_BIN_CENTS} AS bin,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c2
+      FROM s GROUP BY pair, bin),
+f AS (SELECT pair,
+             SUM(c1) OVER (PARTITION BY pair ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (PARTITION BY pair ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS f2,
+             SUM(c1) OVER (PARTITION BY pair) AS n1,
+             SUM(c2) OVER (PARTITION BY pair) AS n2
+      FROM e),
+d AS (SELECT pair,
+             CAST(MAX(n1) AS BIGINT) AS n1,
+             CAST(MAX(n2) AS BIGINT) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(MAX(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS dmax
+      FROM f GROUP BY pair)
+SELECT pair, n1, n2, n_bins,
+       round(CAST(dmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_stat_binned,
+       (CAST(dmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))
+         > 1.358 * sqrt((n1 + CAST(n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * n2))
+         AS reject_same_dist_005
+FROM d
+"""
+
+
+@register("agg_ks_binned", oracle=_KS_BINNED_SQL)
+def agg_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINNED two-sample KS — the SCALE TWIN of ``agg_ks_two_sample``
+    (r9 verdict task 4): the exact op's cumulative window runs over
+    the distinct-VALUE grid, which is value-cardinality-bounded, not
+    time-bounded — at 100 TB the cents grid approaches |orders| and
+    the per-pair window inherits an unbounded sort. This twin
+    pre-bins the value axis at a FIXED width (``KS_BIN_CENTS`` =
+    $1,000 — the ``agg_equidepth_histogram`` bucketing pattern, but
+    equi-WIDTH so the bin id is one integer division, no quantile
+    pass), then computes the IDENTICAL integer cross-multiplied ECDF
+    argmax on the bin grid (<= ~560 populated bins at any SF).
+
+    CONSERVATIVE-test property: the binned ECDF evaluated at bin
+    boundaries is the exact ECDF evaluated at a SUBSET of its jump
+    points, so D_binned <= D_exact always — a rejection from the
+    binned statistic is always confirmed by the exact test, and the
+    resolution loss is bounded by the probability mass of one bin
+    (pytest pins decision agreement with the exact op at gate scale
+    and the statistic gap within bin resolution).
+
+    Plan/scale: same reduce shape as the exact twin — one map-side-
+    combined (pair, bin) aggregate (grid rows, bounded), totals and
+    cumulative ECDF on ONE per-pair exchange, 2-row output. The
+    window sort is over <= ~560 rows per pair regardless of corpus
+    size — the flat-ladder property the exact op can't have."""
+    s = _ks_sides(spark, sf_dir)
+    e = s.groupBy("pair", F.expr(f"cents div {KS_BIN_CENTS}").alias("bin")).agg(
+        F.sum((F.col("side") == 0).cast("long")).alias("c1"),
+        F.sum((F.col("side") == 1).cast("long")).alias("c2"),
+    )
+    wf = W.partitionBy("pair").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wp = W.partitionBy("pair")
+    f = e.select(
+        "pair",
+        F.sum("c1").over(wf).alias("f1"),
+        F.sum("c2").over(wf).alias("f2"),
+        F.sum("c1").over(wp).alias("n1"),
+        F.sum("c2").over(wp).alias("n2"),
+    )
+    d = f.groupBy("pair").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.count("*").alias("n_bins"),
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        ).alias("dmax"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    ks = F.col("dmax").cast("double") / (n1 * n2)
+    crit = 1.358 * F.sqrt((F.col("n1") + n2) / (n1 * n2))
+    return d.select(
+        "pair",
+        "n1",
+        "n2",
+        "n_bins",
+        F.round(ks, 6).alias("ks_stat_binned"),
         (ks > crit).alias("reject_same_dist_005"),
     )
