@@ -350,6 +350,90 @@ def test_pagerank_exact_mass_and_float_agreement(spark):
     assert len(top_exact & top_float) >= 15, (top_exact, top_float)
 
 
+def test_chi2_and_mi_match_numpy_rederivation(spark):
+    """Re-derive both categorical-association statistics in numpy
+    from the raw contingency table (independent of either engine's
+    aggregation path) and pin the fixture reading: TPC-H's
+    independent generators put chi2 near dof (no association, V ~ 0)
+    and MI near 0 nats."""
+    import numpy as np
+
+    o = load_table(spark, SF_ORACLE, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, SF_ORACLE, "customer").selectExpr(
+        "c_custkey AS o_custkey", "c_mktsegment AS seg"
+    )
+    cells = (
+        o.join(c, "o_custkey")
+        .groupBy("seg", "o_orderpriority")
+        .count()
+        .collect()
+    )
+    segs = sorted({r.seg for r in cells})
+    pris = sorted({r.o_orderpriority for r in cells})
+    m = np.zeros((len(segs), len(pris)))
+    for r in cells:
+        m[segs.index(r.seg), pris.index(r.o_orderpriority)] = r["count"]
+    n = m.sum()
+    e = np.outer(m.sum(1), m.sum(0)) / n
+    want_chi2 = ((m - e) ** 2 / e).sum()
+    p = m / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = p * np.log(p / (np.outer(p.sum(1), p.sum(0))))
+    want_mi = np.nansum(terms)
+
+    chi = QUERIES["agg_chi2_independence"](spark, SF_ORACLE).collect()[0]
+    mi = QUERIES["agg_mutual_information"](spark, SF_ORACLE).collect()[0]
+    assert chi.n == mi.n == int(n)
+    assert abs(chi.chi2 - want_chi2) < 1e-4, (chi.chi2, want_chi2)
+    assert abs(mi.mi_nats - want_mi) < 1e-4, (mi.mi_nats, want_mi)
+    # the no-association fixture reading
+    assert chi.dof == (len(segs) - 1) * (len(pris) - 1)
+    assert chi.chi2 < 3 * chi.dof, chi.chi2
+    assert 0 <= chi.cramers_v < 0.1, chi.cramers_v
+    assert 0 <= mi.mi_nats < 0.01, mi.mi_nats
+
+
+def test_mann_kendall_matches_python_and_detects_twin(spark):
+    """Re-derive S / tie-corrected variance / z in pure Python from
+    the daily rollup and require bit-agreement; the organic series
+    must be trendless while the synthesized ramp twin is detected
+    (both decision outcomes on one fixture — the KS bar)."""
+    import math
+
+    rows = QUERIES["timeseries_mann_kendall"](spark, SF_ORACLE).collect()
+    got = {r.event_type: r for r in rows}
+    assert got["purchase_trend_twin"].trend_significant_005
+    organic = [r for r in rows if r.event_type != "purchase_trend_twin"]
+    assert organic and not any(r.trend_significant_005 for r in organic)
+
+    daily = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.cents))
+    for et, pts in series.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        n = len(vals)
+        s = sum(
+            (vals[j] > vals[i]) - (vals[j] < vals[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vals).values())
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = (s - 1) / math.sqrt(var) if s > 0 else ((s + 1) / math.sqrt(var) if s < 0 else 0.0)
+        g = got[et]
+        assert (g.n_days, g.s_stat) == (n, s), et
+        assert abs(g.mk_z - z) < 1e-6, et
+
+
 def test_ks_binned_conservative_and_decision_agrees(spark):
     """The binned KS twin must be CONSERVATIVE vs the exact test
     (D_binned <= D_exact — bin boundaries are a subset of the exact

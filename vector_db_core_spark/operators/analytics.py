@@ -2154,3 +2154,145 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(slope, 6))
         .alias("loglog_slope"),
     )
+
+
+_RFM_SQL = """
+WITH rfm AS (SELECT o_custkey,
+                    date_diff('day', MAX(o_orderdate),
+                              (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+                    CAST(COUNT(*) AS BIGINT) AS frequency,
+                    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+             FROM orders GROUP BY o_custkey),
+q AS (SELECT quantile_cont(recency_days, 0.2) AS r20, quantile_cont(recency_days, 0.4) AS r40,
+             quantile_cont(recency_days, 0.6) AS r60, quantile_cont(recency_days, 0.8) AS r80,
+             quantile_cont(frequency, 0.2) AS f20, quantile_cont(frequency, 0.4) AS f40,
+             quantile_cont(frequency, 0.6) AS f60, quantile_cont(frequency, 0.8) AS f80,
+             quantile_cont(monetary_cents, 0.2) AS m20, quantile_cont(monetary_cents, 0.4) AS m40,
+             quantile_cont(monetary_cents, 0.6) AS m60, quantile_cont(monetary_cents, 0.8) AS m80
+      FROM rfm),
+s AS (SELECT o_custkey, recency_days, frequency, monetary_cents,
+             CASE WHEN recency_days <= r20 THEN 5 WHEN recency_days <= r40 THEN 4
+                  WHEN recency_days <= r60 THEN 3 WHEN recency_days <= r80 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN frequency <= f20 THEN 1 WHEN frequency <= f40 THEN 2
+                  WHEN frequency <= f60 THEN 3 WHEN frequency <= f80 THEN 4
+                  ELSE 5 END AS f_score,
+             CASE WHEN monetary_cents <= m20 THEN 1 WHEN monetary_cents <= m40 THEN 2
+                  WHEN monetary_cents <= m60 THEN 3 WHEN monetary_cents <= m80 THEN 4
+                  ELSE 5 END AS m_score
+      FROM rfm, q),
+lab AS (SELECT *,
+               CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                    WHEN r_score >= 3 AND f_score >= 4 THEN 'loyal'
+                    WHEN m_score >= 4 THEN 'big_spender'
+                    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                    ELSE 'regular' END AS segment
+        FROM s)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(SUM(recency_days) AS DOUBLE) / COUNT(*), 6) AS avg_recency_days,
+       round(CAST(SUM(frequency) AS DOUBLE) / COUNT(*), 6) AS avg_frequency,
+       CAST(SUM(monetary_cents) AS BIGINT) AS total_monetary_cents
+FROM lab GROUP BY segment
+"""
+
+
+@register("rfm_customer_segments", oracle=_RFM_SQL)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic warehouse customer-value
+    analysis: per customer the Recency (days since last order, vs the
+    corpus max date), Frequency (order count), Monetary (exact spend
+    cents); each scored 1-5 by GLOBAL DATA-DERIVED quintiles
+    (recency inverted — recent is better), then mapped through the
+    standard segment rules (champion / loyal / big_spender / at_risk /
+    hibernating / regular) and aggregated to the segment profile
+    table. The same machinery stratifies any entity by engagement
+    recency/volume — e.g. contributors to a training corpus.
+    Exactness: R/F/M are exact integers; the 12 quintile thresholds
+    use the shared exact-percentile contract (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, bit-identical linear interpolation —
+    the ``pipeline_curriculum_phases`` pin); scores and labels are
+    integer/boolean CASEs stated identically in both engines;
+    averages are one division of exact sums + round(6).
+
+    Plan/scale: one map-side-combined rollup to |customers| rows; the
+    max-date scalar and the one-row threshold frame broadcast back
+    (no shuffle touches the reduction again); scoring is a map-side
+    CASE; the output aggregate is <=6 rows. At 100 TB swap the exact
+    percentile thresholds for ``approx_percentile`` (the documented
+    exact/approx twin policy) and the plan is otherwise unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("max_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    q = rfm.agg(
+        *[
+            F.percentile(col, p).alias(f"{col[0]}{int(p * 100)}")
+            for col in ("recency_days", "frequency", "monetary_cents")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+    s = rfm.crossJoin(F.broadcast(q)).select(
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.when(F.col("recency_days") <= F.col("r20"), 5)
+        .when(F.col("recency_days") <= F.col("r40"), 4)
+        .when(F.col("recency_days") <= F.col("r60"), 3)
+        .when(F.col("recency_days") <= F.col("r80"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("frequency") <= F.col("f20"), 1)
+        .when(F.col("frequency") <= F.col("f40"), 2)
+        .when(F.col("frequency") <= F.col("f60"), 3)
+        .when(F.col("frequency") <= F.col("f80"), 4)
+        .otherwise(5)
+        .alias("f_score"),
+        F.when(F.col("monetary_cents") <= F.col("m20"), 1)
+        .when(F.col("monetary_cents") <= F.col("m40"), 2)
+        .when(F.col("monetary_cents") <= F.col("m60"), 3)
+        .when(F.col("monetary_cents") <= F.col("m80"), 4)
+        .otherwise(5)
+        .alias("m_score"),
+    )
+    lab = s.select(
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 4), "loyal")
+        .when(F.col("m_score") >= 4, "big_spender")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+    return lab.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("recency_days").cast("double") / F.count("*"), 6).alias(
+            "avg_recency_days"
+        ),
+        F.round(F.sum("frequency").cast("double") / F.count("*"), 6).alias(
+            "avg_frequency"
+        ),
+        F.sum("monetary_cents").alias("total_monetary_cents"),
+    )

@@ -3811,3 +3811,293 @@ def agg_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ks, 6).alias("ks_stat_binned"),
         (ks > crit).alias("reject_same_dist_005"),
     )
+
+
+# --------------------------------------------- categorical association
+def _segment_priority_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency cells of (customer market segment x order priority)
+    with row/column/grand totals attached — the shared build of the
+    categorical-association pair (chi-square test, mutual
+    information). Counts are exact integers; the marginals broadcast
+    back onto the <=25-cell grid, so the expensive work is ONE
+    map-side-combined aggregate over the join."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    cells = (
+        o.join(c, "o_custkey")
+        .groupBy("seg", F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").alias("n_ij"))
+    )
+    rt = cells.groupBy("seg").agg(F.sum("n_ij").alias("rt"))
+    ct = cells.groupBy("pri").agg(F.sum("n_ij").alias("ct"))
+    tot = cells.agg(
+        F.sum("n_ij").alias("n"),
+        F.countDistinct("seg").alias("r"),
+        F.countDistinct("pri").alias("c"),
+    )
+    return (
+        cells.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+                      CAST(COUNT(*) AS BIGINT) AS n_ij
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY 1, 2),
+m AS (SELECT *,
+             SUM(n_ij) OVER (PARTITION BY seg) AS rt,
+             SUM(n_ij) OVER (PARTITION BY pri) AS ct,
+             SUM(n_ij) OVER () AS n
+      FROM cells),
+s AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT pri) AS BIGINT) AS c,
+             SUM(CAST(
+                 (n_ij - CAST(rt AS DOUBLE) * ct / n)
+                 * (n_ij - CAST(rt AS DOUBLE) * ct / n)
+                 / (CAST(rt AS DOUBLE) * ct / n)
+                 AS DECIMAL(27,15))) AS chi2_acc
+      FROM m)
+SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+       round(CAST(chi2_acc AS DOUBLE), 6) AS chi2,
+       round(sqrt(CAST(chi2_acc AS DOUBLE)
+                  / (n * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+FROM s
+"""
+
+
+@register("agg_chi2_independence", oracle=_CHI2_SQL)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE TEST OF INDEPENDENCE + Cramér's V between customer
+    market segment and order priority — the CATEGORICAL drift/
+    association detector beside the numeric ``agg_ks_two_sample`` and
+    the token-level ``pipeline_unigram_drift_kl`` (did the label mix
+    shift across a categorical axis?). chi2 = sum (O-E)^2/E over the
+    contingency cells with E = row_total*col_total/n; Cramér's V
+    normalizes it to [0,1] effect size (sqrt(chi2 / (n*min(r-1,c-1)))).
+    Exactness: cell counts and marginals are exact integers; each
+    cell's term is a fixed double expression (identical in both
+    engines — E stated as CAST(rt AS DOUBLE)*ct/n in the same order),
+    DECIMAL-cast before the ORDER-INDEPENDENT sum (the
+    ``agg_covariance_matrix`` discipline), one double finish +
+    round(6) for both statistics.
+
+    Plan/scale: one equi-join + one map-side-combined aggregate to
+    the <=25-cell grid; marginals are grid-sized aggregates that
+    broadcast back; the reduction to one row is trivially parallel.
+    At 100 TB the only data-sized work is the first aggregate —
+    everything after runs on cells. TPC-H's independent generators
+    give chi2 near dof (no association), which is itself the correct
+    read; pytest re-derives the statistic in numpy from the raw
+    contingency and pins the near-dof no-association reading."""
+    m = _segment_priority_cells(spark, sf_dir)
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = (F.col("n_ij") - e) * (F.col("n_ij") - e) / e
+    s = m.agg(
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+        F.sum(term.cast("decimal(27,15)")).alias("chi2_acc"),
+    )
+    chi2 = F.col("chi2_acc").cast("double")
+    mind = F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+    return s.select(
+        "n",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.col("n") * mind)), 6).alias("cramers_v"),
+    )
+
+
+_MI_SQL = """
+WITH cells AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+                      CAST(COUNT(*) AS BIGINT) AS n_ij
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY 1, 2),
+m AS (SELECT *,
+             SUM(n_ij) OVER (PARTITION BY seg) AS rt,
+             SUM(n_ij) OVER (PARTITION BY pri) AS ct,
+             SUM(n_ij) OVER () AS n
+      FROM cells),
+s AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             SUM(CAST(
+                 (CAST(n_ij AS DOUBLE) / n)
+                 * ln(CAST(n_ij AS DOUBLE) * n
+                      / (CAST(rt AS DOUBLE) * ct))
+                 AS DECIMAL(27,15))) AS mi_acc
+      FROM m)
+SELECT n, n_cells, round(CAST(mi_acc AS DOUBLE), 6) AS mi_nats
+FROM s
+"""
+
+
+@register("agg_mutual_information", oracle=_MI_SQL)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION (nats) between customer market segment and
+    order priority — the information-theoretic companion of
+    ``agg_chi2_independence`` on the SAME contingency build (chi2
+    answers 'is there any association'; MI measures HOW MANY bits the
+    label mix leaks — the feature-selection / leakage-audit number a
+    training pipeline reads before using a column as a conditioning
+    signal). MI = sum p_ij * ln(p_ij / (p_i p_j)) over populated
+    cells (empty cells contribute 0 by the 0*ln0 limit, and only
+    populated cells exist in the grid — both engines agree
+    structurally). Exactness: each populated cell's term is one
+    double expression stated identically in both engines
+    (``(n_ij/n) * ln(n_ij*n / (rt*ct))`` — the algebra avoids
+    dividing twice), DECIMAL-cast before the order-independent sum,
+    round(6) finish.
+
+    Plan/scale: identical to the chi-square twin — one data-sized
+    aggregate, then cell-count work. Output: one row."""
+    m = _segment_priority_cells(spark, sf_dir)
+    term = (F.col("n_ij").cast("double") / F.col("n")) * F.log(
+        F.col("n_ij").cast("double")
+        * F.col("n")
+        / (F.col("rt").cast("double") * F.col("ct"))
+    )
+    s = m.agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("n_cells"),
+        F.sum(term.cast("decimal(27,15)")).alias("mi_acc"),
+    )
+    return s.select(
+        "n", "n_cells", F.round(F.col("mi_acc").cast("double"), 6).alias("mi_nats")
+    )
+
+
+_MANN_KENDALL_SQL = """
+WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2),
+d AS (SELECT * FROM d0
+      UNION ALL
+      SELECT 'purchase_trend_twin', day,
+             cents + 100000 * date_diff('day', DATE '2020-01-01', day)
+      FROM d0 WHERE event_type = 'purchase'),
+p AS (SELECT a.event_type,
+             CAST(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END AS BIGINT) AS sgn
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day),
+s AS (SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+      FROM p GROUP BY event_type),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM d GROUP BY 1),
+ties AS (SELECT event_type,
+                CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                  AS tie_term
+         FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+               FROM d GROUP BY event_type, cents)
+         GROUP BY event_type),
+z AS (SELECT n.event_type, n.n_days, s.s_stat,
+             (n.n_days * (n.n_days - 1.0) * (2.0 * n.n_days + 5)
+              - ties.tie_term) / 18.0 AS var_s
+      FROM n JOIN s USING (event_type) JOIN ties USING (event_type))
+SELECT event_type, n_days, s_stat,
+       round(var_s, 6) AS var_s,
+       round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS mk_z,
+       abs(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                ELSE 0.0 END) > 1.96 AS trend_significant_005
+FROM z
+"""
+
+
+@register("timeseries_mann_kendall", oracle=_MANN_KENDALL_SQL)
+def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST per event type — the nonparametric
+    IS-there-a-trend decision that pairs with the Theil-Sen HOW-MUCH
+    estimator (the classical monotonic-trend toolkit: MK decides,
+    Theil-Sen sizes): S = sum of pairwise signs of the daily series,
+    variance with the standard tie correction
+    (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18, continuity-corrected
+    z = (S -/+ 1)/sqrt(Var), |z| > 1.96 at alpha=0.05. S and the tie
+    term are EXACT INTEGERS (pairwise signs on exact cents — no float
+    anywhere until the final z), the variance is one fixed double
+    expression, z one division + round(6) — bit-identical engines.
+    Both decision outcomes exercise on this fixture (the KS
+    registration bar): the organic series are trendless (correctly
+    NOT significant) and a SYNTHESIZED trending twin (purchase cents
+    + a deterministic 100k-cents/day ramp, stated identically in both
+    engines) is detected.
+
+    Plan/scale: the pairwise self-join runs on the DAY-ROLLUP
+    REDUCTION exactly like ``timeseries_theil_sen_trend`` (time-span-
+    bounded: ~66k pairs per type regardless of corpus size); the tie
+    table is a second grid-sized aggregate of the same rollup; the
+    corpus is touched once."""
+    d0 = _daily_cents(spark, sf_dir)
+    d = d0.unionAll(
+        d0.where(F.col("event_type") == "purchase").select(
+            F.lit("purchase_trend_twin").alias("event_type"),
+            "day",
+            (
+                F.col("cents")
+                + 100000 * F.datediff(F.col("day"), F.lit("2020-01-01").cast("date"))
+            ).alias("cents"),
+        )
+    )
+    a = d.select("event_type", F.col("day").alias("d1"), F.col("cents").alias("c1"))
+    b = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    s = (
+        a.join(b, (F.col("event_type") == F.col("et2")) & (F.col("d1") < F.col("d2")))
+        .select(
+            "event_type",
+            F.when(F.col("c2") > F.col("c1"), 1)
+            .when(F.col("c2") < F.col("c1"), -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("sgn"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("sgn").alias("s_stat"))
+    )
+    n = d.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    ties = (
+        d.groupBy("event_type", "cents")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nd = F.col("n_days")
+    var_s = (
+        nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + 5) - F.col("tie_term")
+    ) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    out = n.join(s, "event_type").join(ties, "event_type").select(
+        "event_type", "n_days", "s_stat", var_s.alias("var_s")
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("mk_z"),
+        (F.abs(z) > 1.96).alias("trend_significant_005"),
+    )
