@@ -350,6 +350,23 @@ def test_pagerank_exact_mass_and_float_agreement(spark):
     assert len(top_exact & top_float) >= 15, (top_exact, top_float)
 
 
+def test_kcore_trajectory_monotone_and_converges(spark):
+    """The peeling trajectory must be monotone non-increasing in both
+    nodes and edges, share one k across rounds, and reach its
+    fixpoint within the 8 unrolled rounds (the docstring's pin)."""
+    rows = sorted(
+        QUERIES["graph_kcore_peeling"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == list(range(1, 9))
+    assert len({r.k for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes and b.n_edges <= a.n_edges, (a, b)
+    assert rows[-1].n_nodes == rows[-2].n_nodes  # fixpoint reached
+    assert rows[-1].n_edges == rows[-2].n_edges
+    spark.catalog.clearCache()
+
+
 def test_chi2_and_mi_match_numpy_rederivation(spark):
     """Re-derive both categorical-association statistics in numpy
     from the raw contingency table (independent of either engine's

@@ -2051,3 +2051,106 @@ def pipeline_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "lang", "pred_en", "n_docs", F.round(share, 6).alias("frac_of_lang")
     )
+
+
+#: Token budget per packed training sequence (the packing op): 256 —
+#: deliberately context-window-SMALL so every fixture scale produces
+#: a multi-pack-per-shard layout (fixture docs average ~50 tokens; a
+#: 4k budget would put each sf0.01 shard in one pack and leave the
+#: boundary arithmetic unexercised). The budget is a constant knob —
+#: a real run sets its context size here.
+PACK_TOKEN_BUDGET = 256
+
+_SEQ_PACKING_SQL = rf"""
+WITH k AS (SELECT doc_id, md5(text) AS h,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, n_tokens,
+             CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                   + instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 32
+                  AS INT) AS shard_id
+      FROM k),
+c AS (SELECT *,
+             SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+      FROM s),
+p AS (SELECT shard_id, CAST(cum_before // {PACK_TOKEN_BUDGET} AS BIGINT) AS pack_id,
+             doc_id, n_tokens
+      FROM c)
+SELECT shard_id, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(n_tokens) AS DOUBLE) / {PACK_TOKEN_BUDGET}, 6) AS fill,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM p GROUP BY shard_id, pack_id
+"""
+
+
+@register("pipeline_sequence_packing", oracle=_SEQ_PACKING_SQL)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING manifest — the step between curation and the
+    training loader that concatenates documents into context-window-
+    sized sequences (packing wastes no pad tokens; every LLM data
+    pipeline ships one). Greedy in-order packing WITHIN each shard:
+    documents take the shard's doc_id order, and a document joins the
+    pack its cumulative-token prefix falls in
+    (``pack_id = tokens_before div PACK_TOKEN_BUDGET``) — the
+    streaming-friendly rule a single loader pass implements (a doc
+    can straddle its pack boundary; ``fill`` > 1 records by how much,
+    which is exactly the truncation/rollover budget the loader
+    needs). Same md5-derived shard key as ``pipeline_shard_manifest``
+    / ``pipeline_shuffle_shards``, so the packing agrees with the
+    layout those ops describe. Exactness: token counts, cumulative
+    sums and pack ids are exact integers; ``fill`` is one division +
+    round(6).
+
+    Plan/scale: one corpus scan; the only shuffle keys on shard_id,
+    and the cumulative sum is a PER-SHARD window — 32-way parallel
+    here, |shards|-way on a cluster (shard count is the parallelism
+    knob; no single-partition stage anywhere). The pack aggregate is
+    map-side combinable on (shard, pack)."""
+    from vector_db_core_spark.functions.text import tokens
+
+    k = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    shard = F.expr(
+        "CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16"
+        " + instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 32 AS INT)"
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = (
+        k.withColumn("shard_id", shard)
+        .select(
+            "shard_id",
+            "doc_id",
+            "n_tokens",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before"),
+        )
+    )
+    p = c.select(
+        "shard_id",
+        F.expr(f"cum_before div {PACK_TOKEN_BUDGET}").alias("pack_id"),
+        "doc_id",
+        "n_tokens",
+    )
+    return p.groupBy("shard_id", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / PACK_TOKEN_BUDGET, 6
+        ).alias("fill"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
