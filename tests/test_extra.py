@@ -350,6 +350,61 @@ def test_pagerank_exact_mass_and_float_agreement(spark):
     assert len(top_exact & top_float) >= 15, (top_exact, top_float)
 
 
+def test_kaplan_meier_matches_python_rederivation(spark):
+    """Re-derive the KM curve in pure Python from the raw events
+    (durations, censor flags, at-risk walk, product-limit) and pin
+    the fixture reading: both events AND censored users exist, and
+    S is monotone non-increasing."""
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("f"),
+            F.max(F.col("ts").cast("date")).alias("l"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.round(F.col("value") * 100).cast("long") >= 15000),
+                    F.col("ts"),
+                )
+            ).cast("date").alias("p"),
+        )
+        .collect()
+    )
+    durations = [((r.p or r.l) - r.f).days for r in ev]
+    events = [r.p is not None for r in ev]
+    assert any(events) and not all(events)  # both outcomes present
+
+    from collections import Counter
+
+    d_at = Counter(t for t, e in zip(durations, events) if e)
+    all_at = Counter(durations)
+    got = sorted(
+        QUERIES["cohort_kaplan_meier"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.lifetime_days,
+    )
+    n_total = len(durations)
+    seen = 0
+    s = 1.0
+    prev_s = 1.0
+    for row in got:
+        t = row.lifetime_days
+        at_risk = n_total - seen
+        seen += all_at[t]
+        d = d_at.get(t, 0)
+        assert (row.n_users, row.n_events, row.n_at_risk) == (
+            all_at[t],
+            d,
+            at_risk,
+        ), row
+        if d:
+            s *= 1 - d / at_risk
+        assert abs(row.km_survival - s) < 1e-5, (row, s)
+        assert row.km_survival <= prev_s + 1e-9
+        prev_s = row.km_survival
+    assert seen == n_total  # every user accounted for on the grid
+
+
 def test_kcore_trajectory_monotone_and_converges(spark):
     """The peeling trajectory must be monotone non-increasing in both
     nodes and edges, share one k across rounds, and reach its

@@ -2394,3 +2394,133 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trajectory, schema="round INT, k DOUBLE, n_nodes LONG, n_edges LONG"
     )
+
+
+_KM_SQL = """
+WITH u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS f, CAST(MAX(ts) AS DATE) AS l,
+                  CAST(MIN(CASE WHEN event_type = 'purchase'
+                                 AND CAST(round(value * 100) AS BIGINT) >= 15000
+                                THEN ts END) AS DATE) AS p
+           FROM events GROUP BY user_id),
+lt AS (SELECT user_id,
+              CAST(date_diff('day', f, COALESCE(p, l)) AS BIGINT) AS lifetime,
+              p IS NULL AS censored
+       FROM u),
+g AS (SELECT lifetime,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+      FROM lt GROUP BY lifetime),
+w AS (SELECT *,
+             SUM(n_users) OVER (ORDER BY lifetime ROWS UNBOUNDED PRECEDING) AS cum_u,
+             SUM(n_users) OVER () AS n_total
+      FROM g),
+r AS (SELECT *, n_total - cum_u + n_users AS at_risk FROM w),
+t AS (SELECT *,
+             CASE WHEN n_events > 0 AND n_events < at_risk
+                  THEN CAST(ln(1 - CAST(n_events AS DOUBLE) / at_risk)
+                            AS DECIMAL(27,15))
+                  ELSE CAST(0 AS DECIMAL(27,15)) END AS lnterm,
+             CASE WHEN n_events = at_risk THEN 1 ELSE 0 END AS zf
+      FROM r),
+c AS (SELECT *,
+             SUM(lnterm) OVER (ORDER BY lifetime ROWS UNBOUNDED PRECEDING) AS cum_ln,
+             MAX(zf) OVER (ORDER BY lifetime ROWS UNBOUNDED PRECEDING) AS zhit
+      FROM t)
+SELECT lifetime AS lifetime_days, n_users, n_events, n_censored,
+       CAST(at_risk AS BIGINT) AS n_at_risk,
+       CASE WHEN zhit = 1 THEN 0.0
+            ELSE round(exp(CAST(cum_ln AS DOUBLE)), 6) END AS km_survival
+FROM c
+"""
+
+
+@register("cohort_kaplan_meier", oracle=_KM_SQL)
+def cohort_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER SURVIVAL CURVE for time-to-first-HIGH-VALUE
+    purchase (>= $150, exact-cents comparison — roughly half the
+    users never get there at every fixture scale, so censoring is
+    genuinely exercised) — the right-censoring-aware conversion
+    analysis the naive funnel table (``funnel_time_to_convert``)
+    can't give: a user who never converts is CENSORED at their last
+    observed event (their at-risk time still informs the curve), not
+    dropped or counted as a failure at an arbitrary horizon — KM is
+    the standard estimator for exactly this. Per distinct duration t
+    (days from a user's first event to first qualifying purchase, or
+    to last event if censored):
+    users ending there, conversion events d_t, censored count,
+    at-risk count n_t (everyone with duration >= t), and
+    S(t) = prod over t_i <= t of (1 - d_i/n_i) — the probability of
+    remaining unconverted past t. Exactness: lifetimes/counts/at-risk are exact
+    integers; the product runs as exp(cumulative sum of ln terms)
+    with each ln term one fixed double expression DECIMAL-cast before
+    the ORDERED cumulative sum (exact addition, same prefix at any
+    parallelism), one exp + round(6) finish; the d_t == n_t
+    absorbing-zero case (ln 0 diverges, S sticks at 0) is stated in
+    both engines via a cumulative-max flag instead of relying on
+    either engine's ln(0)/exp(-inf) behavior.
+
+    Plan/scale: one map-side-combined per-user rollup (|users| rows,
+    keyed shuffle — firsts, lasts, and the conditional first-purchase
+    ride ONE aggregate), one grid aggregate to |distinct durations|
+    rows (bounded by the observation span in days), and the
+    cumulative windows run on THAT bounded grid — the reduce-then-
+    rank discipline. Output: one row per distinct duration."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("f"),
+        F.max(F.col("ts").cast("date")).alias("l"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.round(F.col("value") * 100).cast("long") >= 15000),
+                F.col("ts"),
+            )
+        ).cast("date").alias("p"),
+    )
+    lt = u.select(
+        F.datediff(F.coalesce("p", "l"), "f").cast("long").alias("lifetime"),
+        F.col("p").isNull().alias("censored"),
+    )
+    g = lt.groupBy("lifetime").agg(
+        F.count("*").alias("n_users"),
+        F.sum((~F.col("censored")).cast("long")).alias("n_events"),
+        F.sum(F.col("censored").cast("long")).alias("n_censored"),
+    )
+    wf = W.orderBy("lifetime").rowsBetween(W.unboundedPreceding, 0)
+    wp = W.orderBy("lifetime").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    r = g.select(
+        "*",
+        (
+            F.sum("n_users").over(wp)
+            - F.sum("n_users").over(wf)
+            + F.col("n_users")
+        ).alias("at_risk"),
+    )
+    lnterm = (
+        F.when(
+            (F.col("n_events") > 0) & (F.col("n_events") < F.col("at_risk")),
+            F.log(1 - F.col("n_events").cast("double") / F.col("at_risk")).cast(
+                "decimal(27,15)"
+            ),
+        ).otherwise(F.lit(0).cast("decimal(27,15)"))
+    )
+    zf = F.when(F.col("n_events") == F.col("at_risk"), 1).otherwise(0)
+    t = r.select("*", lnterm.alias("lnterm"), zf.alias("zf"))
+    c = t.select(
+        "*",
+        F.sum("lnterm").over(wf).alias("cum_ln"),
+        F.max("zf").over(wf).alias("zhit"),
+    )
+    return c.select(
+        F.col("lifetime").alias("lifetime_days"),
+        "n_users",
+        "n_events",
+        "n_censored",
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        F.when(F.col("zhit") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_ln").cast("double")), 6))
+        .alias("km_survival"),
+    )
