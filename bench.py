@@ -140,6 +140,15 @@ HEADLINE = [
     # the MinHash estimate over the banded candidate pairs dominates;
     # the 25-point threshold sweep on top is one cached re-aggregation)
     "dedup_threshold_operating_curve",
+    # round-10 additions, one row each (graph_kcore_peeling rides the
+    # iterative section beside the other eager graph loops)
+    "agg_ks_binned",
+    "agg_chi2_independence",
+    "agg_mutual_information",
+    "timeseries_mann_kendall",
+    "rfm_customer_segments",
+    "pipeline_sequence_packing",
+    "cohort_kaplan_meier",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`
@@ -514,6 +523,9 @@ def main() -> None:
             "graph_triangle_clustering",
             # round-9: the DOULION scale twin, beside its exact op
             "graph_triangle_estimate",
+            # round-10: the k-core peel loop (eager persist+count
+            # rounds over the shared edge scratch)
+            "graph_kcore_peeling",
         ):
             if name not in queries:
                 continue

@@ -4101,3 +4101,79 @@ def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("mk_z"),
         (F.abs(z) > 1.96).alias("trend_significant_005"),
     )
+
+
+#: Candidate functional dependencies the FD profiler checks: a small
+#: curated set with KNOWN answers on TPC-H-shaped data (two true key
+#: dependencies, three genuine violations), so both outcomes of the
+#: holds/fails verdict are exercised at every scale.
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),        # PK -> holds
+    ("orders", "o_custkey", "o_orderpriority"),   # repeat buyers -> fails
+    ("orders", "o_custkey", "o_orderstatus"),     # fails
+    ("lineitem", "l_orderkey", "l_returnflag"),   # multi-line orders -> fails
+    ("lineitem", "l_partkey", "l_suppkey"),       # 4 suppliers/part -> fails
+)
+
+_FD_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_group,
+       SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs FROM {t} GROUP BY {lhs})"""
+    for t, lhs, rhs in _FD_CANDIDATES
+)
+
+
+@register("profile_functional_dependencies", oracle=_FD_SQL)
+def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY PROFILING — the schema-discovery check a
+    warehouse runs before trusting a column as a join key, dedup key,
+    or partition column: for each candidate lhs -> rhs dependency,
+    does every lhs group carry exactly one rhs value? Output per
+    candidate: group count, violating-group count, the worst group's
+    rhs cardinality, and the holds verdict. The curated candidate set
+    (``_FD_CANDIDATES``) has two true dependencies (primary-key
+    shaped) and three genuine violations, so both verdicts exercise
+    at every fixture scale. Exactness: everything is an exact
+    integer count; the verdict is an integer comparison.
+
+    Plan/scale: each candidate is ONE map-side-combined
+    countDistinct-per-group aggregate (two-phase under the hood:
+    partial distinct then merge — no row explosion), reduced to one
+    summary row; candidates run as a UNION of independent branches,
+    so Spark schedules them concurrently and each branch column-prunes
+    its scan to exactly (lhs, rhs). At 100 TB swap countDistinct for
+    approx_count_distinct per the documented exact/approx twin policy
+    when the verdict tolerance allows (a violation COUNT needs exact;
+    a violation FLAG usually doesn't)."""
+    outs = []
+    for t, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            _t(spark, sf_dir, t)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        viol = F.sum((F.col("n_rhs") > 1).cast("long"))
+        outs.append(
+            g.agg(
+                F.count("*").alias("n_groups"),
+                viol.alias("n_violating_groups"),
+                F.max("n_rhs").cast("long").alias("max_rhs_per_group"),
+                (viol == 0).alias("holds"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                "n_violating_groups",
+                "max_rhs_per_group",
+                "holds",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
