@@ -2372,6 +2372,10 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = edges0.persist()
     trajectory: list[tuple[int, float, int, int]] = []
     for rnd in range(1, 9):
+        if trajectory and trajectory[-1][2] == 0:
+            # empty core: peeling an empty graph stays empty
+            trajectory.append((rnd, k, 0, 0))
+            continue
         if len(trajectory) >= 2 and trajectory[-1][2:] == trajectory[-2][2:]:
             # observed fixpoint: peeling only removes, so equal counts
             # imply equal sets and every later round is identical
