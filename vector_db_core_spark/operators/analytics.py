@@ -2031,11 +2031,11 @@ def graph_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact op (DOULION's variance bound: the estimator
     concentrates once the true count ≫ 1/p³).
 
-    Plan/scale: reuses the exact op's persisted canonical edge build
+    Plan/scale: reuses the session-shared canonical edge scratch
     (``_co_purchase_edges``) and degree-ordered oriented enumeration
     (``_oriented_triangles`` — the O(E'^1.5) wedge bound now applies
     to the p-thinned E'): the sampling predicate is one codegen md5
-    per edge, pushed onto the persisted edge list BEFORE the degree
+    per edge, pushed onto the scratch edge scan BEFORE the degree
     aggregate and wedge joins, so orientation degrees are the SAMPLED
     degrees (orientation choice does not affect the global count —
     every surviving triangle is counted exactly once under any
@@ -2121,7 +2121,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agg_covariance_matrix`` discipline), one double finish +
     round(6).
 
-    Plan/scale: reuses the persisted canonical edge build
+    Plan/scale: reuses the session-shared canonical edge scratch
     (``_co_purchase_edges``); degree is one map-side-combined count,
     the histogram a second (|distinct degrees| rows — dozens); the
     5-term regression reduces the histogram to one broadcast row. No
