@@ -4546,3 +4546,96 @@ def sim_embedding_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("shift_sq_micro").cast("double")) / 1_000_000.0, 6
         ).alias("drift_l2"),
     )
+
+
+#: Byte budget per multimodal transfer batch: 2 KiB — deliberately
+#: small relative to a shard's fixture payload total (~7 KB of utf-8
+#: "media" per shard at sf0.01, ~300 B per payload) so every scale
+#: produces multi-batch shards and the rollover arithmetic is
+#: exercised; a real run sets its GPU-transfer granularity here.
+MM_BATCH_BYTES = 2048
+
+_MM_PACKING_SQL = rf"""
+WITH k AS (SELECT doc_id, md5(text) AS h,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents),
+s AS (SELECT doc_id, n_bytes,
+             CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                   + instr('0123456789abcdef', substr(h, 2, 1)) - 1) % 32
+                  AS INT) AS shard_id
+      FROM k),
+c AS (SELECT *,
+             SUM(n_bytes) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_bytes
+               AS bytes_before
+      FROM s),
+p AS (SELECT shard_id, CAST(bytes_before // {MM_BATCH_BYTES} AS BIGINT) AS batch_id,
+             doc_id, n_bytes
+      FROM c)
+SELECT shard_id, batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_payload_bytes,
+       round(CAST(SUM(n_bytes) AS DOUBLE) / {MM_BATCH_BYTES}, 6) AS fill
+FROM p GROUP BY shard_id, batch_id
+"""
+
+
+@register("multimodal_byte_packing", oracle=_MM_PACKING_SQL)
+def multimodal_byte_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-BUDGET BATCH LAYOUT for opaque media payloads — the
+    multimodal sibling of ``pipeline_sequence_packing``: a GPU decode/
+    feature-extract stage wants batches of roughly constant BYTES (not
+    constant row count — payload sizes vary wildly for real media), so
+    the loader packs payloads in shard doc order until the cumulative
+    byte budget rolls over (``batch_id = bytes_before div
+    MM_BATCH_BYTES``). Output per (shard, batch): payload count, byte
+    total, the largest single payload (the batch's memory high-water
+    mark), and the fill ratio. Same opaque-binary convention as
+    ``multimodal_binary_metadata`` (utf-8 text bytes play the payload;
+    the arithmetic is identical for real media) and the same
+    md5-derived shard key as the shard layout family. Exactness: byte
+    counts, cumulative sums and batch ids are exact integers; fill is
+    one division + round(6).
+
+    Plan/scale: one corpus scan, one shard-keyed shuffle, a PER-SHARD
+    window cumsum (|shards|-way parallel — no single-partition stage),
+    and a map-side-combinable (shard, batch) aggregate. The batch
+    manifest is what the decode stage's ``mapInPandas`` iterates —
+    this op IS its input contract."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    k = docs.select(
+        "doc_id",
+        F.md5(payload).alias("h"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+    shard = F.expr(
+        "CAST(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16"
+        " + instr('0123456789abcdef', substring(h, 2, 1)) - 1) % 32 AS INT)"
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = k.withColumn("shard_id", shard).select(
+        "shard_id",
+        "doc_id",
+        "n_bytes",
+        (F.sum("n_bytes").over(w) - F.col("n_bytes")).alias("bytes_before"),
+    )
+    p = c.select(
+        "shard_id",
+        F.expr(f"bytes_before div {MM_BATCH_BYTES}").alias("batch_id"),
+        "doc_id",
+        "n_bytes",
+    )
+    return p.groupBy("shard_id", "batch_id").agg(
+        F.count("*").alias("n_payloads"),
+        F.sum("n_bytes").alias("n_bytes"),
+        F.max("n_bytes").alias("max_payload_bytes"),
+        F.round(F.sum("n_bytes").cast("double") / MM_BATCH_BYTES, 6).alias("fill"),
+    )
