@@ -4177,3 +4177,64 @@ def profile_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFra
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+_REACH_SQL = """
+WITH fs AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+            FROM events GROUP BY user_id),
+d AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM fs GROUP BY first_day),
+a AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1)
+SELECT a.day, a.dau,
+       COALESCE(d.new_users, 0) AS new_users,
+       SUM(COALESCE(d.new_users, 0)) OVER (ORDER BY a.day
+                                           ROWS UNBOUNDED PRECEDING)
+         AS cumulative_reach
+FROM a LEFT JOIN d ON d.day = a.day
+"""
+
+
+@register("timeseries_cumulative_reach", oracle=_REACH_SQL)
+def timeseries_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE AUDIENCE REACH per day (distinct users ever seen up
+    to and including each day) beside daily actives and new-user
+    counts — the growth-accounting panel. The load-bearing rewrite:
+    a windowed COUNT(DISTINCT) over an expanding frame is either
+    unsupported or quadratic-state in every engine; the scalable form
+    REDUCES FIRST — each user collapses to their FIRST day (one
+    map-side-combined aggregate), daily new-user counts collapse that
+    to |days| rows, and the expanding distinct count becomes a plain
+    CUMULATIVE SUM on the day grid (new users on day t are exactly
+    the users whose reach starts at t — disjoint by construction, so
+    the sum IS the distinct count). Exactness: all integers.
+
+    Plan/scale: two corpus-scan aggregates (per-user first day; daily
+    DAU — both map-side combined, keyed shuffles), then windows over
+    the bounded day grid (the reduce-then-rank discipline). At 100 TB
+    both reductions shuffle on high-card keys, and nothing touches a
+    single partition except the |days|-row finish."""
+    ev = _t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    d = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    a = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wf = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        a.join(d, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .select(
+            "day",
+            "dau",
+            "new_users",
+            F.sum("new_users").over(wf).alias("cumulative_reach"),
+        )
+    )
