@@ -44,7 +44,15 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: last green r3), tie-broken (round, name): dedup_canonical_documents
 #: (r4).
 #: Queries oracled AFTER this rotation (round-10 additions) go first
-#: in the ROUND-11 window by the same recompute.
+#: in the ROUND-11 window by the same recompute. As of end-of-round-10
+#: the expected round-11 backlog is the 11 round-10 oracled additions:
+#: agg_ks_binned, agg_chi2_independence, agg_mutual_information,
+#: timeseries_mann_kendall, rfm_customer_segments,
+#: pipeline_sequence_packing, graph_kcore_peeling,
+#: cohort_kaplan_meier, profile_functional_dependencies,
+#: multimodal_byte_packing, timeseries_cumulative_reach — plus
+#: whatever the r10 driver leaves unsampled; sentinels again by
+#: oldest-last-green family.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
 #: (tests/test_oracle.py).
