@@ -4639,3 +4639,105 @@ def multimodal_byte_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_bytes").alias("max_payload_bytes"),
         F.round(F.sum("n_bytes").cast("double") / MM_BATCH_BYTES, 6).alias("fill"),
     )
+
+
+_FLESCH_SQL = r"""
+WITH d AS (SELECT source,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS BIGINT) AS words,
+                  CAST(GREATEST(len(list_filter(
+                         string_split_regex(text, '[.!?]+'),
+                         x -> trim(x) <> '')), 1) AS BIGINT) AS sentences,
+                  CAST(GREATEST(len(regexp_extract_all(lower(text),
+                                                       '[aeiouy]+')), 1)
+                       AS BIGINT) AS syllables
+           FROM documents
+           WHERE len(list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '')) > 0),
+s AS (SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(CAST(CAST(words AS DOUBLE) / sentences
+                      AS DECIMAL(27,15))) AS wps_acc,
+             SUM(CAST(CAST(syllables AS DOUBLE) / words
+                      AS DECIMAL(27,15))) AS spw_acc,
+             SUM(CAST(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                      - 84.6 * (CAST(syllables AS DOUBLE) / words)
+                      AS DECIMAL(27,15))) AS flesch_acc
+      FROM d GROUP BY source)
+SELECT source, n_docs,
+       round(CAST(wps_acc AS DOUBLE) / n_docs, 6) AS avg_words_per_sentence,
+       round(CAST(spw_acc AS DOUBLE) / n_docs, 6) AS avg_syllables_per_word,
+       round(CAST(flesch_acc AS DOUBLE) / n_docs, 6) AS avg_flesch
+FROM s
+"""
+
+
+@register("text_flesch_readability", oracle=_FLESCH_SQL)
+def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE profile per source — the classical
+    readability signal curation stacks next to the Gopher shape rules
+    (a source whose ease score collapses is boilerplate, OCR noise,
+    or code, not prose). Heuristic components per document, all from
+    one scan: words (the shared whitespace tokenizer), sentences
+    (non-empty [.!?]+ segments, floored at 1), syllables (vowel-group
+    runs [aeiouy]+ in the lowercased text — the standard cheap proxy,
+    floored at 1), then the textbook formula 206.835 − 1.015·(W/S) −
+    84.6·(Syl/W). Exactness: the three counts are exact integers in
+    both engines (identical regex semantics for these character-class
+    patterns across Java regex and RE2); each per-document ratio /
+    score is one fixed double expression DECIMAL-cast before the
+    order-independent per-source sum; one division + round(6) per
+    output cell. Zero-word documents are excluded in both engines
+    (the W/S and Syl/W ratios are undefined); the fixture has none,
+    so the guard is a stated boundary, not a live filter.
+
+    Plan/scale: map-only per-document expression work (codegen'd
+    regexes, no explode — counting needs sizes, not tokens as rows)
+    into ONE map-side-combined per-source aggregate; |sources| output
+    rows."""
+    from vector_db_core_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(tokens("text")).cast("long")
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda x: F.trim(x) != "",
+            )
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    syllables = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast(
+            "long"
+        ),
+        F.lit(1).cast("long"),
+    )
+    d = docs.select(
+        "source",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).where(F.col("words") > 0)
+    wps = F.col("words").cast("double") / F.col("sentences")
+    spw = F.col("syllables").cast("double") / F.col("words")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(wps.cast("decimal(27,15)")).alias("wps_acc"),
+        F.sum(spw.cast("decimal(27,15)")).alias("spw_acc"),
+        F.sum(flesch.cast("decimal(27,15)")).alias("flesch_acc"),
+    )
+    n = F.col("n_docs")
+    return s.select(
+        "source",
+        "n_docs",
+        F.round(F.col("wps_acc").cast("double") / n, 6).alias(
+            "avg_words_per_sentence"
+        ),
+        F.round(F.col("spw_acc").cast("double") / n, 6).alias(
+            "avg_syllables_per_word"
+        ),
+        F.round(F.col("flesch_acc").cast("double") / n, 6).alias("avg_flesch"),
+    )
