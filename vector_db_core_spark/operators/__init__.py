@@ -45,12 +45,15 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: (r4).
 #: Queries oracled AFTER this rotation (round-10 additions) go first
 #: in the ROUND-11 window by the same recompute. As of end-of-round-10
-#: the expected round-11 backlog is the 11 round-10 oracled additions:
+#: the expected round-11 backlog is the round-10 oracled additions
+#: (recompute against the registry at rotation time — the list below
+#: is a snapshot, kept in sync as ops land):
 #: agg_ks_binned, agg_chi2_independence, agg_mutual_information,
 #: timeseries_mann_kendall, rfm_customer_segments,
 #: pipeline_sequence_packing, graph_kcore_peeling,
 #: cohort_kaplan_meier, profile_functional_dependencies,
-#: multimodal_byte_packing, timeseries_cumulative_reach — plus
+#: multimodal_byte_packing, timeseries_cumulative_reach,
+#: text_flesch_readability — plus
 #: whatever the r10 driver leaves unsampled; sentinels again by
 #: oldest-last-green family.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything

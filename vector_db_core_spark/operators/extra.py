@@ -4189,11 +4189,11 @@ d AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
 a AS (SELECT CAST(ts AS DATE) AS day,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
       FROM events GROUP BY 1)
-SELECT a.day, a.dau,
+SELECT CAST(a.day AS TIMESTAMP) AS day, a.dau,
        COALESCE(d.new_users, 0) AS new_users,
-       SUM(COALESCE(d.new_users, 0)) OVER (ORDER BY a.day
-                                           ROWS UNBOUNDED PRECEDING)
-         AS cumulative_reach
+       CAST(SUM(COALESCE(d.new_users, 0))
+            OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_reach
 FROM a LEFT JOIN d ON d.day = a.day
 """
 
@@ -4234,9 +4234,204 @@ def timeseries_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("new_users", F.lit(0)).alias("new_users"),
         )
         .select(
-            "day",
+            # timestamp cast = the family's pandas-dtype normalization
+            # (DuckDB DATE materializes as datetime64; Spark DATE as
+            # object — the driver hashes pandas frames)
+            F.col("day").cast("timestamp").alias("day"),
             "dau",
             "new_users",
             F.sum("new_users").over(wf).alias("cumulative_reach"),
         )
+    )
+
+
+_ANOVA_SQL = """
+WITH x AS (SELECT o_orderpriority AS pri,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+g AS (SELECT pri,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(CAST(c AS DECIMAL(38,0))) AS s_g,
+             SUM(CAST(c AS DECIMAL(38,0)) * c) AS q_g
+      FROM x GROUP BY pri),
+t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(s_g) AS s,
+             SUM(CAST(
+                 n_g * (CAST(s_g AS DOUBLE) / n_g
+                        - CAST((SELECT SUM(s_g) FROM g) AS DOUBLE)
+                          / (SELECT SUM(n_g) FROM g))
+                     * (CAST(s_g AS DOUBLE) / n_g
+                        - CAST((SELECT SUM(s_g) FROM g) AS DOUBLE)
+                          / (SELECT SUM(n_g) FROM g))
+                     / 10000.0
+                 AS DECIMAL(38,15))) AS ssb_acc,
+             SUM(CAST(
+                 (CAST(q_g AS DOUBLE)
+                  - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g)
+                     / 10000.0
+                 AS DECIMAL(38,15))) AS ssw_acc
+      FROM g)
+SELECT g.pri, g.n_g,
+       round(CAST(g.s_g AS DOUBLE) / 100.0 / g.n_g, 6) AS mean_price,
+       t.k - 1 AS df_between,
+       t.n - t.k AS df_within,
+       round((CAST(t.ssb_acc AS DOUBLE) / (t.k - 1))
+             / (CAST(t.ssw_acc AS DOUBLE) / (t.n - t.k)), 6) AS f_stat,
+       round(CAST(t.ssb_acc AS DOUBLE)
+             / (CAST(t.ssb_acc AS DOUBLE) + CAST(t.ssw_acc AS DOUBLE)),
+             6) AS eta_squared
+FROM g, t
+"""
+
+
+@register("agg_anova_oneway", oracle=_ANOVA_SQL)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F-test of order value across the five order
+    priorities — the numeric-response companion of the categorical
+    pair (``agg_chi2_independence`` / ``agg_mutual_information``):
+    chi-square asks whether two LABEL columns associate; ANOVA asks
+    whether a NUMERIC column's mean differs across label groups (does
+    priority shift spend?). F = (SSB/(k-1)) / (SSW/(N-k)) with SSB/SSW
+    from the textbook decomposition; eta² = SSB/(SSB+SSW) is the
+    effect size. Every per-group row carries the global statistic so
+    the table is self-describing (the ``graph_degree_distribution``
+    convention).
+
+    Exactness: prices collapse to integer cents (round(x*100) — the
+    half-up/half-away agreement holds for positive values), so the
+    per-group moments n, Σc, Σc² are EXACT integers (DECIMAL(38,0)
+    sums — Σc² reaches ~1e21 at ~sf10, past BIGINT); each group's SSB
+    and SSW contribution is then ONE fixed double expression stated
+    identically in both engines, DECIMAL(38,15)-cast before the
+    order-independent k-row sum, one double finish + round(6). Float
+    group means never enter the accumulation.
+
+    Plan/scale: one corpus scan into a map-side-combined per-priority
+    aggregate (k=5 rows); everything after runs on the k-row grid
+    (grand totals via a broadcast 1-row crossJoin, as the oracle's
+    scalar subqueries state). TPC-H's independent generators give
+    F ~ 1 / eta² ~ 0 (no effect), which is the correct read and is
+    pinned by a numpy re-derivation in pytest."""
+    x = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    g = x.groupBy("pri").agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s_g"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q_g"),
+    )
+    ng = F.col("n_g").cast("double")
+    mean_dev = F.col("s_g").cast("double") / F.col("n_g") - F.col(
+        "s_tot"
+    ).cast("double") / F.col("n_tot")
+    ssb_term = ng * mean_dev * mean_dev / 10000.0
+    ssw_term = (
+        F.col("q_g").cast("double")
+        - F.col("s_g").cast("double") * F.col("s_g").cast("double") / F.col("n_g")
+    ) / 10000.0
+    tot = g.agg(
+        F.sum("n_g").alias("n_tot"), F.sum("s_g").alias("s_tot")
+    )
+    ge = g.crossJoin(F.broadcast(tot))
+    t = ge.agg(
+        F.max("n_tot").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(ssb_term.cast("decimal(38,15)")).alias("ssb_acc"),
+        F.sum(ssw_term.cast("decimal(38,15)")).alias("ssw_acc"),
+    )
+    ssb = F.col("ssb_acc").cast("double")
+    ssw = F.col("ssw_acc").cast("double")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return g.crossJoin(F.broadcast(t)).select(
+        "pri",
+        "n_g",
+        F.round(F.col("s_g").cast("double") / 100.0 / F.col("n_g"), 6).alias(
+            "mean_price"
+        ),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+    )
+
+
+_HHI_SQL = """
+WITH sp AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                   SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2),
+w AS (SELECT seg, cents,
+             SUM(cents) OVER (PARTITION BY seg) AS t
+      FROM sp)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(MAX(t) AS DOUBLE) / 100.0, 2) AS total_spend,
+       round(CAST(SUM(CAST(
+             (CAST(cents AS DOUBLE) / t) * (CAST(cents AS DOUBLE) / t)
+             AS DECIMAL(27,15))) AS DOUBLE), 6) AS hhi,
+       round(1.0 / CAST(SUM(CAST(
+             (CAST(cents AS DOUBLE) / t) * (CAST(cents AS DOUBLE) / t)
+             AS DECIMAL(27,15))) AS DOUBLE), 6) AS effective_n,
+       round(CAST(MAX(cents) AS DOUBLE) / MAX(t), 6) AS top_share
+FROM w GROUP BY seg
+"""
+
+
+@register("agg_hhi_concentration", oracle=_HHI_SQL)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN INDEX of customer-spend concentration per
+    market segment — the squared-shares member of the inequality
+    family (``agg_gini_customer_spend`` ranks the whole population;
+    HHI answers the narrower revenue-at-risk question: how much of a
+    segment's spend sits with its biggest accounts). HHI = Σ share²
+    over customers; 1/HHI is the 'effective number of customers'
+    (HHI = 1/n exactly when spend is uniform); top_share is the
+    single-largest dependency. Unlike Gini, HHI needs NO global rank
+    — it is a plain second moment of shares, which is why it is the
+    concentration number that scales trivially.
+
+    Exactness: spends collapse to exact integer cents (DECIMAL-summed
+    per customer); each customer's share² is one fixed double
+    expression ((c/t)·(c/t), stated identically in both engines),
+    DECIMAL(27,15)-cast before the order-independent per-segment sum
+    (terms are ≤1, so the narrow decimal fits); one double finish +
+    round(6) per output cell.
+
+    Plan/scale: one equi-join + map-side-combined (segment, customer)
+    aggregate reduces the corpus; the segment total is a WINDOW over
+    the reduction (the contingency-marginals discipline — join-back
+    would re-derive the corpus join per branch), sharing its shuffle
+    with the final per-segment aggregate. No global sort, no rank —
+    at 100 TB the only data-sized work is the first aggregate. The
+    5-segment partitioning of the window is the reduction's own key
+    grid, not a skew hazard: rows per partition = customers per
+    segment, already reduced."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    sp = (
+        o.join(cust, "o_custkey")
+        .groupBy("seg", "o_custkey")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = sp.select(
+        "seg", "cents", F.sum("cents").over(W.partitionBy("seg")).alias("t")
+    )
+    share = F.col("cents").cast("double") / F.col("t")
+    return w.groupBy("seg").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.max("t").cast("double") / 100.0, 2).alias("total_spend"),
+        F.round(
+            F.sum((share * share).cast("decimal(27,15)")).cast("double"), 6
+        ).alias("hhi"),
+        F.round(
+            1.0 / F.sum((share * share).cast("decimal(27,15)")).cast("double"), 6
+        ).alias("effective_n"),
+        F.round(F.max("cents").cast("double") / F.max("t"), 6).alias("top_share"),
     )
