@@ -1048,3 +1048,84 @@ def test_ks_two_sample_matches_numpy_and_discriminates(spark):
         assert r.reject_same_dist_005 == (r.ks_stat > crit), r
     assert not org.reject_same_dist_005
     assert got["building_vs_inflated_twin"].reject_same_dist_005
+
+
+def test_anova_matches_numpy_rederivation(spark):
+    """Re-derive the one-way ANOVA decomposition in numpy from the raw
+    per-order cents (independent of either engine's exact-moment
+    path) and pin the fixture reading: TPC-H's priority labels are
+    independent of order value, so F ~ 1 and eta² ~ 0."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, SF_ORACLE, "orders")
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r.o_orderpriority, []).append(r.c / 100.0)
+    groups = [np.array(v) for v in by.values()]
+    allv = np.concatenate(groups)
+    gm = allv.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(allv)
+    want_f = (ssb / (k - 1)) / (ssw / (n - k))
+    want_eta = ssb / (ssb + ssw)
+
+    got = QUERIES["agg_anova_oneway"](spark, SF_ORACLE).collect()
+    assert len(got) == k
+    g0 = got[0]
+    assert g0.df_between == k - 1 and g0.df_within == n - k
+    assert len({(r.f_stat, r.eta_squared) for r in got}) == 1  # global stat
+    assert abs(g0.f_stat - want_f) < 1e-3, (g0.f_stat, want_f)
+    assert abs(g0.eta_squared - want_eta) < 1e-6, (g0.eta_squared, want_eta)
+    for r in got:
+        assert abs(r.mean_price - np.mean(by[r.pri])) < 1e-4
+    # the no-effect fixture reading: F near 1, effect size near 0
+    assert g0.f_stat < 3.0, g0.f_stat
+    assert g0.eta_squared < 0.001, g0.eta_squared
+
+
+def test_hhi_matches_numpy_and_bounds(spark):
+    """Re-derive per-segment HHI from raw customer spends and pin the
+    structural bounds: 1/n <= HHI <= 1 (equality at uniform /
+    monopoly), effective_n <= n_customers, top_share >= 1/n. TPC-H
+    spend is near-uniform across customers, so effective_n should be
+    a large fraction of n_customers."""
+    import numpy as np
+
+    o = load_table(spark, SF_ORACLE, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    cust = load_table(spark, SF_ORACLE, "customer").selectExpr(
+        "c_custkey AS o_custkey", "c_mktsegment AS seg"
+    )
+    rows = (
+        o.join(cust, "o_custkey").groupBy("seg", "o_custkey").agg(
+            F.sum("c").alias("cents")
+        )
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.seg, []).append(r.cents)
+    got = {r.seg: r for r in QUERIES["agg_hhi_concentration"](spark, SF_ORACLE).collect()}
+    assert set(got) == set(by)
+    for seg, spends in by.items():
+        s = np.array(spends, dtype=float)
+        shares = s / s.sum()
+        want = float((shares**2).sum())
+        r = got[seg]
+        assert abs(r.hhi - want) < 1e-6, (seg, r.hhi, want)
+        n = len(spends)
+        assert r.n_customers == n
+        assert 1.0 / n - 1e-9 <= r.hhi <= 1.0
+        assert r.effective_n <= n + 1e-6
+        assert r.top_share >= 1.0 / n
+        assert abs(r.top_share - shares.max()) < 1e-6
+        # near-uniform spend: concentration is low
+        assert r.effective_n > 0.5 * n, (seg, r.effective_n, n)
