@@ -2154,3 +2154,84 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+_DEDUP_SAVINGS_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, source, upper(text) || '  ' AS text
+  FROM documents WHERE doc_id < 100),
+d AS (SELECT source, doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS canon,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM corpus),
+k AS (SELECT source, doc_id, n_tokens,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon)
+                  THEN 1 ELSE 0 END AS keep
+      FROM d)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(keep) AS BIGINT) AS docs_kept,
+       CAST(SUM(keep * n_tokens) AS BIGINT) AS tokens_kept,
+       round(1.0 - CAST(SUM(keep * n_tokens) AS DOUBLE) / SUM(n_tokens), 6)
+         AS token_savings
+FROM k GROUP BY source
+"""
+
+
+@register("pipeline_dedup_token_savings", oracle=_DEDUP_SAVINGS_SQL)
+def pipeline_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP IMPACT REPORT: per-source token accounting before and
+    after canonical keep-first dedup — the number a curation run
+    publishes BEFORE the deletion pass ships (which sources are
+    paying the duplicate tax, and how many training tokens the pass
+    buys). Corpus = documents plus the re-keyed uppercase variants of
+    the first 100 docs (the ``dedup_canonical_documents`` fixture
+    construction — organic texts are all distinct, so the injected
+    copies make savings observable); survivor = lowest doc_id per
+    canonical hash, the family's deterministic keep-first rule.
+
+    Exactness: token counts and keep flags are exact integers; the
+    savings ratio is one double division + round(6) per source row.
+
+    Plan/scale: text is dropped at the FIRST projection — each doc
+    collapses to (source, doc_id, canon_sha256, n_tokens) ~50 bytes
+    before anything shuffles, so the dedup window's exchange carries
+    hashes, not documents. One exchange on the canonical hash (the
+    same shuffle the deletion pass itself would pay), one map-side-
+    combined per-source aggregate; |sources| output rows. The keep
+    flag is a window MIN rather than a groupBy+join-back so the
+    corpus is scanned once."""
+    from pyspark.sql import Window as W
+
+    from vector_db_core_spark.functions.text import canonical_text, tokens
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    variants = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        "source",
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    d = docs.unionByName(variants).select(
+        "source",
+        "doc_id",
+        F.sha2(canonical_text("text"), 256).alias("canon"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    keep = F.when(
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("canon")), 1
+    ).otherwise(0)
+    k = d.select("source", "n_tokens", keep.alias("keep"))
+    kept_tokens = F.sum(F.col("keep") * F.col("n_tokens"))
+    return k.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("keep").cast("bigint").alias("docs_kept"),
+        kept_tokens.cast("bigint").alias("tokens_kept"),
+        F.round(
+            1.0 - kept_tokens.cast("double") / F.sum("n_tokens"), 6
+        ).alias("token_savings"),
+    )
