@@ -1129,3 +1129,76 @@ def test_hhi_matches_numpy_and_bounds(spark):
         assert abs(r.top_share - shares.max()) < 1e-6
         # near-uniform spend: concentration is low
         assert r.effective_n > 0.5 * n, (seg, r.effective_n, n)
+
+
+def test_link_prediction_python_rederivation(spark):
+    """Re-derive both link-prediction ops from the raw edge list in
+    pure Python sets (independent of the wedge-join path): Jaccard
+    scores, non-edge exclusion, and the deterministic top-k cuts."""
+    from vector_db_core_spark.operators.analytics import (
+        LINK_SEED_MAX_KEY,
+        LINK_SEED_TOP_K,
+        _co_purchase_edges,
+    )
+
+    edges = [(r.u, r.v) for r in _co_purchase_edges(spark, SF_ORACLE).collect()]
+    eset = set(edges)
+    nbr = {}
+    for u, v in edges:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+
+    import math
+
+    def jacc(u, v):
+        c = len(nbr[u] & nbr[v])
+        j = c / (len(nbr[u]) + len(nbr[v]) - c)
+        # half-AWAY rounding to match Spark/DuckDB round(); Python's
+        # built-in round is half-to-even (the r9 advice class)
+        return c, math.floor(j * 1e6 + 0.5) / 1e6
+
+    # --- all-pairs top-100 ---
+    got = QUERIES["graph_jaccard_link_prediction"](spark, SF_ORACLE).collect()
+    assert len(got) == 100
+    want = []
+    nodes = sorted(nbr)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in eset:
+                continue
+            c, j = jacc(u, v)
+            if c:
+                want.append((-j, u, v, c))
+    want.sort()
+    for r, (nj, u, v, c) in zip(got, want[:100]):
+        assert (r.u, r.v, r.common, r.jaccard) == (u, v, c, -nj)
+        assert (r.u, r.v) not in eset  # predicted links are non-edges
+        assert r.deg_u == len(nbr[u]) and r.deg_v == len(nbr[v])
+
+    # --- seeded top-5 per query item ---
+    rows = QUERIES["graph_link_prediction_seeded"](spark, SF_ORACLE).collect()
+    by_seed = {}
+    for r in rows:
+        by_seed.setdefault(r.u, []).append(r)
+    for u, rs in by_seed.items():
+        assert u <= LINK_SEED_MAX_KEY
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, len(rs) + 1)
+        )
+        assert len(rs) <= LINK_SEED_TOP_K
+        cands = []
+        for v in nbr:
+            if v == u or (min(u, v), max(u, v)) in eset or not (nbr[u] & nbr[v]):
+                continue
+            c, j = jacc(u, v)
+            cands.append((-j, v, c))
+        cands.sort()
+        for r, (nj, v, c) in zip(sorted(rs, key=lambda r: r.rank), cands):
+            assert (r.v, r.common, r.jaccard) == (v, c, -nj)
+    seeds_with_candidates = {
+        u for u in nbr if u <= LINK_SEED_MAX_KEY
+        and any(v != u and (min(u, v), max(u, v)) not in eset and (nbr[u] & nbr[v])
+                for v in nbr)
+    }
+    assert set(by_seed) == seeds_with_candidates
+    spark.catalog.clearCache()

@@ -2536,3 +2536,224 @@ def cohort_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("cum_ln").cast("double")), 6))
         .alias("km_survival"),
     )
+
+
+_LINK_PREDICTION_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+bk AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+       HAVING COUNT(*) BETWEEN 2 AND 20),
+edges AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a
+          JOIN op b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+          JOIN bk ON bk.l_orderkey = a.l_orderkey),
+adj AS (SELECT u AS w, v AS n FROM edges
+        UNION ALL
+        SELECT v AS w, u AS n FROM edges),
+cn AS (SELECT a.n AS u, b.n AS v, CAST(COUNT(*) AS BIGINT) AS common
+       FROM adj a JOIN adj b ON a.w = b.w AND a.n < b.n
+       GROUP BY a.n, b.n),
+deg AS (SELECT w AS node, CAST(COUNT(*) AS BIGINT) AS dg
+        FROM adj GROUP BY w),
+cand AS (SELECT cn.u, cn.v, cn.common, du.dg AS deg_u, dv.dg AS deg_v,
+                round(CAST(cn.common AS DOUBLE)
+                      / (du.dg + dv.dg - cn.common), 6) AS jaccard
+         FROM cn
+         JOIN deg du ON du.node = cn.u
+         JOIN deg dv ON dv.node = cn.v
+         WHERE NOT EXISTS (SELECT 1 FROM edges e
+                           WHERE e.u = cn.u AND e.v = cn.v))
+SELECT u, v, common, deg_u, deg_v, jaccard
+FROM cand
+ORDER BY jaccard DESC, u, v
+LIMIT 100
+"""
+
+
+@register("graph_jaccard_link_prediction", oracle=_LINK_PREDICTION_SQL)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JACCARD LINK PREDICTION (Liben-Nowell & Kleinberg 2003) on the
+    co-purchase graph: the top 100 NON-edges ranked by neighborhood
+    overlap |N(u)∩N(v)| / |N(u)∪N(v)| — 'parts bought alongside the
+    same baskets but never together yet', the classical recommender /
+    missing-link score and the graph family's predictive member
+    beside its descriptive ones (degrees, triangles, PageRank).
+
+    Exactness: common-neighbor counts and degrees are exact integers
+    over the canonical deduplicated edge list; Jaccard is one fixed
+    double expression c/(du+dv-c) rounded to 6; the top-100 order is
+    total (rounded score DESC, then u, v), so the cutoff is
+    deterministic in both engines.
+
+    Plan/scale: reuses the session-shared edge scratch — the
+    expensive distinct basket self-join is NOT re-paid here. Wedge
+    generation is the adjacency self-join on the hub w with n1 < n2,
+    so each unordered candidate pair is produced once per shared
+    neighbor: Σ_w C(d(w),2) intermediate rows, the same budget class
+    as triangle counting (this fixture's near-uniform degree bell —
+    see graph_degree_distribution — keeps it even; a power-law graph
+    would cap or sample hub adjacency first, the documented knob).
+    Like ``dedup_ngram_jaccard_pairs``, this all-pairs ranking is the
+    correctness BASELINE: the serving shape that survives 100× is
+    ``graph_link_prediction_seeded`` (wedges bounded by the query
+    set, not the graph).
+    Candidates collapse in one map-side-combined count; degrees join
+    on the reduced pair list; existing edges leave via LEFT ANTI on
+    the same scratch; TakeOrderedAndProject keeps the global sort at
+    top-k cost."""
+    edges = _co_purchase_edges(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    a = adj.alias("a")
+    b = adj.alias("b")
+    cn = (
+        a.join(b, "w")
+        .where(F.col("a.n") < F.col("b.n"))
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(F.count("*").alias("common"))
+    )
+    deg = _degrees(edges)
+    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("deg_v"))
+    cand = (
+        cn.join(edges, ["u", "v"], "left_anti")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return cand.orderBy(
+        F.col("jaccard").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(100)
+
+
+LINK_SEED_MAX_KEY = 100
+LINK_SEED_TOP_K = 5
+
+_LINK_SEEDED_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+bk AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+       HAVING COUNT(*) BETWEEN 2 AND 20),
+edges AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a
+          JOIN op b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+          JOIN bk ON bk.l_orderkey = a.l_orderkey),
+adj AS (SELECT u AS w, v AS n FROM edges
+        UNION ALL
+        SELECT v AS w, u AS n FROM edges),
+cn AS (SELECT a.n AS u, b.n AS v, CAST(COUNT(*) AS BIGINT) AS common
+       FROM adj a JOIN adj b ON a.w = b.w AND a.n <> b.n
+       WHERE a.n <= {LINK_SEED_MAX_KEY}
+       GROUP BY a.n, b.n),
+deg AS (SELECT w AS node, CAST(COUNT(*) AS BIGINT) AS dg
+        FROM adj GROUP BY w),
+cand AS (SELECT cn.u, cn.v, cn.common, du.dg AS deg_u, dv.dg AS deg_v,
+                round(CAST(cn.common AS DOUBLE)
+                      / (du.dg + dv.dg - cn.common), 6) AS jaccard
+         FROM cn
+         JOIN deg du ON du.node = cn.u
+         JOIN deg dv ON dv.node = cn.v
+         WHERE NOT EXISTS (SELECT 1 FROM edges e
+                           WHERE e.u = LEAST(cn.u, cn.v)
+                             AND e.v = GREATEST(cn.u, cn.v))),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY u
+                                        ORDER BY jaccard DESC, v) AS BIGINT)
+                  AS rank
+      FROM cand)
+SELECT u, v, common, deg_u, deg_v, jaccard, rank
+FROM r WHERE rank <= {LINK_SEED_TOP_K}
+"""
+
+
+@register("graph_link_prediction_seeded", oracle=_LINK_SEEDED_SQL)
+def graph_link_prediction_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEDED Jaccard link prediction — the SCALE PATH for
+    ``graph_jaccard_link_prediction``: top-5 predicted partners for a
+    FIXED 100-item query set (partkey <= 100 — absolute, so the query
+    is identical at every SF while the graph underneath grows)
+    instead of ranking every non-edge in the graph. This is the shape
+    the score is actually served in (recommendations for a batch of
+    items), and the shape that survives 100×: wedge work is
+    Σ_seed d(seed)·d̄ — proportional to the QUERY size times squared
+    average degree, not to the node count; the all-pairs twin's
+    Σ_w C(d(w),2) grows with the whole graph and is quarantined at
+    correctness scale (the ``dedup_ngram_jaccard_pairs`` →
+    ``dedup_minhash_lsh_pairs`` relationship).
+
+    Exactness: integer common-neighbor counts and degrees on the
+    shared canonical edge scratch; one fixed double Jaccard + round
+    (6); per-seed rank is a total order (score DESC, candidate id),
+    so the top-5 cut is deterministic in both engines. Existing
+    co-purchase partners are excluded via LEFT ANTI on the
+    canonicalized (min,max) pair.
+
+    Plan/scale: the seed filter pushes below the wedge self-join
+    (predicate on the probe side's n), so only seed-rooted wedges are
+    generated; candidates collapse map-side; the per-seed top-5 is a
+    bounded window over ≤|seeds|·|nodes| reduced rows, partitioned on
+    the seed key."""
+    edges = _co_purchase_edges(spark, sf_dir)
+    adj = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    a = adj.where(F.col("n") <= LINK_SEED_MAX_KEY).alias("a")
+    b = adj.alias("b")
+    cn = (
+        a.join(b, "w")
+        .where(F.col("a.n") != F.col("b.n"))
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        .agg(F.count("*").alias("common"))
+    )
+    deg = _degrees(edges)
+    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("deg_v"))
+    canon = cn.select(
+        "u",
+        "v",
+        "common",
+        F.least("u", "v").alias("cu"),
+        F.greatest("u", "v").alias("cv"),
+    )
+    cand = (
+        canon.join(
+            edges.select(F.col("u").alias("cu"), F.col("v").alias("cv")),
+            ["cu", "cv"],
+            "left_anti",
+        )
+        .drop("cu", "cv")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    rank = F.row_number().over(
+        W.partitionBy("u").orderBy(F.col("jaccard").desc(), F.col("v").asc())
+    )
+    return cand.select(
+        "u", "v", "common", "deg_u", "deg_v", "jaccard",
+        rank.cast("bigint").alias("rank"),
+    ).where(F.col("rank") <= LINK_SEED_TOP_K)
