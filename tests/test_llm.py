@@ -1152,3 +1152,37 @@ def test_embedding_drift_halves_matches_numpy(spark):
         # hash halves share the distribution: drift well under the
         # unit-norm embedding scale
         assert g.drift_l2 < 0.5, (label, g.drift_l2)
+
+
+def test_dhash_signature_known_raster():
+    """dHash bits re-derived by hand on a crafted 8x4 gray netpbm:
+    bit((r,c)) = 1 iff p(r,c) < p(r,c+1), packed row-major into
+    (w-1)*h = 28 bits."""
+    from vector_db_core_spark.functions.multimodal import dhash_signature
+
+    raster = bytes(range(32))  # strictly increasing within every row
+    sig = dhash_signature(b"P5\n8 4\n255\n" + raster)
+    assert sig == (1 << 28) - 1  # all 28 bits set
+
+    flat = bytes([7] * 32)  # constant raster: no strict increase
+    assert dhash_signature(b"P5\n8 4\n255\n" + flat) == 0
+
+    # one descent in row 0 only: bit index c for the (c, c+1) pair
+    bump = bytes([0, 5, 3, 9, 9, 9, 9, 9] + [1] * 24)
+    sig = dhash_signature(b"P5\n8 4\n255\n" + bump)
+    # pairs: (0,5)asc (5,3)desc (3,9)asc (9,9)= (9,9)= (9,9)= (9,9)=
+    assert sig & ((1 << 7) - 1) == 0b0000101  # bits 0 and 2 set
+
+
+def test_phash_neardup_finds_injected_duplicates(spark):
+    """The canonical-variant construction makes doc and doc+200000
+    pixel-identical images: every injected pair must surface with
+    Hamming 0, and every reported pair must be band-consistent
+    (hamming <= 3 implies at least one intact 7-bit band)."""
+    rows = QUERIES["multimodal_phash_neardup"](spark, SF_ORACLE).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    for d in range(100):
+        assert got.get((d, d + 200000)) == 0, d
+    for (a, b), hm in got.items():
+        assert 0 <= hm <= 3
+        assert a < b

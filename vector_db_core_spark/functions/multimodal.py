@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    LongType,
     StructField,
     StructType,
 )
@@ -531,3 +532,52 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("bigint").alias("duration_ms"),
     )
+
+
+def dhash_signature(payload: bytes) -> int:
+    """DIFFERENCE HASH (dHash) over a REAL decode: one bit per
+    horizontally adjacent luminance pair — bit((r,c)) = 1 iff
+    lum(r,c) < lum(r,c+1) — packed row-major into an integer of
+    (width-1)*height bits. The classic perceptual fingerprint for
+    image near-dup detection: brightness/contrast shifts preserve the
+    gradient SIGNS, so perceptually-identical images land within a
+    few bits of each other. Deterministic: same payload → same
+    signature on any worker. Raises :class:`UnsupportedMediaError`
+    via ``decode_image`` for undecodable payloads."""
+    img = decode_image(payload)
+    w, h, ch, px = img["width"], img["height"], img["channels"], img["pixels"]
+
+    def lum(i: int) -> int:
+        if ch == 3:
+            return (px[3 * i] + px[3 * i + 1] + px[3 * i + 2]) // 3
+        return px[i]
+
+    sig = 0
+    idx = 0
+    for r in range(h):
+        for c in range(w - 1):
+            i = r * w + c
+            if lum(i) < lum(i + 1):
+                sig |= 1 << idx
+            idx += 1
+    return sig
+
+
+def append_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append a ``dhash BIGINT`` column via Arrow-batched
+    ``mapInPandas`` over the binary payload column — the signature
+    companion of ``extract_features``, same composition contract
+    (output schema = input schema + dhash, no shuffle introduced)."""
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("dhash", LongType())]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            sigs = [
+                dhash_signature(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            yield pdf.assign(dhash=sigs)
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -4741,3 +4741,117 @@ def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("flesch_acc").cast("double") / n, 6).alias("avg_flesch"),
     )
+
+
+# ------------------------------------------------- image perceptual near-dup
+MM_PHASH_MAX_HAMMING = 3
+
+_PHASH_NEARDUP_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, upper(text) || '  ' AS text
+  FROM documents WHERE doc_id < 100),
+h AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             || md5(reverse(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+               AS hx
+      FROM corpus),
+b AS (SELECT doc_id, i, ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT AS byte
+      FROM h, UNNEST(generate_series(0, 31)) AS g(i)),
+bits AS (SELECT a.doc_id,
+                (a.i // 8) * 7 + (a.i % 8) AS idx,
+                CASE WHEN a.byte < c.byte THEN 1 ELSE 0 END AS bit
+         FROM b a JOIN b c ON c.doc_id = a.doc_id AND c.i = a.i + 1
+         WHERE a.i % 8 <> 7),
+sig AS (SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << idx) AS BIGINT) AS s
+        FROM bits GROUP BY doc_id),
+bands AS (SELECT doc_id, s, k, (s >> (7 * k)) & 127 AS bv
+          FROM sig, UNNEST(generate_series(0, 3)) AS g(k)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                a.s AS sig_a, b2.s AS sig_b
+         FROM bands a JOIN bands b2 ON a.k = b2.k AND a.bv = b2.bv
+                                   AND a.doc_id < b2.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+@register("multimodal_phash_neardup", oracle=_PHASH_NEARDUP_SQL)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE NEAR-DUP DETECTION by perceptual difference hash — the
+    multimodal member of the dedup family (SimHash is to text what
+    dHash is to pixels): every document becomes a valid 8×4 grayscale
+    netpbm whose raster derives from the md5 of its CANONICAL text
+    (so the uppercase/whitespace variants injected by the dedup
+    fixtures produce bit-identical images — observable ground truth),
+    the REAL Arrow ``mapInPandas`` decode path computes the 28-bit
+    dHash from decoded pixels (``functions/multimodal.dhash_signature``
+    — one bit per horizontally adjacent luminance pair), and
+    candidate pairs surface through 4×7-bit LSH BANDS exactly like
+    ``dedup_minhash_lsh_pairs``: only docs agreeing on at least one
+    band are compared, then the full Hamming distance gates at <= 3.
+
+    Exactness: the payload construction is content-deterministic, so
+    the oracle re-derives every raster byte from the same md5 hex and
+    replicates the bit/band/XOR integer arithmetic bit-for-bit; the
+    engine-side hash still comes from REAL decoded pixels (the full
+    multimodal plumbing under an exact oracle, the
+    ``multimodal_decode_features`` discipline).
+
+    Plan/scale: signature extraction is partition-parallel
+    (scan → project → mapInPandas), 8 bytes per image thereafter;
+    banding explodes ×4 and self-joins on (band, value) — the LSH
+    contract bounds comparisons to genuine collisions, never
+    all-pairs; Hamming is one codegen'd xor+bit_count per candidate.
+    At 100 TB band values are the shuffle keys; a skewed band bucket
+    (monochrome crops) would salt or cap, the same knob as the text
+    LSH."""
+    from vector_db_core_spark.functions.multimodal import append_dhash
+    from vector_db_core_spark.functions.text import canonical_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    canon = canonical_text("text")
+    hexs = F.concat(F.md5(canon), F.md5(F.reverse(canon)))
+    payload = F.concat(F.lit(b"P5\n8 4\n255\n"), F.unhex(hexs))
+    imgs = docs.unionByName(variants).select("doc_id", payload.alias("payload"))
+    sigs = append_dhash(imgs, "payload").select("doc_id", "dhash")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.shiftright(F.col("dhash"), 7 * k)
+                .bitwiseAND(F.lit(127))
+                .alias("bv"),
+            )
+            for k in range(4)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.col("dhash").alias("s"), F.explode(band_structs).alias("band")
+    ).select("doc_id", "s", F.col("band.k").alias("k"), F.col("band.bv").alias("bv"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["k", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sig_a"),
+            F.col("b.s").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select(
+            "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+        ).where(F.col("hamming") <= MM_PHASH_MAX_HAMMING)
+    )
