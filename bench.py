@@ -149,6 +149,19 @@ HEADLINE = [
     "rfm_customer_segments",
     "pipeline_sequence_packing",
     "cohort_kaplan_meier",
+    # late round-10: the remaining additions of the round, one row
+    # each (registered after the mid-round promotion commit)
+    "profile_functional_dependencies",
+    "multimodal_byte_packing",
+    "timeseries_cumulative_reach",
+    "text_flesch_readability",
+    "agg_anova_oneway",
+    "agg_hhi_concentration",
+    "pipeline_dedup_token_savings",
+    "multimodal_phash_neardup",
+    # edge-scratch consumer like graph_degree_distribution: times the
+    # bounded seeded wedge join over the session-shared edge parquet
+    "graph_link_prediction_seeded",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`
@@ -526,6 +539,11 @@ def main() -> None:
             # round-10: the k-core peel loop (eager persist+count
             # rounds over the shared edge scratch)
             "graph_kcore_peeling",
+            # NOT tracked: graph_jaccard_link_prediction — the
+            # all-pairs baseline (67.8 s at sf0.1, Σ C(d,2) wedge
+            # generation) is quarantined at correctness scale exactly
+            # like dedup_ngram_jaccard_pairs, which is also unbenched;
+            # the headline carries its seeded serving twin
         ):
             if name not in queries:
                 continue

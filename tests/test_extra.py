@@ -1202,3 +1202,26 @@ def test_link_prediction_python_rederivation(spark):
     }
     assert set(by_seed) == seeds_with_candidates
     spark.catalog.clearCache()
+
+
+def test_seasonal_decompose_identity_and_edges(spark):
+    """The classical decomposition must reconstruct: value = trend +
+    seasonal + residual wherever the trend exists (up to the output
+    rounding), edge days (incomplete 7-day window) must carry NULL
+    trend/residual, and each weekday's residuals must mean to ~0 (the
+    seasonal term absorbed the weekday effect by construction)."""
+    rows = QUERIES["timeseries_seasonal_decompose"](spark, SF_ORACLE).collect()
+    assert len(rows) >= 14
+    days = sorted(r.day for r in rows)
+    edge_days = set(days[:3] + days[-3:])
+    by_wd = {}
+    for r in rows:
+        if r.day in edge_days:
+            assert r.trend is None and r.residual is None, r
+        else:
+            assert r.trend is not None
+            assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 2e-6, r
+            by_wd.setdefault(r.weekday, []).append(r.residual)
+    assert set(by_wd) == set(range(7))
+    for wd, res in by_wd.items():
+        assert abs(sum(res) / len(res)) < 1e-5, (wd, res)

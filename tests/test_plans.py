@@ -1049,3 +1049,36 @@ def test_round9_triangle_estimate_samples_before_orientation(spark):
     # the same InMemoryRelation rather than a re-derivation
     assert "md5" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_round10_link_prediction_plans(spark):
+    """Link-prediction pair: the all-pairs baseline's global top-100
+    must be TakeOrderedAndProject (top-k cost, never a global sort);
+    the seeded twin's query-set predicate must exist as a pushed
+    filter (seed-rooted wedges only) and neither plan may fall back
+    to a cartesian product or Python."""
+    from vector_db_core_spark.operators.analytics import LINK_SEED_MAX_KEY
+
+    plan = _plan_simple(QUERIES["graph_jaccard_link_prediction"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+    plan = _plan_simple(QUERIES["graph_link_prediction_seeded"](spark, SF_ORACLE))
+    assert f"<= {LINK_SEED_MAX_KEY}" in plan  # seed filter pushed to the scan side
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    # the top-5 cut is a per-seed window over reduced rows, not a sort
+    # of the candidate space
+    assert "TakeOrderedAndProject" not in plan
+    spark.catalog.clearCache()
+
+
+def test_round10_phash_banded_join_plan(spark):
+    """The perceptual-hash near-dup must join candidates on the LSH
+    band keys (k, bv) — never all-pairs — and the signature must come
+    from the Arrow mapInPandas decode path (the real multimodal
+    plumbing, not a JVM re-derivation)."""
+    plan = _plan_simple(QUERIES["multimodal_phash_neardup"](spark, SF_ORACLE))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # equi-join on both band coordinates
+    assert "k#" in plan and "bv#" in plan

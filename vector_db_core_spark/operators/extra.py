@@ -4435,3 +4435,105 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("effective_n"),
         F.round(F.max("cents").cast("double") / F.max("t"), 6).alias("top_share"),
     )
+
+
+_SEASONAL_DECOMP_SQL = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+w AS (SELECT day, cents,
+             CAST(SUM(cents) OVER (ORDER BY day
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS win_sum,
+             CAST(COUNT(*) OVER (ORDER BY day
+                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS win_n,
+             CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT)
+               AS weekday
+      FROM d),
+t AS (SELECT day, weekday, cents,
+             CASE WHEN win_n = 7
+                  THEN CAST(win_sum AS DOUBLE) / 700.0 END AS trend,
+             CASE WHEN win_n = 7
+                  THEN CAST(cents AS DOUBLE) / 100.0
+                       - CAST(win_sum AS DOUBLE) / 700.0 END AS detrended
+      FROM w),
+s AS (SELECT *,
+             CAST(SUM(CAST(detrended AS DECIMAL(27,15)))
+                    OVER (PARTITION BY weekday) AS DOUBLE)
+             / SUM(CASE WHEN detrended IS NOT NULL THEN 1 END)
+                 OVER (PARTITION BY weekday) AS seasonal
+      FROM t)
+SELECT CAST(day AS TIMESTAMP) AS day, weekday,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
+       round(trend, 6) AS trend,
+       round(seasonal, 6) AS seasonal,
+       round(detrended - seasonal, 6) AS residual
+FROM s
+"""
+
+
+@register("timeseries_seasonal_decompose", oracle=_SEASONAL_DECOMP_SQL)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION (the moving-average
+    trend/seasonal/residual split STL refines) of the daily purchase
+    series: trend = centered 7-day moving average (only where the
+    full window exists — edges stay NULL rather than biased),
+    seasonal = per-weekday mean of the detrended series, residual =
+    what neither explains. The residual column is what anomaly
+    detection actually watches (``timeseries_cusum_changepoint``
+    upstream of seasonality confuses weekly rhythm with level
+    shifts); the seasonal column is the weekly rhythm itself.
+
+    Exactness: daily cents are exact integers, so the 7-day window
+    SUM is exact and trend is ONE double division (win_sum/700);
+    weekday is pure integer arithmetic (epoch-day mod 7 — NOT
+    dayofweek(), whose origin differs across engines); the per-
+    weekday seasonal mean DECIMAL-casts each detrended term before
+    the order-independent sum (DECIMAL(27,15) — 12 integer digits
+    hold daily-revenue scale at any SF); residual is one double subtraction +
+    round(6).
+
+    Plan/scale: ONE corpus-scan reduction to the day grid, then every
+    window (7-day frame, weekday partition) runs on |days| rows — the
+    reduce-then-rank discipline; output = the day grid itself. At
+    100 TB the only data-sized work is the first aggregate."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    wf = W.orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "day",
+        "cents",
+        F.sum("cents").over(wf).cast("bigint").alias("win_sum"),
+        F.count("*").over(wf).cast("bigint").alias("win_n"),
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("bigint")
+        .alias("weekday"),
+    )
+    full = F.col("win_n") == 7
+    t = w.select(
+        "day",
+        "weekday",
+        "cents",
+        F.when(full, F.col("win_sum").cast("double") / 700.0).alias("trend"),
+        F.when(
+            full,
+            F.col("cents").cast("double") / 100.0
+            - F.col("win_sum").cast("double") / 700.0,
+        ).alias("detrended"),
+    )
+    wp = W.partitionBy("weekday")
+    seasonal = F.sum(F.col("detrended").cast("decimal(27,15)")).over(wp).cast(
+        "double"
+    ) / F.sum(F.when(F.col("detrended").isNotNull(), 1)).over(wp)
+    s = t.select("day", "weekday", "cents", "trend", "detrended", seasonal.alias("seasonal"))
+    return s.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "weekday",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("value"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
+    )
