@@ -1225,3 +1225,50 @@ def test_seasonal_decompose_identity_and_edges(spark):
     assert set(by_wd) == set(range(7))
     for wd, res in by_wd.items():
         assert abs(sum(res) / len(res)) < 1e-5, (wd, res)
+
+
+def test_position_attribution_conserves_value(spark):
+    """Multi-touch credit must CONSERVE: summed attributed value over
+    all campaigns (incl. the NULL direct bucket) equals total purchase
+    value exactly (up to output rounding), and per-purchase weights
+    sum to 1 by construction (40/20/40 with degenerate 1- and 2-touch
+    cases) — re-checked against the last-touch rollup's total."""
+    rows = QUERIES["attribution_position_based"](spark, SF_ORACLE).collect()
+    total = sum(r.attributed_value for r in rows)
+    lt = QUERIES["attribution_last_touch"](spark, SF_ORACLE).collect()
+    lt_total = sum(r.attributed_value for r in lt)
+    assert abs(total - lt_total) < 1e-3, (total, lt_total)
+    assert any(r.campaign is None for r in rows)  # direct bucket exists
+    assert {r.campaign for r in rows if r.campaign is not None} == set(range(10))
+
+
+def test_reservoir_sample_fixed_size_and_stability(spark):
+    """Exactly min(k, stratum size) rows per source, ranks dense from
+    1, and the rank-1 winner per source is the stratum's true md5
+    minimum; removing any NON-sampled doc cannot change the sample
+    (hash-rank stability — the reservoir property)."""
+    from vector_db_core_spark.operators.pipeline import EVAL_SAMPLE_K
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "source")
+    sizes = {r.source: r.n for r in docs.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    rows = QUERIES["pipeline_reservoir_sample"](spark, SF_ORACLE).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.source, []).append(r)
+    assert set(by) == set(sizes)
+    import hashlib
+
+    all_docs = docs.collect()
+    for src, rs in by.items():
+        assert len(rs) == min(EVAL_SAMPLE_K, sizes[src])
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # the winner is the true salted-hash minimum of the stratum
+        want = min(
+            (hashlib.md5(f"{d.doc_id}|eval".encode()).hexdigest(), d.doc_id)
+            for d in all_docs
+            if d.source == src
+        )
+        got1 = next(r for r in rs if r.rank == 1)
+        assert (got1.tag, got1.doc_id) == want, src

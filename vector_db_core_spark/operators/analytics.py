@@ -2757,3 +2757,118 @@ def graph_link_prediction_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", "v", "common", "deg_u", "deg_v", "jaccard",
         rank.cast("bigint").alias("rank"),
     ).where(F.col("rank") <= LINK_SEED_TOP_K)
+
+
+_ATTRIBUTION_POSITION_SQL = """
+WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS cus,
+             CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS campaign
+      FROM events WHERE event_type = 'click'),
+pairs AS (SELECT p.pid, p.cents, c.campaign, c.cus, c.cid
+          FROM p JOIN c ON p.user_id = c.user_id
+                       AND (c.cus < p.pus
+                            OR (c.cus = p.pus AND c.cid < p.pid))
+                       AND p.pus - c.cus <= 604800000000),
+ranked AS (SELECT pid, cents, campaign,
+                  CAST(row_number() OVER (PARTITION BY pid
+                                          ORDER BY cus, cid) AS BIGINT) AS pos,
+                  CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS n
+           FROM pairs),
+weighted AS (SELECT campaign, cents,
+                    CASE WHEN n = 1 THEN 1.0
+                         WHEN pos = 1 OR pos = n
+                           THEN CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END
+                         ELSE 0.2 / (n - 2) END AS w
+             FROM ranked
+             UNION ALL
+             SELECT NULL AS campaign, p.cents, 1.0 AS w
+             FROM p WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.pid = p.pid))
+SELECT campaign,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       round(CAST(SUM(CAST(cents * w / 100.0 AS DECIMAL(27,15)))
+                  AS DOUBLE), 6) AS attributed_value
+FROM weighted GROUP BY campaign
+"""
+
+
+@register("attribution_position_based", oracle=_ATTRIBUTION_POSITION_SQL)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped) MULTI-TOUCH attribution — the
+    many-touch companion of ``attribution_last_touch``: each purchase
+    credits 40% to the user's FIRST qualifying click, 40% to the
+    LAST, and splits 20% across the middle touches (1 click → 100%,
+    2 clicks → 50/50 — the standard degenerate cases); purchases with
+    no click in the 7-day lookback keep full value in the NULL
+    'direct' bucket, so total attributed value CONSERVES the total
+    purchase value exactly (pinned).
+
+    Unlike last-touch, multi-touch NEEDS the per-conversion touch
+    list — the purchase x click pair fan-out IS the semantics, not an
+    implementation accident — so this is the deliberate range-join
+    member of the family: pairs are bounded by per-user activity
+    inside the lookback, co-partitioned on user_id (one exchange
+    feeds the join), and everything after runs on the pair list
+    (per-purchase rank window, 11-key rollup). Tie discipline is
+    last-touch's: a click at the same timestamp counts only with a
+    smaller event_id, and positions order by (ts, event_id), so
+    credit assignment is deterministic everywhere. Exactness: cents
+    are exact integers; each pair's weight is a fixed rational CASE;
+    credit = one double expression DECIMAL-cast before the
+    order-independent per-campaign sum, round(6) finish.
+
+    100 TB: the join and both windows share the user/purchase keyed
+    shuffles; lookback bounds state like the streaming watermark."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.unix_micros("ts").alias("pus"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("cid"),
+        F.unix_micros("ts").alias("cus"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("campaign"),
+    )
+    before = (F.col("cus") < F.col("pus")) | (
+        (F.col("cus") == F.col("pus")) & (F.col("cid") < F.col("pid"))
+    )
+    pairs = p.join(c, "user_id").where(
+        before & (F.col("pus") - F.col("cus") <= 604_800_000_000)
+    )
+    wr = W.partitionBy("pid").orderBy("cus", "cid")
+    ranked = pairs.select(
+        "pid",
+        "cents",
+        "campaign",
+        F.row_number().over(wr).cast("bigint").alias("pos"),
+        F.count("*").over(W.partitionBy("pid")).cast("bigint").alias("n"),
+    )
+    ends = (F.col("pos") == 1) | (F.col("pos") == F.col("n"))
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(ends & (F.col("n") == 2), F.lit(0.5))
+        .when(ends, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    weighted = ranked.select("campaign", "cents", weight.alias("w"))
+    direct = (
+        p.join(pairs.select("pid").distinct(), "pid", "left_anti")
+        .select(
+            F.lit(None).cast("long").alias("campaign"),
+            "cents",
+            F.lit(1.0).alias("w"),
+        )
+    )
+    credit = (F.col("cents") * F.col("w") / 100.0).cast("decimal(27,15)")
+    return (
+        weighted.unionByName(direct)
+        .groupBy("campaign")
+        .agg(
+            F.count("*").alias("n_credits"),
+            F.round(F.sum(credit).cast("double"), 6).alias("attributed_value"),
+        )
+    )

@@ -2235,3 +2235,60 @@ def pipeline_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - kept_tokens.cast("double") / F.sum("n_tokens"), 6
         ).alias("token_savings"),
     )
+
+
+EVAL_SAMPLE_K = 50
+
+_RESERVOIR_SQL = f"""
+WITH r AS (SELECT doc_id, source,
+                  md5(CAST(doc_id AS VARCHAR) || '|eval') AS tag,
+                  CAST(row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR) || '|eval'),
+                                 doc_id) AS BIGINT) AS rank
+           FROM documents)
+SELECT source, rank, doc_id, tag
+FROM r WHERE rank <= {EVAL_SAMPLE_K}
+"""
+
+
+@register("pipeline_reservoir_sample", oracle=_RESERVOIR_SQL)
+def pipeline_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-SIZE UNIFORM SAMPLE per stratum — the eval-set carve: the
+    EXACTLY-k=50 docs per source whose salted content-key hash ranks
+    lowest (hash-rank sampling, the deterministic equivalent of a
+    distributed reservoir). The family's other samplers answer
+    different questions: ``pipeline_train_val_test_split`` buckets
+    PROPORTIONALLY (split sizes float with the corpus),
+    ``pipeline_pps_sample`` weights by size, ``domain_cap`` truncates
+    — this one guarantees a fixed-budget, reproducible, uniform draw
+    (every doc equally likely under the md5 ordering), which is what
+    a manually-reviewed eval set needs: adding documents to the
+    corpus only ever displaces hash-rank neighbors, it never reshuffles
+    the whole sample (the property random sort keys would lose).
+
+    Exactness: ranks are integers from a total order (hash, then
+    doc_id — md5 collisions can't destabilize the cut); the salt
+    ('|eval') decorrelates this draw from every other md5-keyed
+    decision in the catalog (splits, shards, folds).
+
+    Plan/scale: at k=50 per stratum this is a per-source top-k —
+    rank-then-filter expresses it here; at 100 TB per-partition
+    top-k + re-rank (TakeOrdered per group) bounds memory, same
+    result by the total order. One exchange on source."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    tag = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|eval")))
+    r = docs.select(
+        "source",
+        "doc_id",
+        tag.alias("tag"),
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(tag, F.col("doc_id")))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return r.where(F.col("rank") <= EVAL_SAMPLE_K).select(
+        "source", "rank", "doc_id", "tag"
+    )
