@@ -162,6 +162,11 @@ HEADLINE = [
     # edge-scratch consumer like graph_degree_distribution: times the
     # bounded seeded wedge join over the session-shared edge parquet
     "graph_link_prediction_seeded",
+    # wave 2 closers: classical decomposition, U-shaped multi-touch,
+    # the fixed-budget eval carve
+    "timeseries_seasonal_decompose",
+    "attribution_position_based",
+    "pipeline_reservoir_sample",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`
