@@ -1082,3 +1082,17 @@ def test_round10_phash_banded_join_plan(spark):
     assert "CartesianProduct" not in plan
     # equi-join on both band coordinates
     assert "k#" in plan and "bv#" in plan
+
+
+def test_round10_anova_single_corpus_scan(spark):
+    """The ANOVA grand totals are windows over the 5-row priority
+    grid, not crossJoins against re-aggregated branches — the corpus
+    must be scanned exactly once (the contingency-marginals
+    discipline)."""
+    plan = (
+        QUERIES["agg_anova_oneway"](spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")

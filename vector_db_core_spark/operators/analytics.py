@@ -2767,10 +2767,10 @@ c AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS cus,
              CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS campaign
       FROM events WHERE event_type = 'click'),
 pairs AS (SELECT p.pid, p.cents, c.campaign, c.cus, c.cid
-          FROM p JOIN c ON p.user_id = c.user_id
-                       AND (c.cus < p.pus
-                            OR (c.cus = p.pus AND c.cid < p.pid))
-                       AND p.pus - c.cus <= 604800000000),
+          FROM p LEFT JOIN c ON p.user_id = c.user_id
+                            AND (c.cus < p.pus
+                                 OR (c.cus = p.pus AND c.cid < p.pid))
+                            AND p.pus - c.cus <= 604800000000),
 ranked AS (SELECT pid, cents, campaign,
                   CAST(row_number() OVER (PARTITION BY pid
                                           ORDER BY cus, cid) AS BIGINT) AS pos,
@@ -2781,10 +2781,7 @@ weighted AS (SELECT campaign, cents,
                          WHEN pos = 1 OR pos = n
                            THEN CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END
                          ELSE 0.2 / (n - 2) END AS w
-             FROM ranked
-             UNION ALL
-             SELECT NULL AS campaign, p.cents, 1.0 AS w
-             FROM p WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.pid = p.pid))
+             FROM ranked)
 SELECT campaign,
        CAST(COUNT(*) AS BIGINT) AS n_credits,
        round(CAST(SUM(CAST(cents * w / 100.0 AS DECIMAL(27,15)))
@@ -2807,16 +2804,18 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike last-touch, multi-touch NEEDS the per-conversion touch
     list — the purchase x click pair fan-out IS the semantics, not an
     implementation accident — so this is the deliberate range-join
-    member of the family: pairs are bounded by per-user activity
-    inside the lookback, co-partitioned on user_id (one exchange
-    feeds the join), and everything after runs on the pair list
-    (per-purchase rank window, 11-key rollup). Tie discipline is
-    last-touch's: a click at the same timestamp counts only with a
-    smaller event_id, and positions order by (ts, event_id), so
-    credit assignment is deterministic everywhere. Exactness: cents
-    are exact integers; each pair's weight is a fixed rational CASE;
-    credit = one double expression DECIMAL-cast before the
-    order-independent per-campaign sum, round(6) finish.
+    member of the family: ONE LEFT join (no-click purchases keep a
+    single null row, which the weight CASE reads as its own n=1 →
+    full-credit direct bucket — no second anti-join branch re-paying
+    the join), pairs bounded by per-user activity inside the
+    lookback, co-partitioned on user_id, and everything after runs on
+    the pair list (per-purchase rank window, 11-key rollup). Tie
+    discipline is last-touch's: a click at the same timestamp counts
+    only with a smaller event_id, and positions order by
+    (ts, event_id), so credit assignment is deterministic everywhere.
+    Exactness: cents are exact integers; each pair's weight is a
+    fixed rational CASE; credit = one double expression DECIMAL-cast
+    before the order-independent per-campaign sum, round(6) finish.
 
     100 TB: the join and both windows share the user/purchase keyed
     shuffles; lookback bounds state like the streaming watermark."""
@@ -2836,8 +2835,13 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = (F.col("cus") < F.col("pus")) | (
         (F.col("cus") == F.col("pus")) & (F.col("cid") < F.col("pid"))
     )
-    pairs = p.join(c, "user_id").where(
-        before & (F.col("pus") - F.col("cus") <= 604_800_000_000)
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & before
+        & (F.col("pus") - F.col("cus") <= 604_800_000_000)
+    )
+    pairs = p.alias("p").join(c.alias("c"), cond, "left").select(
+        "pid", "cents", "campaign", "cus", "cid"
     )
     wr = W.partitionBy("pid").orderBy("cus", "cid")
     ranked = pairs.select(
@@ -2855,20 +2859,8 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.2) / (F.col("n") - 2))
     )
     weighted = ranked.select("campaign", "cents", weight.alias("w"))
-    direct = (
-        p.join(pairs.select("pid").distinct(), "pid", "left_anti")
-        .select(
-            F.lit(None).cast("long").alias("campaign"),
-            "cents",
-            F.lit(1.0).alias("w"),
-        )
-    )
     credit = (F.col("cents") * F.col("w") / 100.0).cast("decimal(27,15)")
-    return (
-        weighted.unionByName(direct)
-        .groupBy("campaign")
-        .agg(
-            F.count("*").alias("n_credits"),
-            F.round(F.sum(credit).cast("double"), 6).alias("attributed_value"),
-        )
+    return weighted.groupBy("campaign").agg(
+        F.count("*").alias("n_credits"),
+        F.round(F.sum(credit).cast("double"), 6).alias("attributed_value"),
     )

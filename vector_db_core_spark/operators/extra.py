@@ -4307,12 +4307,14 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent k-row sum, one double finish + round(6). Float
     group means never enter the accumulation.
 
-    Plan/scale: one corpus scan into a map-side-combined per-priority
-    aggregate (k=5 rows); everything after runs on the k-row grid
-    (grand totals via a broadcast 1-row crossJoin, as the oracle's
-    scalar subqueries state). TPC-H's independent generators give
-    F ~ 1 / eta² ~ 0 (no effect), which is the correct read and is
-    pinned by a numpy re-derivation in pytest."""
+    Plan/scale: ONE corpus scan into a map-side-combined per-priority
+    aggregate (k=5 rows); grand totals and the SSB/SSW accumulations
+    are WINDOWS over that k-row grid (the contingency-marginals
+    discipline — a crossJoin against a re-aggregated branch would
+    re-derive the corpus aggregate once per branch), so everything
+    after the first exchange runs on 5 rows. TPC-H's independent
+    generators give F ~ 1 / eta² ~ 0 (no effect), which is the
+    correct read and is pinned by a numpy re-derivation in pytest."""
     x = _t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("pri"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
@@ -4322,29 +4324,38 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c").cast("decimal(38,0)")).alias("s_g"),
         F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q_g"),
     )
+    wall = W.partitionBy()
+    m = g.select(
+        "pri",
+        "n_g",
+        "s_g",
+        "q_g",
+        F.sum("n_g").over(wall).alias("n"),
+        F.sum("s_g").over(wall).alias("s_tot"),
+        F.count("*").over(wall).alias("k"),
+    )
     ng = F.col("n_g").cast("double")
     mean_dev = F.col("s_g").cast("double") / F.col("n_g") - F.col(
         "s_tot"
-    ).cast("double") / F.col("n_tot")
+    ).cast("double") / F.col("n")
     ssb_term = ng * mean_dev * mean_dev / 10000.0
     ssw_term = (
         F.col("q_g").cast("double")
         - F.col("s_g").cast("double") * F.col("s_g").cast("double") / F.col("n_g")
     ) / 10000.0
-    tot = g.agg(
-        F.sum("n_g").alias("n_tot"), F.sum("s_g").alias("s_tot")
-    )
-    ge = g.crossJoin(F.broadcast(tot))
-    t = ge.agg(
-        F.max("n_tot").alias("n"),
-        F.count("*").alias("k"),
-        F.sum(ssb_term.cast("decimal(38,15)")).alias("ssb_acc"),
-        F.sum(ssw_term.cast("decimal(38,15)")).alias("ssw_acc"),
+    acc = m.select(
+        "pri",
+        "n_g",
+        "s_g",
+        "n",
+        "k",
+        F.sum(ssb_term.cast("decimal(38,15)")).over(wall).alias("ssb_acc"),
+        F.sum(ssw_term.cast("decimal(38,15)")).over(wall).alias("ssw_acc"),
     )
     ssb = F.col("ssb_acc").cast("double")
     ssw = F.col("ssw_acc").cast("double")
     f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
-    return g.crossJoin(F.broadcast(t)).select(
+    return acc.select(
         "pri",
         "n_g",
         F.round(F.col("s_g").cast("double") / 100.0 / F.col("n_g"), 6).alias(
