@@ -1191,10 +1191,14 @@ def test_link_prediction_python_rederivation(spark):
             if v == u or (min(u, v), max(u, v)) in eset or not (nbr[u] & nbr[v]):
                 continue
             c, j = jacc(u, v)
-            cands.append((-j, v, c))
+            aa = sum(1.0 / math.log(len(nbr[w])) for w in nbr[u] & nbr[v])
+            cands.append((-j, v, c, aa))
         cands.sort()
-        for r, (nj, v, c) in zip(sorted(rs, key=lambda r: r.rank), cands):
+        for r, (nj, v, c, aa) in zip(sorted(rs, key=lambda r: r.rank), cands):
             assert (r.v, r.common, r.jaccard) == (v, c, -nj)
+            # engines quantize each 1/ln(deg) term to 15 decimals
+            # before the sum; tolerance covers that plus the round(6)
+            assert abs(r.adamic_adar - aa) < 2e-6, (u, v, r.adamic_adar, aa)
     seeds_with_candidates = {
         u for u in nbr if u <= LINK_SEED_MAX_KEY
         and any(v != u and (min(u, v), max(u, v)) not in eset and (nbr[u] & nbr[v])

@@ -2655,15 +2655,20 @@ edges AS MATERIALIZED (
 adj AS (SELECT u AS w, v AS n FROM edges
         UNION ALL
         SELECT v AS w, u AS n FROM edges),
-cn AS (SELECT a.n AS u, b.n AS v, CAST(COUNT(*) AS BIGINT) AS common
-       FROM adj a JOIN adj b ON a.w = b.w AND a.n <> b.n
-       WHERE a.n <= {LINK_SEED_MAX_KEY}
-       GROUP BY a.n, b.n),
 deg AS (SELECT w AS node, CAST(COUNT(*) AS BIGINT) AS dg
         FROM adj GROUP BY w),
+cn AS (SELECT a.n AS u, b.n AS v, CAST(COUNT(*) AS BIGINT) AS common,
+              SUM(CAST(1.0 / ln(CAST(d.dg AS DOUBLE)) AS DECIMAL(27,15)))
+                AS aa
+       FROM adj a
+       JOIN adj b ON a.w = b.w AND a.n <> b.n
+       JOIN deg d ON d.node = a.w
+       WHERE a.n <= {LINK_SEED_MAX_KEY}
+       GROUP BY a.n, b.n),
 cand AS (SELECT cn.u, cn.v, cn.common, du.dg AS deg_u, dv.dg AS deg_v,
                 round(CAST(cn.common AS DOUBLE)
-                      / (du.dg + dv.dg - cn.common), 6) AS jaccard
+                      / (du.dg + dv.dg - cn.common), 6) AS jaccard,
+                round(CAST(cn.aa AS DOUBLE), 6) AS adamic_adar
          FROM cn
          JOIN deg du ON du.node = cn.u
          JOIN deg dv ON dv.node = cn.v
@@ -2674,7 +2679,7 @@ r AS (SELECT *, CAST(row_number() OVER (PARTITION BY u
                                         ORDER BY jaccard DESC, v) AS BIGINT)
                   AS rank
       FROM cand)
-SELECT u, v, common, deg_u, deg_v, jaccard, rank
+SELECT u, v, common, deg_u, deg_v, jaccard, adamic_adar, rank
 FROM r WHERE rank <= {LINK_SEED_TOP_K}
 """
 
@@ -2695,36 +2700,48 @@ def graph_link_prediction_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_lsh_pairs`` relationship).
 
     Exactness: integer common-neighbor counts and degrees on the
-    shared canonical edge scratch; one fixed double Jaccard + round
-    (6); per-seed rank is a total order (score DESC, candidate id),
-    so the top-5 cut is deterministic in both engines. Existing
-    co-purchase partners are excluded via LEFT ANTI on the
+    shared canonical edge scratch; Jaccard is one fixed double
+    expression + round(6), and the ADAMIC-ADAR companion score
+    (Σ 1/ln(deg(w)) over the common neighbors — rewards RARE shared
+    contexts where Jaccard treats every neighbor equally) DECIMAL-
+    casts each wedge's term before the order-independent per-pair sum
+    (deg(w) >= 2 by construction — w touches both endpoints — so
+    ln() never zeroes); per-seed rank is a total order (Jaccard DESC,
+    candidate id), so the top-5 cut is deterministic in both engines.
+    Existing co-purchase partners are excluded via LEFT ANTI on the
     canonicalized (min,max) pair.
 
     Plan/scale: the seed filter pushes below the wedge self-join
     (predicate on the probe side's n), so only seed-rooted wedges are
-    generated; candidates collapse map-side; the per-seed top-5 is a
-    bounded window over ≤|seeds|·|nodes| reduced rows, partitioned on
-    the seed key."""
+    generated; the hub-degree join rides the wedge stream before its
+    map-side-combined collapse; the per-seed top-5 is a bounded
+    window over ≤|seeds|·|nodes| reduced rows, partitioned on the
+    seed key."""
     edges = _co_purchase_edges(spark, sf_dir)
     adj = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
         edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
     )
+    deg = _degrees(edges)
     a = adj.where(F.col("n") <= LINK_SEED_MAX_KEY).alias("a")
     b = adj.alias("b")
+    dw = deg.select(F.col("node").alias("w"), F.col("dg").alias("dg_w"))
+    aa_term = (F.lit(1.0) / F.log(F.col("dg_w").cast("double"))).cast(
+        "decimal(27,15)"
+    )
     cn = (
         a.join(b, "w")
         .where(F.col("a.n") != F.col("b.n"))
+        .join(dw, "w")
         .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
-        .agg(F.count("*").alias("common"))
+        .agg(F.count("*").alias("common"), F.sum(aa_term).alias("aa"))
     )
-    deg = _degrees(edges)
     du = deg.select(F.col("node").alias("u"), F.col("dg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("deg_v"))
     canon = cn.select(
         "u",
         "v",
         "common",
+        "aa",
         F.least("u", "v").alias("cu"),
         F.greatest("u", "v").alias("cv"),
     )
@@ -2748,13 +2765,14 @@ def graph_link_prediction_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
                 6,
             ).alias("jaccard"),
+            F.round(F.col("aa").cast("double"), 6).alias("adamic_adar"),
         )
     )
     rank = F.row_number().over(
         W.partitionBy("u").orderBy(F.col("jaccard").desc(), F.col("v").asc())
     )
     return cand.select(
-        "u", "v", "common", "deg_u", "deg_v", "jaccard",
+        "u", "v", "common", "deg_u", "deg_v", "jaccard", "adamic_adar",
         rank.cast("bigint").alias("rank"),
     ).where(F.col("rank") <= LINK_SEED_TOP_K)
 

@@ -4548,3 +4548,137 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+_WELCH_SQL = """
+WITH base AS (SELECT c.c_mktsegment AS seg,
+                     CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+rows_ AS (SELECT 'building_vs_machinery' AS pair, 'a' AS grp, c
+          FROM base WHERE seg = 'BUILDING'
+          UNION ALL
+          SELECT 'building_vs_machinery', 'b', c
+          FROM base WHERE seg = 'MACHINERY'
+          UNION ALL
+          SELECT 'building_vs_inflated_twin', 'a', c
+          FROM base WHERE seg = 'BUILDING'
+          UNION ALL
+          SELECT 'building_vs_inflated_twin', 'b', c * 11 // 10
+          FROM base WHERE seg = 'BUILDING'),
+g AS (SELECT pair, grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c AS DECIMAL(38,0))) AS s,
+             SUM(CAST(c AS DECIMAL(38,0)) * c) AS q
+      FROM rows_ GROUP BY pair, grp),
+p AS (SELECT pair,
+             MAX(CASE WHEN grp = 'a' THEN n END) AS n1,
+             MAX(CASE WHEN grp = 'b' THEN n END) AS n2,
+             MAX(CASE WHEN grp = 'a' THEN CAST(s AS DOUBLE) END) AS s1,
+             MAX(CASE WHEN grp = 'b' THEN CAST(s AS DOUBLE) END) AS s2,
+             MAX(CASE WHEN grp = 'a' THEN CAST(q AS DOUBLE) END) AS q1,
+             MAX(CASE WHEN grp = 'b' THEN CAST(q AS DOUBLE) END) AS q2
+      FROM g GROUP BY pair),
+t AS (SELECT pair, n1, n2,
+             (s1 / n1 - s2 / n2) / 100.0 AS mean_diff,
+             ((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+              + (q2 - s2 * s2 / n2) / (n2 - 1) / n2) / 10000.0 AS se2,
+             (q1 - s1 * s1 / n1) / (n1 - 1) / n1 / 10000.0 AS v1,
+             (q2 - s2 * s2 / n2) / (n2 - 1) / n2 / 10000.0 AS v2
+      FROM p)
+SELECT pair, n1, n2,
+       round(mean_diff, 6) AS mean_diff,
+       round(mean_diff / sqrt(se2), 6) AS t_stat,
+       round(se2 * se2 / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)), 6)
+         AS welch_df,
+       abs(mean_diff / sqrt(se2)) > 1.96 AS reject_equal_means_005
+FROM t
+"""
+
+
+@register("agg_welch_ttest", oracle=_WELCH_SQL)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE t-TEST — the two-sample member of the
+    statistical family (ANOVA asks 'any group differ?' across k
+    groups; Welch asks it for exactly two, without assuming equal
+    variances — the default two-sample test). Two comparisons on one
+    fixture so BOTH decision branches are exercised (the KS /
+    Mann-Kendall bar): BUILDING vs MACHINERY order values (same
+    generator → not rejected) and BUILDING vs its own +10%-inflated
+    twin (cents*11 div 10, exact integers → rejected). t =
+    (m1-m2)/sqrt(s1²/n1 + s2²/n2); df via Welch-Satterthwaite.
+
+    Exactness: per-(pair, group) moments n, Σc, Σc² are exact
+    integers (DECIMAL(38,0) sums); every statistic after is a fixed
+    double expression on the 4-row grid, stated identically in both
+    engines; round(6) finish; the decision compares against the
+    two-sided z ≈ t-critical 1.96 (df is ~30k here, where t and z
+    coincide far beyond the output precision).
+
+    Plan/scale: ONE corpus scan — each order row fans into its
+    (pair, group) memberships via a null-filtered array explode
+    (the oracle states the same rows as UNION ALL branches), then one
+    map-side-combined aggregate to 4 rows; everything after is
+    grid-sized. The inflated twin derives from the same scan, not a
+    re-read."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("seg")
+    )
+    base = o.join(cust, "o_custkey").where(
+        F.col("seg").isin("BUILDING", "MACHINERY")
+    )
+    bld = F.col("seg") == "BUILDING"
+    mch = F.col("seg") == "MACHINERY"
+    entry = lambda cond, pair, grp, c: F.when(  # noqa: E731
+        cond,
+        F.struct(
+            F.lit(pair).alias("pair"), F.lit(grp).alias("grp"), c.alias("c")
+        ),
+    )
+    arr = F.array(
+        entry(bld, "building_vs_machinery", "a", F.col("c")),
+        entry(mch, "building_vs_machinery", "b", F.col("c")),
+        entry(bld, "building_vs_inflated_twin", "a", F.col("c")),
+        entry(bld, "building_vs_inflated_twin", "b", F.expr("c * 11 div 10")),
+    )
+    rows = base.select(
+        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("e")
+    ).select("e.pair", "e.grp", "e.c")
+    g = rows.groupBy("pair", "grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("q"),
+    )
+    pick = lambda grp, col: F.max(F.when(F.col("grp") == grp, F.col(col)))  # noqa: E731
+    p = g.groupBy("pair").agg(
+        pick("a", "n").alias("n1"),
+        pick("b", "n").alias("n2"),
+        pick("a", "s").cast("double").alias("s1"),
+        pick("b", "s").cast("double").alias("s2"),
+        pick("a", "q").cast("double").alias("q1"),
+        pick("b", "q").cast("double").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2, q1, q2 = F.col("s1"), F.col("s2"), F.col("q1"), F.col("q2")
+    mean_diff = (s1 / n1 - s2 / n2) / 100.0
+    v1 = (q1 - s1 * s1 / n1) / (n1 - 1) / n1 / 10000.0
+    v2 = (q2 - s2 * s2 / n2) / (n2 - 1) / n2 / 10000.0
+    se2 = (
+        (q1 - s1 * s1 / n1) / (n1 - 1) / n1
+        + (q2 - s2 * s2 / n2) / (n2 - 1) / n2
+    ) / 10000.0
+    t_stat = mean_diff / F.sqrt(se2)
+    welch_df = se2 * se2 / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1))
+    return p.select(
+        "pair",
+        "n1",
+        "n2",
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(welch_df, 6).alias("welch_df"),
+        (F.abs(t_stat) > 1.96).alias("reject_equal_means_005"),
+    )
