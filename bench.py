@@ -163,10 +163,11 @@ HEADLINE = [
     # bounded seeded wedge join over the session-shared edge parquet
     "graph_link_prediction_seeded",
     # wave 2 closers: classical decomposition, U-shaped multi-touch,
-    # the fixed-budget eval carve
+    # the fixed-budget eval carve, the two-sample test
     "timeseries_seasonal_decompose",
     "attribution_position_based",
     "pipeline_reservoir_sample",
+    "agg_welch_ttest",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`
