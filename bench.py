@@ -168,6 +168,7 @@ HEADLINE = [
     "attribution_position_based",
     "pipeline_reservoir_sample",
     "agg_welch_ttest",
+    "text_source_vocab_overlap",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

@@ -1186,3 +1186,22 @@ def test_phash_neardup_finds_injected_duplicates(spark):
     for (a, b), hm in got.items():
         assert 0 <= hm <= 3
         assert a < b
+
+
+def test_source_vocab_overlap_structure(spark):
+    """Exactly C(|sources|,2) pairs, shared counts bounded by k, and
+    the Jaccard closure shared/(2k - shared) re-derived; the fixture
+    sources draw from one generator vocabulary, so overlap must be
+    substantial (a structural read, not a tuned threshold)."""
+    from vector_db_core_spark.operators.llm import VOCAB_OVERLAP_TOP_K
+
+    rows = QUERIES["text_source_vocab_overlap"](spark, SF_ORACLE).collect()
+    srcs = {r.src_a for r in rows} | {r.src_b for r in rows}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.n_shared <= VOCAB_OVERLAP_TOP_K
+        want = r.n_shared / (2 * VOCAB_OVERLAP_TOP_K - r.n_shared)
+        assert abs(r.jaccard - want) < 1e-6
+    assert sum(r.n_shared for r in rows) / len(rows) > 0.3 * VOCAB_OVERLAP_TOP_K

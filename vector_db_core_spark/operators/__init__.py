@@ -57,7 +57,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: pipeline_dedup_token_savings, graph_jaccard_link_prediction,
 #: graph_link_prediction_seeded, multimodal_phash_neardup,
 #: timeseries_seasonal_decompose, attribution_position_based,
-#: pipeline_reservoir_sample, agg_welch_ttest — plus
+#: pipeline_reservoir_sample, agg_welch_ttest,
+#: text_source_vocab_overlap — plus
 #: whatever the r10 driver leaves unsampled; sentinels again by
 #: oldest-last-green family.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything

@@ -4855,3 +4855,87 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
         ).where(F.col("hamming") <= MM_PHASH_MAX_HAMMING)
     )
+
+
+VOCAB_OVERLAP_TOP_K = 100
+
+_VOCAB_OVERLAP_SQL = rf"""
+WITH tok AS (SELECT source,
+                    unnest(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS token
+             FROM documents),
+cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, token),
+top AS (SELECT source, token
+        FROM (SELECT source, token,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n DESC, token) AS rk
+              FROM cnt)
+        WHERE rk <= {VOCAB_OVERLAP_TOP_K}),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM top a JOIN top b ON a.token = b.token
+                                AND a.source < b.source
+          GROUP BY a.source, b.source)
+SELECT src_a, src_b, n_shared,
+       round(CAST(n_shared AS DOUBLE)
+             / ({2 * VOCAB_OVERLAP_TOP_K} - n_shared), 6) AS jaccard
+FROM pairs
+"""
+
+
+@register("text_source_vocab_overlap", oracle=_VOCAB_OVERLAP_SQL)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-LEVEL VOCABULARY OVERLAP MAP: pairwise Jaccard of each
+    source's top-100 token vocabulary — the corpus-curation redundancy
+    read ABOVE the document level (two sources whose working
+    vocabularies coincide are candidates for mixture down-weighting
+    or near-dup investigation BEFORE any pairwise document work; a
+    source overlapping nothing is either a different language or
+    noise — both findings route to different pipeline stages). Top-k
+    by (count DESC, token) is a total order, so each source's
+    vocabulary set is deterministic; Jaccard over two fixed-size-k
+    sets closes to shared/(2k - shared).
+
+    Exactness: counts and set sizes are exact integers; one double
+    division + round(6) per pair row.
+
+    Plan/scale: the (source, token) count is the only data-sized work
+    (one map-side-combined aggregate — the shuffle carries distinct
+    (source, token), not token instances); the per-source top-k is a
+    bounded window over the count table; the pair join runs on
+    |sources|·k rows and emits C(|sources|,2) rows. At 100 TB the
+    vocabulary count is the same aggregate every tf/idf op already
+    pays, and everything above it is constant-sized."""
+    from vector_db_core_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("n").desc(), F.col("token").asc())
+    )
+    top = cnt.select("source", "token", rk.alias("rk")).where(
+        F.col("rk") <= VOCAB_OVERLAP_TOP_K
+    )
+    a = top.select(F.col("source").alias("src_a"), "token")
+    b = top.select(F.col("source").alias("src_b"), "token")
+    pairs = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double")
+            / (2 * VOCAB_OVERLAP_TOP_K - F.col("n_shared")),
+            6,
+        ).alias("jaccard"),
+    )
