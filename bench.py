@@ -169,6 +169,7 @@ HEADLINE = [
     "pipeline_reservoir_sample",
     "agg_welch_ttest",
     "text_source_vocab_overlap",
+    "agg_spearman_rank_corr",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

@@ -1276,3 +1276,46 @@ def test_reservoir_sample_fixed_size_and_stability(spark):
         )
         got1 = next(r for r in rs if r.rank == 1)
         assert (got1.tag, got1.doc_id) == want, src
+
+
+def test_spearman_matches_numpy_midranks(spark):
+    """Re-derive rho with numpy midranks (independent of the
+    histogram/two-phase path) and pin the fixture reading: an order's
+    item count and its revenue are strongly positively
+    rank-correlated (~0.86)."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("xv"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("yv"),
+        )
+        .collect()
+    )
+    xv = np.array([r.xv for r in rows], dtype=float)
+    yv = np.array([r.yv for r in rows], dtype=float)
+
+    def midrank(a):
+        order = np.argsort(a, kind="stable")
+        ranks = np.empty(len(a))
+        sa = a[order]
+        i = 0
+        while i < len(a):
+            j = i
+            while j < len(a) and sa[j] == sa[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based midrank
+            i = j
+        return ranks
+
+    rx, ry = midrank(xv), midrank(yv)
+    want = float(np.corrcoef(rx, ry)[0, 1])
+    got = QUERIES["agg_spearman_rank_corr"](spark, SF_ORACLE).collect()[0]
+    assert got.n == len(rows)
+    assert abs(got.spearman_rho - want) < 1e-6, (got.spearman_rho, want)
+    assert got.spearman_rho > 0.5  # the monotone-link fixture reading
+    spark.catalog.clearCache()

@@ -58,7 +58,7 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: graph_link_prediction_seeded, multimodal_phash_neardup,
 #: timeseries_seasonal_decompose, attribution_position_based,
 #: pipeline_reservoir_sample, agg_welch_ttest,
-#: text_source_vocab_overlap — plus
+#: text_source_vocab_overlap, agg_spearman_rank_corr — plus
 #: whatever the r10 driver leaves unsampled; sentinels again by
 #: oldest-last-green family.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything

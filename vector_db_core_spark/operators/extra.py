@@ -4685,3 +4685,150 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(welch_df, 6).alias("welch_df"),
         (F.abs(t_stat) > 1.96).alias("reject_equal_means_005"),
     )
+
+
+_SPEARMAN_SQL = """
+WITH x AS (SELECT CAST(COUNT(*) AS BIGINT) AS xv,
+                  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS yv
+           FROM lineitem GROUP BY l_orderkey),
+hx AS (SELECT xv, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY xv),
+cx AS (SELECT xv,
+              2 * (COALESCE(SUM(c) OVER (ORDER BY xv
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)) + c + 1 AS rx2
+       FROM hx),
+hy AS (SELECT yv, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY yv),
+cy AS (SELECT yv,
+              2 * (COALESCE(SUM(c) OVER (ORDER BY yv
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)) + c + 1 AS ry2
+       FROM hy),
+r AS (SELECT CAST(cx.rx2 AS DECIMAL(38,0)) AS rx,
+             CAST(cy.ry2 AS DECIMAL(38,0)) AS ry
+      FROM x JOIN cx ON x.xv = cx.xv JOIN cy ON x.yv = cy.yv),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * ry) AS sxy,
+             SUM(rx * rx) AS sxx,
+             SUM(ry * ry) AS syy
+      FROM r)
+SELECT n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS spearman_rho
+FROM s
+"""
+
+
+@register("agg_spearman_rank_corr", oracle=_SPEARMAN_SQL)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between an order's ITEM COUNT and
+    its REVENUE — the robust/monotone companion of the Pearson pair
+    (``agg_corr_covar_lineitem``): Pearson reads LINEAR association
+    and is outlier-sensitive; Spearman is Pearson ON THE RANKS,
+    invariant to any monotone transform (heavy-tailed revenue columns
+    are exactly where analysts reach for it). The fixture's honest
+    answer is strongly positive (~0.86 — more items, more revenue;
+    the raw quantity/price columns draw independently and were
+    rejected as the demo pair for reading ~0).
+
+    The load-bearing rewrite: textbook Spearman globally sort-ranks
+    every ROW through one task. Tied ranks split the problem by
+    cardinality instead. QUANTITY has 50 distinct values, so its
+    MIDRANK is a function of the value histogram alone — midrank(v) =
+    (rows below v) + (count(v)+1)/2, a cumulative window over a
+    50-row grid. PRICE is data-sized-distinct, so its histogram
+    cumsum would itself be a single-task window (measured 181 s at
+    ~sf10 before this rewrite); instead the HISTOGRAM gets the
+    store's two-phase protocol generalized to weighted prefix sums:
+    range-partition + sort the (value, count) rows — range bounds are
+    key-based, so a value never splits across partitions — cumsum
+    LOCALLY per partition (window keyed on spark_partition_id, fully
+    parallel), collect the K per-partition count totals, prefix-sum
+    them on the driver, and broadcast the offsets back
+    (``_dense_rowid_frame``'s shape with counts in place of rows;
+    below(v) is partition-boundary-invariant, and the sorted
+    histogram is persisted so the collected offsets stay aligned with
+    the frame they came from — the ``_ranked_customer_spend``
+    contract). DOUBLED midranks (always integers) keep every moment
+    in exact DECIMAL(38,0) arithmetic — the doubling cancels in rho
+    (rank affine invariance); one double finish + round(6).
+
+    Plan/scale: the corpus reduces FIRST (one map-side-combined
+    per-order aggregate); ranks are computed on the reduction. No
+    single-partition stage anywhere — the only single-point work is
+    the driver's K-row partition prefix sum; the item-count join
+    broadcasts a grid-sized map; the revenue midranks join back on
+    the revenue key; the 6-moment reduction is one map-side-combined
+    aggregate to a single row."""
+    from pyspark import StorageLevel
+
+    x = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("xv"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).cast("bigint").alias("yv"),
+        )
+        .select("xv", "yv")
+    )
+    # item-count side: grid-sized histogram (basket sizes)
+    hx = x.groupBy("xv").agg(F.count("*").alias("c"))
+    wcum = W.orderBy("xv").rowsBetween(W.unboundedPreceding, -1)
+    below = F.coalesce(F.sum("c").over(wcum), F.lit(0))
+    cx = hx.select("xv", (2 * below + F.col("c") + 1).alias("rx2"))
+    # price side: weighted two-phase cumsum over the value histogram
+    hy = x.groupBy("yv").agg(F.count("*").alias("c"))
+    srt = (
+        hy.repartitionByRange("yv")
+        .sortWithinPartitions("yv")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = srt.groupBy("_pid").agg(F.sum("c").alias("t")).collect()
+    offs, acc = [], 0
+    for row in sorted(totals, key=lambda r: r._pid):
+        offs.append((row._pid, acc))
+        acc += row.t
+    off = spark.createDataFrame(offs, "_pid int, _off bigint")
+    wloc = (
+        W.partitionBy("_pid")
+        .orderBy("yv")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    below_y = F.col("_off") + F.coalesce(F.sum("c").over(wloc), F.lit(0))
+    cy = srt.join(F.broadcast(off), "_pid").select(
+        "yv", (2 * below_y + F.col("c") + 1).alias("ry2")
+    )
+    r = (
+        x.join(F.broadcast(cx), "xv")
+        .join(cy, "yv")
+        .select(
+            F.col("rx2").cast("decimal(38,0)").alias("rx"),
+            F.col("ry2").cast("decimal(38,0)").alias("ry"),
+        )
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * sx)
+        * (n * F.col("syy").cast("double") - sy * sy)
+    )
+    return s.select("n", F.round(num / den, 6).alias("spearman_rho"))
