@@ -1046,7 +1046,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_zscore_outliers",
     oracle="""
     WITH x AS (
-      SELECT l_suppkey, CAST(l_extendedprice * 100 AS BIGINT) AS c
+      SELECT l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
       FROM lineitem),
     w AS (
       SELECT l_suppkey, c,
@@ -1076,7 +1076,16 @@ def window_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window + re-aggregate share it); moments are map-side
     combinable."""
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_suppkey", (F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+        # round-then-cast: Spark's bare double->long cast TRUNCATES
+        # while DuckDB's CAST rounds — 33k rows differ at sf0.1, and
+        # the old bare casts only stayed green because a 1-cent
+        # per-engine skew never flipped the 2-sigma predicate (the
+        # session_window advice class: latent, fixture-dependent).
+        # round() agrees in both engines for positive values, making
+        # the per-row cents identical rather than coincidentally
+        # compatible.
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
     )
     w = W.partitionBy("l_suppkey")
     d = (
