@@ -80,13 +80,13 @@ def test_results_partition_independent(name, spark):
 
 def test_driver_window_is_first_50_all_new_and_oracled():
     """The driver hash-checks the first 50 registry entries; pin the
-    round-10 rotation invariants: the curated window IS the
+    round-11 rotation invariants: the curated window IS the
     iteration-order prefix, every slot is oracled (no rows-only entry
     burning a hash-check slot — the round-3 sim_ann_lsh_topk lesson),
     and the window = the full never-driver-checked backlog FIRST
     followed by drift-sentinel REPEATS (each green in some prior
-    round, re-checked on purpose). Basis: CORRECTNESS_r0{1..9} (231
-    distinct hash-green); backlog = the 11 round-9 additions."""
+    round, re-checked on purpose). Basis: CORRECTNESS_r{01..10} (242
+    distinct hash-green); backlog = the 24 round-10 additions."""
     import glob
     import json
     import os
@@ -101,13 +101,13 @@ def test_driver_window_is_first_50_all_new_and_oracled():
     assert all(n in ORACLE for n in DRIVER_WINDOW)
     repo = os.path.join(os.path.dirname(__file__), "..")
     already_green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json"))):
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r[0-9][0-9].json"))):
         with open(path) as fh:
             already_green |= {k for k, v in json.load(fh).items() if v.get("hash_match")}
     assert already_green, "correctness reports missing — rotation basis gone"
     flags = [n in already_green for n in DRIVER_WINDOW]
     backlog = [n for n, green in zip(DRIVER_WINDOW, flags) if not green]
-    assert len(backlog) == 11, backlog
+    assert len(backlog) == 24, backlog
     # backlog first, sentinels after — no interleaving
     assert flags == sorted(flags), "backlog entries must precede sentinels"
     # the window's backlog must BE the whole oracled backlog that

@@ -24,101 +24,86 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
 #: The 50 queries surfaced to the driver's correctness window.
 #:
-#: Round-10 rotation (mechanical, same recompute as r6..r9). Basis:
-#:   covered = union of hash_match rows across CORRECTNESS_r0{1..9}.json
-#:           == 231 distinct queries (r9 closed the whole 22-query
-#:              round-8 backlog)
-#:   backlog = [n for n in ORACLE if n not in covered]   # == 11
-#: The 11 backlog entries are exactly the round-9 oracled additions
-#: (registered after the r9 window rotated; the r9 judge hash-verified
-#: all 11 at sf0.01 AND sf0.1). They go FIRST; a green run makes
-#: distinct ever-driver-green == 242/242 for the round-9 registry.
-#: The remaining 39 slots are drift sentinels, same rule as before:
-#: group the 231 covered queries into operator families (name prefix,
+#: Round-11 rotation (mechanical, same recompute as r6..r10). Basis:
+#:   covered = union of hash_match rows across CORRECTNESS_r{01..10}.json
+#:           == 242 distinct queries (r10 closed the whole 11-query
+#:              round-9 backlog)
+#:   backlog = [n for n in ORACLE if n not in covered]   # == 24
+#: The 24 backlog entries are exactly the round-10 oracled additions
+#: (registered after the r10 window rotated; the r10 judge
+#: hash-verified all 24 at sf0.01 AND sf0.1). They go FIRST, in the
+#: order pre-enumerated by the r10 rotation note; a green run makes
+#: distinct ever-driver-green == 266/266 for the round-10 registry.
+#: The remaining 26 slots are drift sentinels, same rule as before:
+#: group the 242 covered queries into operator families (name prefix,
 #: TPC-H collapsed to one family; 38 families), take each family's
 #: member whose LAST green row is oldest (min over members of
 #: max(round) per name, tie alphabetical), rank families by that round
-#: ascending (tie alphabetical), keep 39.  38 families < 39 slots, so
-#: EVERY family gets a sentinel; the one spare slot goes to the
-#: second-oldest member of the single oldest family bucket (dedup,
-#: last green r3), tie-broken (round, name): dedup_canonical_documents
-#: (r4).
-#: Queries oracled AFTER this rotation (round-10 additions) go first
-#: in the ROUND-11 window by the same recompute. As of end-of-round-10
-#: the expected round-11 backlog is the round-10 oracled additions
-#: (recompute against the registry at rotation time — the list below
-#: is a snapshot, kept in sync as ops land):
-#: agg_ks_binned, agg_chi2_independence, agg_mutual_information,
-#: timeseries_mann_kendall, rfm_customer_segments,
-#: pipeline_sequence_packing, graph_kcore_peeling,
-#: cohort_kaplan_meier, profile_functional_dependencies,
-#: multimodal_byte_packing, timeseries_cumulative_reach,
-#: text_flesch_readability, agg_anova_oneway, agg_hhi_concentration,
-#: pipeline_dedup_token_savings, graph_jaccard_link_prediction,
-#: graph_link_prediction_seeded, multimodal_phash_neardup,
-#: timeseries_seasonal_decompose, attribution_position_based,
-#: pipeline_reservoir_sample, agg_welch_ttest,
-#: text_source_vocab_overlap, agg_spearman_rank_corr — plus
-#: whatever the r10 driver leaves unsampled; sentinels again by
-#: oldest-last-green family.
+#: ascending (tie alphabetical), keep 26 (the r10-tie tail is
+#: alphabetical: cohort_daily_retention is the 26th; cube/distinct/
+#: grouping/json/... wait for round 12).
+#: Queries oracled AFTER this rotation (round-11 additions) go first
+#: in the ROUND-12 window by the same recompute, then sentinels again
+#: by oldest-last-green family.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
 #: (tests/test_oracle.py).
 DRIVER_WINDOW = (
-    # --- 11-query backlog: the round-9 additions, never driver-checked ---
-    "text_gopher_line_rules",
-    "dedup_threshold_operating_curve",
-    "sim_embedding_drift_halves",
-    "agg_gini_customer_spend",
-    "timeseries_theil_sen_trend",
-    "agg_benford_first_digit",
-    "timeseries_ols_trend",
-    "agg_lorenz_deciles",
-    "agg_ks_two_sample",
-    "graph_triangle_estimate",
-    "graph_degree_distribution",
-    # --- 39 drift sentinels: per family the member whose LAST green
-    # --- row is oldest; families ranked by that round ascending.
-    # --- All 38 families fit; spare slot = 2nd pick of oldest family.
-    "dedup_minhash_lsh_pairs",          # last green r3
-    "join_cross_dense_spine",           # last green r3
-    "pipeline_train_val_test_split",    # last green r3
-    "ref_out_of_bounds",                # last green r3
-    "text_stats_documents",             # last green r3
-    "dedup_canonical_documents",        # last green r4 (spare slot)
-    "agg_argminmax_orders",             # last green r4
-    "scalar_array_functions",           # last green r4
-    "set_intersect_custkeys",           # last green r4
-    "sim_embedding_near_pairs",         # last green r4
-    "streaming_dedup_watermark_replay", # last green r4
-    "timeseries_locf_daily_value",      # last green r4
-    "q6_forecast_revenue",              # last green r4 (TPC-H family)
-    "window_lag_lead_delta",            # last green r4
-    "multimodal_binary_metadata",       # last green r7
-    "funnel_view_click_purchase",       # last green r8
-    "graph_pagerank_exact",             # last green r8
-    "grouping_sets_status_priority",    # last green r8
-    "merge_upsert_orders",              # last green r8
-    "profile_orders_columns",           # last green r8
-    "quality_expectations_orders",      # last green r8
-    "scd2_user_event_intervals",        # last green r8
-    "sketch_bloom_md5_nonmembers",      # last green r8
-    "sql_api_nation_revenue",           # last green r8
-    "subquery_exists_priority_counts",  # last green r8
-    "unpivot_nation_measures",          # last green r8
-    "assoc_part_pairs_in_orders",       # last green r9
-    "attribution_last_touch",           # last green r9
-    "case_bucketize_orders",            # last green r9
-    "checksum_orders_table",            # last green r9
-    "cohort_daily_retention",           # last green r9
-    "cube_status_priority",             # last green r9
-    "distinct_market_segments",         # last green r9
-    "group_topk_orders_per_customer",   # last green r9
-    "json_extract_props",               # last green r9
-    "pattern_session_sequences",        # last green r9
-    "pivot_status_by_priority",         # last green r9
-    "rollup_returnflag_status",         # last green r9
-    "topk_orders_by_price",             # last green r9
+    # --- 24-query backlog: the round-10 additions, never driver-checked ---
+    "agg_ks_binned",
+    "agg_chi2_independence",
+    "agg_mutual_information",
+    "timeseries_mann_kendall",
+    "rfm_customer_segments",
+    "pipeline_sequence_packing",
+    "graph_kcore_peeling",
+    "cohort_kaplan_meier",
+    "profile_functional_dependencies",
+    "multimodal_byte_packing",
+    "timeseries_cumulative_reach",
+    "text_flesch_readability",
+    "agg_anova_oneway",
+    "agg_hhi_concentration",
+    "pipeline_dedup_token_savings",
+    "graph_jaccard_link_prediction",
+    "graph_link_prediction_seeded",
+    "multimodal_phash_neardup",
+    "timeseries_seasonal_decompose",
+    "attribution_position_based",
+    "pipeline_reservoir_sample",
+    "agg_welch_ttest",
+    "text_source_vocab_overlap",
+    "agg_spearman_rank_corr",
+    # --- 26 drift sentinels: per family the member whose LAST green
+    # --- row is oldest; families ranked by that round ascending,
+    # --- ties alphabetical. 38 families > 26 slots; cut after the
+    # --- 5th of the 17-way r10 tie (cohort_daily_retention).
+    "join_fuzzy_part_names",            # join, last green r3
+    "ref_pull_point",                   # ref, last green r3
+    "text_tfidf_top_terms",             # text, last green r3
+    "agg_corr_covar_lineitem",          # agg, last green r4
+    "dedup_incremental_minhash",        # dedup, last green r4
+    "pipeline_corpus_curation",         # pipeline, last green r4
+    "scalar_bitwise_functions",         # scalar, last green r4
+    "sim_quantize_embeddings",          # sim, last green r4
+    "streaming_session_counts_replay",  # streaming, last green r4
+    "window_sliding_event_counts",      # window, last green r4
+    "timeseries_active_users",          # timeseries, last green r5
+    "q10_returned_item_customers",      # tpch, last green r5
+    "multimodal_frame_sample",          # multimodal, last green r7
+    "set_union_active_custkeys",        # set, last green r8
+    "sketch_count_min_md5_topk",        # sketch, last green r8
+    "funnel_bounce_rate_daily",         # funnel, last green r9
+    "graph_triangle_clustering",        # graph, last green r9
+    "group_topn_with_ties",             # group, last green r9
+    "profile_embedding_dims",           # profile, last green r9
+    "sql_api_tpch_q4",                  # sql, last green r9
+    "subquery_scalar_above_avg_parts",  # subquery, last green r9
+    "assoc_part_pairs_in_orders",       # assoc, last green r10
+    "attribution_last_touch",           # attribution, last green r10
+    "case_bucketize_orders",            # case, last green r10
+    "checksum_orders_table",            # checksum, last green r10
+    "cohort_daily_retention",           # cohort, last green r10
 )
 
 
