@@ -469,6 +469,27 @@ def main() -> None:
             errors["graph_edge_build"] = _short_err(exc)
             log(f"bench: graph_edge_build FAILED: {exc}")
 
+        # Shared MinHash-estimator scratch (r11, r10 verdict task 3):
+        # the estimator row and the threshold operating curve read one
+        # candidate-pair scratch parquet per session. Reset + time the
+        # TRUE signature build here so both downstream rows time a
+        # scan + reduction, never a hidden rebuild.
+        try:
+            from vector_db_core_spark.operators.llm import (
+                _minhash_est_reset,
+                _minhash_est_table,
+            )
+
+            _minhash_est_reset()
+            t0 = time.perf_counter()
+            _minhash_est_table(spark, SF_DIR)
+            secs = time.perf_counter() - t0
+            iterative_times["minhash_est_build"] = round(secs, 3)
+            log(f"bench: minhash_est_build {secs:.3f}s (one per session)")
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            errors["minhash_est_build"] = _short_err(exc)
+            log(f"bench: minhash_est_build FAILED: {exc}")
+
         for name in HEADLINE:
             if name not in queries:
                 errors[name] = "unknown query"

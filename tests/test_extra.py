@@ -534,18 +534,19 @@ def test_graph_family_builds_edges_once_per_session(spark):
     distribution, DOULION estimate, exact PageRank) must read the
     materialized parquet, never rebuild. Post-build plans scan the
     scratch path directly."""
+    from vector_db_core_spark import scratch
     from vector_db_core_spark.operators import analytics as A
 
     A._co_purchase_edges_reset()
-    before = A._CO_EDGE_BUILD_COUNT
+    before = A._co_edge_build_count()
     QUERIES["graph_degree_distribution"](spark, SF_ORACLE).collect()
-    assert A._CO_EDGE_BUILD_COUNT == before + 1
+    assert A._co_edge_build_count() == before + 1
     QUERIES["graph_triangle_estimate"](spark, SF_ORACLE).collect()
     QUERIES["graph_pagerank_exact"](spark, SF_ORACLE).collect()
-    assert A._CO_EDGE_BUILD_COUNT == before + 1  # no further builds
+    assert A._co_edge_build_count() == before + 1  # no further builds
     df = QUERIES["graph_degree_distribution"](spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert A._CO_EDGE_PATHS[SF_ORACLE] in plan
+    assert scratch.path_for(A._CO_EDGE_SCRATCH_KEY, SF_ORACLE) in plan
     spark.catalog.clearCache()
 
 
@@ -900,6 +901,27 @@ def test_theil_sen_matches_numpy_rederivation(spark):
         n_pairs, slope = got[et]
         assert n_pairs == len(slopes)
         assert abs(slope - float(np.median(slopes))) < 1e-5, et
+
+
+def test_minhash_estimator_builds_once_per_session(spark):
+    """The estimator pair shares ONE signature build per (process,
+    sf_dir) — the scratch contract applied to the MinHash candidates
+    (r10 verdict task 3): after a reset, the first consumer pays the
+    16-seed signature + banding pipeline; the curve must then plan as
+    a scan of the scratch parquet, never a second build."""
+    from vector_db_core_spark import scratch
+    from vector_db_core_spark.operators import llm as L
+
+    L._minhash_est_reset()
+    before = scratch.build_count(L._MINHASH_EST_SCRATCH_KEY)
+    QUERIES["dedup_minhash_md5_estimate"](spark, SF_ORACLE).collect()
+    assert scratch.build_count(L._MINHASH_EST_SCRATCH_KEY) == before + 1
+    df = QUERIES["dedup_threshold_operating_curve"](spark, SF_ORACLE)
+    df.collect()
+    assert scratch.build_count(L._MINHASH_EST_SCRATCH_KEY) == before + 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert scratch.path_for(L._MINHASH_EST_SCRATCH_KEY, SF_ORACLE) in plan
+    assert "Generate" not in plan  # no re-explode of shingles
 
 
 def test_dedup_curve_monotone_and_consistent(spark):

@@ -308,19 +308,20 @@ def test_nb_trio_fits_once_per_session(spark):
     and the other two read the materialized scored frame (round-8
     verdict task 5). The post-fit queries must plan as parquet scans
     of the scratch — no re-explode of the corpus."""
+    from vector_db_core_spark import scratch
     from vector_db_core_spark.operators import pipeline as P
 
     P._nb_scored_reset()
-    before = P._NB_FIT_COUNT
+    before = P._nb_fit_count()
     QUERIES["pipeline_quality_calibration"](spark, SF_ORACLE).collect()
-    assert P._NB_FIT_COUNT == before + 1
+    assert P._nb_fit_count() == before + 1
     QUERIES["pipeline_lang_confusion"](spark, SF_ORACLE).collect()
     df = QUERIES["pipeline_nb_language_filter"](spark, SF_ORACLE)
     df.collect()
-    assert P._NB_FIT_COUNT == before + 1  # no further fits
+    assert P._nb_fit_count() == before + 1  # no further fits
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan  # no explode: reading the scratch
-    assert P._NB_SCORED_PATHS[SF_ORACLE] in plan
+    assert scratch.path_for(P._NB_SCRATCH_KEY, SF_ORACLE) in plan
 
 
 def test_tokenizer_fertility_bounds(spark):

@@ -986,8 +986,11 @@ def test_kmeans_exact_broadcast_centroids_no_corpus_window(spark):
 
 def test_minhash_md5_estimate_no_all_pairs(spark):
     """The gated estimator must stay banded: no cartesian, no
-    nested-loop over documents."""
-    plan = _plan(QUERIES["dedup_minhash_md5_estimate"](spark, SF_ORACLE))
+    nested-loop over documents. Pin the BUILD plan (what the scratch
+    materializes) — the registered query itself is a scratch scan."""
+    from vector_db_core_spark.operators import llm as L
+
+    plan = _plan(L._minhash_est_build(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

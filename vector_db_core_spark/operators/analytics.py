@@ -17,7 +17,6 @@ DuckDB oracle bit-for-bit at any parallelism.
 
 from __future__ import annotations
 
-import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -1761,9 +1760,7 @@ def sketch_bloom_md5_nonmembers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CO_EDGE_PATHS: dict[str, str] = {}
-_CO_EDGE_BUILD_COUNT = 0  # pytest pin: exactly one build per (process, sf_dir)
-_CO_EDGE_LOCK = threading.Lock()
+_CO_EDGE_SCRATCH_KEY = "co_edges"
 
 
 def _co_purchase_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1798,47 +1795,35 @@ def _co_purchase_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _co_purchase_edges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted (u, v, w) edge table, built at most once per
-    (process, sf_dir) and served from a pid-keyed scratch parquet —
-    the ``_nb_scored`` pattern (r9 verdict task 2): FIVE graph ops
-    (both PageRanks, both triangle ops, degree distribution) paid the
-    identical 12M/120M-edge distinct self-join per call; now each op
-    pays a columnar parquet scan instead. The check-then-build is
-    guarded by a threading.Lock (pid keying only isolates PROCESSES —
-    two threads in one process would otherwise both build and race
-    the overwrite). Freeze-at-first-call semantics: the table is a
-    snapshot of the fixture at the first consumer's call; a rewritten
-    fixture within one process needs ``_co_purchase_edges_reset``
-    (the bench hook) to be observed."""
-    import hashlib
-    import os
-    import tempfile
+    (process, sf_dir) via the shared ``scratch.cached_table``
+    contract (r9 verdict task 2 introduced the scratch: FIVE graph
+    ops — both PageRanks, both triangle ops, degree distribution —
+    paid the identical 12M/120M-edge distinct self-join per call; now
+    each pays a columnar parquet scan instead; r10 task 8 promoted
+    the path/lock/reset/count mechanics into scratch.py)."""
+    from vector_db_core_spark import scratch
 
-    from vector_db_core_spark.scratch import reap_at_exit
+    return scratch.cached_table(
+        spark,
+        _CO_EDGE_SCRATCH_KEY,
+        sf_dir,
+        lambda: _co_purchase_edges_build(spark, sf_dir),
+    )
 
-    global _CO_EDGE_BUILD_COUNT
-    with _CO_EDGE_LOCK:
-        path = _CO_EDGE_PATHS.get(sf_dir)
-        if path is None:
-            path = reap_at_exit(
-                os.path.join(
-                    tempfile.gettempdir(),
-                    f"vdbc_co_edges_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-                    f"_{os.getpid()}",
-                )
-            )
-            _co_purchase_edges_build(spark, sf_dir).write.mode(
-                "overwrite"
-            ).parquet(path)
-            _CO_EDGE_BUILD_COUNT += 1
-            _CO_EDGE_PATHS[sf_dir] = path
-    return spark.read.parquet(path)
+
+def _co_edge_build_count() -> int:
+    """Pytest pin: builds per process (delegates to the shared store)."""
+    from vector_db_core_spark import scratch
+
+    return scratch.build_count(_CO_EDGE_SCRATCH_KEY)
 
 
 def _co_purchase_edges_reset() -> None:
     """Drop the scratch bookkeeping so the next consumer rebuilds
     (bench hook: lets a timed sample pay the real build cost)."""
-    with _CO_EDGE_LOCK:
-        _CO_EDGE_PATHS.clear()
+    from vector_db_core_spark import scratch
+
+    scratch.reset(_CO_EDGE_SCRATCH_KEY)
 
 
 def _co_purchase_edges(spark: SparkSession, sf_dir: str):

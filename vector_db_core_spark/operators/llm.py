@@ -4020,6 +4020,36 @@ FROM agree
 """
 
 
+#: Session-shared MinHash estimator scratch (r10 verdict task 3): the
+#: estimator's candidate-pair table is consumed by BOTH the registered
+#: estimator row and the threshold operating curve (and is the natural
+#: feed for any future dedup-knob query); before the scratch, the
+#: curve lazily re-ran the whole 16-seed signature+banding pipeline
+#: per call (5.5 s of the sf0.1 headline). Same contract as the NB
+#: scored frame and the co-purchase edges (scratch.cached_table).
+_MINHASH_EST_SCRATCH_KEY = "minhash_est"
+
+
+def _minhash_est_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_agree, est_jaccard) candidate-pair table,
+    built at most once per (process, sf_dir)."""
+    from vector_db_core_spark import scratch
+
+    return scratch.cached_table(
+        spark,
+        _MINHASH_EST_SCRATCH_KEY,
+        sf_dir,
+        lambda: _minhash_est_build(spark, sf_dir),
+    )
+
+
+def _minhash_est_reset() -> None:
+    """Bench hook: next consumer pays the real signature build."""
+    from vector_db_core_spark import scratch
+
+    scratch.reset(_MINHASH_EST_SCRATCH_KEY)
+
+
 @register("dedup_minhash_md5_estimate", oracle=_MINHASH_MD5_SQL)
 def dedup_minhash_md5_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash ESTIMATION itself under the full hash gate: a 16-seed
@@ -4041,7 +4071,19 @@ def dedup_minhash_md5_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     key) (candidates only, never all pairs); agreement re-joins the
     16-row signatures for candidate pairs only. The 48-bit hash
     (first 12 md5 hex digits) keeps min-collisions ~2^-48 while
-    staying inside BIGINT on both engines."""
+    staying inside BIGINT on both engines.
+
+    Served from the session-shared scratch (``_minhash_est_table``):
+    the registered row and the operating curve read one
+    materialization per (process, sf_dir); parquet round-trips the
+    long/long/long/double schema bit-exactly, so the hash gate is
+    unaffected."""
+    return _minhash_est_table(spark, sf_dir)
+
+
+def _minhash_est_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure estimator plan (see ``dedup_minhash_md5_estimate`` for
+    semantics; this is the DataFrame the scratch materializes)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
     sh = (
@@ -4426,9 +4468,11 @@ def dedup_threshold_operating_curve(spark: SparkSession, sf_dir: str) -> DataFra
     curation run reads to PICK its near-dup threshold (how much corpus
     do I lose at 0.5 vs 0.75?), the same evaluate-the-knob discipline
     NB_KEEP_CUT applies to the language filter. Composes the
-    registered ``dedup_minhash_md5_estimate`` (same DataFrame, same
-    oracle text as a CTE), so the whole curve inherits the estimator's
-    cross-engine bit-identical sketch algebra.
+    registered ``dedup_minhash_md5_estimate`` (same oracle text as a
+    CTE; same session-shared scratch table, so the curve pays a
+    candidate-pair scan, never a second signature build — r10 verdict
+    task 3), so the whole curve inherits the estimator's cross-engine
+    bit-identical sketch algebra.
 
     Plan/scale: the candidate pairs come from LSH banding (never
     all-pairs); the curve adds one 4-way threshold explode over the

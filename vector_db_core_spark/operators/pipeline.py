@@ -18,7 +18,6 @@ the standard guard against train/test leakage through near-dups).
 
 from __future__ import annotations
 
-import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1610,16 +1609,11 @@ _NB_LANG_SQL = rf"""
 #: it, and every later consumer reads the materialization — the
 #: ``_doc_avg_logprob`` shared-tf replan, lifted across queries
 #: (round-8 verdict task 5: calibration and confusion each re-ran the
-#: full fit+score, ~6 s each at ~sf1 vs the filter's ~5 s). A scratch
-#: FILE rather than persist() because the registry's clearCache-per-
-#: query contract (registry.py) would evict a cached frame between
-#: queries; parquet round-trips doubles/longs/booleans bit-exactly,
-#: so the hash gate is unaffected. pid-keyed like the replay roots
-#: (process isolation) + ``_NB_LOCK`` around check-then-fit (thread
-#: isolation), so concurrent consumers never race.
-_NB_SCORED_PATHS: dict[str, str] = {}
-_NB_FIT_COUNT = 0  # pytest pin: exactly one fit per (process, sf_dir)
-_NB_LOCK = threading.Lock()
+#: full fit+score, ~6 s each at ~sf1 vs the filter's ~5 s). The
+#: path/lock/reset/count mechanics live in ``scratch.cached_table``
+#: (r10 verdict task 8 — one contract for NB, co-purchase edges, and
+#: the MinHash candidates); this module keeps only the key.
+_NB_SCRATCH_KEY = "nb_scored"
 
 
 def _nb_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1675,41 +1669,30 @@ def _nb_fit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scored corpus, fit at most once per (process, sf_dir). The
-    check-then-fit is guarded by ``_NB_LOCK`` — pid keying only
-    isolates PROCESSES; without the lock, two threads in one process
-    could both fit and race the scratch overwrite (r9 advice).
-    Freeze-at-first-call semantics: the scores are a snapshot of the
-    fixture at the first consumer's call; a rewritten fixture within
-    one process needs ``_nb_scored_reset`` to be observed."""
-    import hashlib
-    import os
-    import tempfile
+    """Scored corpus, fit at most once per (process, sf_dir) via the
+    shared ``scratch.cached_table`` contract (thread-safe
+    check-then-fit, pid-keyed path, freeze-at-first-call; see
+    scratch.py for the full semantics)."""
+    from vector_db_core_spark import scratch
 
-    from vector_db_core_spark.scratch import reap_at_exit
+    return scratch.cached_table(
+        spark, _NB_SCRATCH_KEY, sf_dir, lambda: _nb_fit_score(spark, sf_dir)
+    )
 
-    global _NB_FIT_COUNT
-    with _NB_LOCK:
-        path = _NB_SCORED_PATHS.get(sf_dir)
-        if path is None:
-            path = reap_at_exit(
-                os.path.join(
-                    tempfile.gettempdir(),
-                    f"vdbc_nb_scored_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
-                    f"_{os.getpid()}",
-                )
-            )
-            _nb_fit_score(spark, sf_dir).write.mode("overwrite").parquet(path)
-            _NB_FIT_COUNT += 1
-            _NB_SCORED_PATHS[sf_dir] = path
-    return spark.read.parquet(path)
+
+def _nb_fit_count() -> int:
+    """Pytest pin: fits per process (delegates to the shared store)."""
+    from vector_db_core_spark import scratch
+
+    return scratch.build_count(_NB_SCRATCH_KEY)
 
 
 def _nb_scored_reset() -> None:
     """Drop the scratch bookkeeping so the next consumer re-fits
     (bench hook: lets a timed sample pay the real fit cost)."""
-    with _NB_LOCK:
-        _NB_SCORED_PATHS.clear()
+    from vector_db_core_spark import scratch
+
+    scratch.reset(_NB_SCRATCH_KEY)
 
 
 @register("pipeline_nb_language_filter", oracle=_NB_LANG_SQL)
