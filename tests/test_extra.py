@@ -903,6 +903,37 @@ def test_theil_sen_matches_numpy_rederivation(spark):
         assert abs(slope - float(np.median(slopes))) < 1e-5, et
 
 
+def test_kcore_initial_degree_aggregate_folded(spark, monkeypatch):
+    """The initial degree aggregate feeds BOTH the k quantile and
+    round 1's peel (r10 verdict nit: they were computed twice over
+    the identical edge set). Pin by counting _degrees invocations:
+    exactly one per LIVE round — the quantile's deg0 IS round 1's."""
+    from vector_db_core_spark.operators import analytics as A
+
+    calls = {"n": 0}
+    real = A._degrees
+
+    def counting(edges):
+        calls["n"] += 1
+        return real(edges)
+
+    monkeypatch.setattr(A, "_degrees", counting)
+    rows = sorted(
+        QUERIES["graph_kcore_peeling"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.round,
+    )
+    live, seen = 0, []
+    for r in rows:
+        if seen and seen[-1][0] == 0:
+            pass  # replayed: empty core
+        elif len(seen) >= 2 and seen[-1] == seen[-2]:
+            pass  # replayed: observed fixpoint
+        else:
+            live += 1
+        seen.append((r.n_nodes, r.n_edges))
+    assert calls["n"] == live, (calls["n"], live)
+
+
 def test_minhash_estimator_builds_once_per_session(spark):
     """The estimator pair shares ONE signature build per (process,
     sf_dir) — the scratch contract applied to the MinHash candidates

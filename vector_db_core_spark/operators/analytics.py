@@ -2348,8 +2348,11 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.
 
     Plan/scale: reuses the session-shared edge scratch
-    (``_co_purchase_edges``); each round is one map-side-combined
-    degree aggregate + two LEFT SEMI equi-joins keyed on node id —
+    (``_co_purchase_edges``); the initial degree aggregate is computed
+    ONCE and feeds both the k quantile and round 1's peel (persisted
+    across the scalar collect, released after round 1); each later
+    round is one map-side-combined degree aggregate + two LEFT SEMI
+    equi-joins keyed on node id —
     the PageRank loop shape, persist+count per round with the
     superseded round unpersisted (shallow lineage). The Spark loop
     EARLY-STOPS at the fixpoint and replays the converged counts for
@@ -2360,7 +2363,12 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate run; a full decomposition iterates to the max core
     number with the same per-round plan."""
     edges0 = _co_purchase_edges(spark, sf_dir)
-    deg0 = _degrees(edges0)
+    # ONE initial degree aggregate feeds BOTH the k quantile and round
+    # 1's peel (r10 verdict nit: they are the same aggregate over the
+    # same edge set; recomputing it cost an extra exchange on the most
+    # expensive bench row). Persisted so the quantile collect doesn't
+    # discard it before round 1 reads it; released after round 1.
+    deg0 = _degrees(edges0).persist()
     k = deg0.agg(F.percentile("dg", F.lit(0.25)).alias("k")).collect()[0].k
     cur = edges0.persist()
     trajectory: list[tuple[int, float, int, int]] = []
@@ -2374,7 +2382,7 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             # imply equal sets and every later round is identical
             trajectory.append((rnd, k) + trajectory[-1][2:])
             continue
-        d = _degrees(cur)
+        d = deg0 if rnd == 1 else _degrees(cur)
         keep = d.where(F.col("dg") >= F.lit(k)).select("node").persist()
         n_nodes = keep.count()
         nxt = (
@@ -2385,8 +2393,11 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_edges = nxt.count()
         cur.unpersist()
         keep.unpersist()
+        if rnd == 1:
+            deg0.unpersist()
         cur = nxt
         trajectory.append((rnd, k, n_nodes, n_edges))
+    deg0.unpersist()
     cur.unpersist()
     return spark.createDataFrame(
         trajectory, schema="round INT, k DOUBLE, n_nodes LONG, n_edges LONG"
