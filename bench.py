@@ -630,14 +630,38 @@ def main() -> None:
             f.write(json.dumps(out) + "\n")
     except OSError as exc:
         log(f"bench: could not write BENCH_local.json: {exc}")
-    # The stdout line is what the driver's tail-capture parses
-    # (BENCH_r{N}.json `parsed` was null in r8/r9 from truncation — r9
-    # verdict task 8): print it COMPACT, without the per-query sample
-    # pairs, so the one line stays well under capture limits. The full
-    # samples live in BENCH_local.json above.
-    compact = {k: v for k, v in out.items() if k != "samples"}
-    compact["samples"] = "see BENCH_local.json"
-    print(json.dumps(compact, separators=(",", ":")), flush=True)
+    # The stdout line is what the driver's tail-capture parses. The
+    # capture keeps only the LAST ~2000 characters, so a full 79-row
+    # per-query table truncates FROM THE FRONT and `parsed` comes back
+    # null (r8..r10, six rounds running — r10 verdict task 6). Print a
+    # SUMMARY object guaranteed to fit: totals, per-section sums, and
+    # the slowest per-query rows, shrinking the row count until the
+    # serialized line is safely under the capture window. The full
+    # table + samples live in BENCH_local.json above.
+    sections = {
+        "store": round(sum(store_times.values()), 3),
+        "streaming": round(sum(streaming_times.values()), 3),
+        "iterative": round(sum(iterative_times.values()), 3),
+        "nb_trio": round(sum(nb_trio_times.values()), 3),
+    }
+    ranked = sorted(per_query.items(), key=lambda kv: (-kv[1], kv[0]))
+    for keep in (15, 8, 4, 0):
+        compact = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(per_query),
+            "n_errors": len(errors),
+            "sections": sections,
+            "queries": dict(ranked[:keep]),
+            "note": f"slowest {min(keep, len(ranked))} of {len(ranked)}"
+            " headline rows; full table in BENCH_local.json",
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1800:
+            break
+    print(line, flush=True)
     try:
         spark.stop()
     except Exception:  # noqa: BLE001, S110
