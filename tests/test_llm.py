@@ -1188,6 +1188,44 @@ def test_phash_neardup_finds_injected_duplicates(spark):
         assert a < b
 
 
+def test_phash_wide_twin_finds_injected_duplicates(spark):
+    """The 63-bit scale twin must agree with the 28-bit baseline on
+    the injected ground truth: every canonical-variant pair surfaces
+    at Hamming 0, pairs are ordered and within the gate, and the
+    signature space is genuinely wider (band values exceed the 7-bit
+    op's 128-bucket ceiling somewhere in the corpus)."""
+    rows = QUERIES["multimodal_phash_neardup_wide"](spark, SF_ORACLE).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    for d in range(100):
+        assert got.get((d, d + 200000)) == 0, d
+    for (a, b), hm in got.items():
+        assert 0 <= hm <= 3
+        assert a < b
+
+
+def test_phash_wide_band_space_exceeds_narrow(spark):
+    """The whole point of the twin: 16-bit band values must occupy
+    far more than the 128 buckets the 7-bit bands collapse into."""
+    from vector_db_core_spark.functions.multimodal import append_dhash
+    from vector_db_core_spark.functions.text import canonical_text
+    from vector_db_core_spark.operators.llm import _t
+
+    docs = _t(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    canon = canonical_text("text")
+    hexs = F.concat(
+        *[F.md5(F.concat(canon, F.lit(f"#w{i}"))) for i in range(4)],
+        F.substring(F.md5(F.concat(canon, F.lit("#w4"))), 1, 16),
+    )
+    payload = F.concat(F.lit(b"P5\n8 9\n255\n"), F.unhex(hexs))
+    sigs = append_dhash(
+        docs.select("doc_id", payload.alias("payload")), "payload"
+    ).select("dhash")
+    vals = [r.dhash for r in sigs.collect()]
+    assert all(0 <= v < (1 << 63) for v in vals)  # sign-free by design
+    band0 = {v & 65535 for v in vals}
+    assert len(band0) > 128  # 7-bit bands could never exceed 128
+
+
 def test_source_vocab_overlap_structure(spark):
     """Exactly C(|sources|,2) pairs, shared counts bounded by k, and
     the Jaccard closure shared/(2k - shared) re-derived; the fixture

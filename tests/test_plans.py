@@ -1087,6 +1087,15 @@ def test_round10_phash_banded_join_plan(spark):
     assert "k#" in plan and "bv#" in plan
 
 
+def test_round11_phash_wide_banded_join_plan(spark):
+    """The 63-bit scale twin keeps the 28-bit op's plan shape: band
+    equi-join, Arrow decode path, no all-pairs."""
+    plan = _plan_simple(QUERIES["multimodal_phash_neardup_wide"](spark, SF_ORACLE))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "k#" in plan and "bv#" in plan
+
+
 def test_round10_anova_single_corpus_scan(spark):
     """The ANOVA grand totals are windows over the 5-row priority
     grid, not crossJoins against re-aggregated branches — the corpus

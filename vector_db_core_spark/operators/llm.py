@@ -4798,7 +4798,7 @@ WITH corpus AS (
   FROM documents WHERE doc_id < 100),
 h AS (SELECT doc_id,
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-             || md5(reverse(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+             || md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || '#r2')
                AS hx
       FROM corpus),
 b AS (SELECT doc_id, i, ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT AS byte
@@ -4862,7 +4862,12 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.upper("text"), F.lit("  ")).alias("text"),
     )
     canon = canonical_text("text")
-    hexs = F.concat(F.md5(canon), F.md5(F.reverse(canon)))
+    # Second raster half = md5(canon || salt), NOT md5(reverse(canon)):
+    # Spark's reverse() walks code points while DuckDB's walks grapheme
+    # clusters, so combining sequences would silently diverge per
+    # engine (r10 advice). Salted-suffix md5 is engine-stable on any
+    # input — the seeded-hash-family trick the MinHash estimator uses.
+    hexs = F.concat(F.md5(canon), F.md5(F.concat(canon, F.lit("#r2"))))
     payload = F.concat(F.lit(b"P5\n8 4\n255\n"), F.unhex(hexs))
     imgs = docs.unionByName(variants).select("doc_id", payload.alias("payload"))
     sigs = append_dhash(imgs, "payload").select("doc_id", "dhash")
@@ -4872,6 +4877,120 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(k).alias("k"),
                 F.shiftright(F.col("dhash"), 7 * k)
                 .bitwiseAND(F.lit(127))
+                .alias("bv"),
+            )
+            for k in range(4)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.col("dhash").alias("s"), F.explode(band_structs).alias("band")
+    ).select("doc_id", "s", F.col("band.k").alias("k"), F.col("band.bv").alias("bv"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["k", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sig_a"),
+            F.col("b.s").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select(
+            "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+        ).where(F.col("hamming") <= MM_PHASH_MAX_HAMMING)
+    )
+
+
+_PHASH_WIDE_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, upper(text) || '  ' AS text
+  FROM documents WHERE doc_id < 100),
+cn AS (SELECT doc_id,
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS c
+       FROM corpus),
+h AS (SELECT doc_id,
+             md5(c || '#w0') || md5(c || '#w1') || md5(c || '#w2')
+             || md5(c || '#w3') || substr(md5(c || '#w4'), 1, 16) AS hx
+      FROM cn),
+b AS (SELECT doc_id, i, ('0x' || substr(hx, 2 * i + 1, 2))::BIGINT AS byte
+      FROM h, UNNEST(generate_series(0, 71)) AS g(i)),
+bits AS (SELECT a.doc_id,
+                (a.i // 8) * 7 + (a.i % 8) AS idx,
+                CASE WHEN a.byte < c.byte THEN 1 ELSE 0 END AS bit
+         FROM b a JOIN b c ON c.doc_id = a.doc_id AND c.i = a.i + 1
+         WHERE a.i % 8 <> 7),
+sig AS (SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << idx) AS BIGINT) AS s
+        FROM bits GROUP BY doc_id),
+bands AS (SELECT doc_id, s, k, (s >> (16 * k)) & 65535 AS bv
+          FROM sig, UNNEST(generate_series(0, 3)) AS g(k)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                a.s AS sig_a, b2.s AS sig_b
+         FROM bands a JOIN bands b2 ON a.k = b2.k AND a.bv = b2.bv
+                                   AND a.doc_id < b2.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+@register("multimodal_phash_neardup_wide", oracle=_PHASH_WIDE_SQL)
+def multimodal_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE TWIN of ``multimodal_phash_neardup`` (r10 verdict
+    task 2): same construction — content-deterministic netpbm rasters,
+    REAL Arrow ``mapInPandas`` dHash from decoded pixels, LSH banding,
+    Hamming <= 3 — but over an 8×9 raster, giving a 63-bit signature
+    split into 4×16-bit bands (the top band carries 15 bits). The
+    28-bit op's 7-bit band values collapse into <= 128 buckets, so its
+    banded self-join degenerates toward quadratic once the corpus
+    outgrows the band space (~sf10 — the documented wall); 16-bit
+    bands hold 65,536 values, pushing the same saturation point out
+    ~512×. 63 bits rather than the naive 9×8=64 keeps the signature
+    sign-free in BIGINT on BOTH engines (bit 63 would wrap Spark's
+    shiftleft and DuckDB's << differently from an unsigned packer —
+    the ``conv``-overflow class of trap); the wall→twin convention is
+    the catalog's standing policy (span→hashed, triangles→DOULION,
+    KS→binned).
+
+    Exactness: raster bytes re-derive from salted-suffix md5 hexes
+    (engine-stable on any input — no reverse(); the r10-advice trap
+    class), and the oracle replicates the bit/band/XOR integer
+    arithmetic bit-for-bit while the engine hashes REAL decoded
+    pixels.
+
+    Plan/scale: identical shape to the 28-bit op — partition-parallel
+    signature extraction, ×4 band explode, equi-join on (band,
+    value), codegen'd xor+bit_count per candidate. Band values remain
+    the shuffle keys at 100 TB; skew knobs unchanged."""
+    from vector_db_core_spark.functions.multimodal import append_dhash
+    from vector_db_core_spark.functions.text import canonical_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    canon = canonical_text("text")
+    hexs = F.concat(
+        *[F.md5(F.concat(canon, F.lit(f"#w{i}"))) for i in range(4)],
+        F.substring(F.md5(F.concat(canon, F.lit("#w4"))), 1, 16),
+    )
+    payload = F.concat(F.lit(b"P5\n8 9\n255\n"), F.unhex(hexs))
+    imgs = docs.unionByName(variants).select("doc_id", payload.alias("payload"))
+    sigs = append_dhash(imgs, "payload").select("doc_id", "dhash")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.shiftright(F.col("dhash"), 16 * k)
+                .bitwiseAND(F.lit(65535))
                 .alias("bv"),
             )
             for k in range(4)
