@@ -1228,11 +1228,29 @@ def test_phash_wide_band_space_exceeds_narrow(spark):
 
 def test_source_vocab_overlap_structure(spark):
     """Exactly C(|sources|,2) pairs, shared counts bounded by k, and
-    the Jaccard closure shared/(2k - shared) re-derived; the fixture
-    sources draw from one generator vocabulary, so overlap must be
-    substantial (a structural read, not a tuned threshold)."""
-    from vector_db_core_spark.operators.llm import VOCAB_OVERLAP_TOP_K
+    the Jaccard over the TRUE union |A| + |B| - shared re-derived
+    from the actual per-source vocabulary sizes (r10 advice: the old
+    2k - shared closure silently understated sources with fewer than
+    k distinct tokens); the fixture sources draw from one generator
+    vocabulary, so overlap must be substantial (a structural read,
+    not a tuned threshold)."""
+    from vector_db_core_spark.functions.text import tokens
+    from vector_db_core_spark.operators.llm import VOCAB_OVERLAP_TOP_K, _t
 
+    sizes = {
+        r.source: r.kv
+        for r in (
+            _t(spark, SF_ORACLE, "documents")
+            .select("source", F.explode(tokens("text")).alias("token"))
+            .groupBy("source")
+            .agg(
+                F.least(
+                    F.countDistinct("token"), F.lit(VOCAB_OVERLAP_TOP_K)
+                ).alias("kv")
+            )
+            .collect()
+        )
+    }
     rows = QUERIES["text_source_vocab_overlap"](spark, SF_ORACLE).collect()
     srcs = {r.src_a for r in rows} | {r.src_b for r in rows}
     n = len(srcs)
@@ -1240,6 +1258,6 @@ def test_source_vocab_overlap_structure(spark):
     for r in rows:
         assert r.src_a < r.src_b
         assert 0 < r.n_shared <= VOCAB_OVERLAP_TOP_K
-        want = r.n_shared / (2 * VOCAB_OVERLAP_TOP_K - r.n_shared)
-        assert abs(r.jaccard - want) < 1e-6
+        union = sizes[r.src_a] + sizes[r.src_b] - r.n_shared
+        assert abs(r.jaccard - r.n_shared / union) < 1e-6
     assert sum(r.n_shared for r in rows) / len(rows) > 0.3 * VOCAB_OVERLAP_TOP_K

@@ -5035,6 +5035,8 @@ top AS (SELECT source, token
                                         ORDER BY n DESC, token) AS rk
               FROM cnt)
         WHERE rk <= {VOCAB_OVERLAP_TOP_K}),
+vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS kv
+       FROM top GROUP BY source),
 pairs AS (SELECT a.source AS src_a, b.source AS src_b,
                  CAST(COUNT(*) AS BIGINT) AS n_shared
           FROM top a JOIN top b ON a.token = b.token
@@ -5042,8 +5044,10 @@ pairs AS (SELECT a.source AS src_a, b.source AS src_b,
           GROUP BY a.source, b.source)
 SELECT src_a, src_b, n_shared,
        round(CAST(n_shared AS DOUBLE)
-             / ({2 * VOCAB_OVERLAP_TOP_K} - n_shared), 6) AS jaccard
+             / (va.kv + vb.kv - n_shared), 6) AS jaccard
 FROM pairs
+JOIN vs va ON va.source = pairs.src_a
+JOIN vs vb ON vb.source = pairs.src_b
 """
 
 
@@ -5057,8 +5061,11 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     source overlapping nothing is either a different language or
     noise — both findings route to different pipeline stages). Top-k
     by (count DESC, token) is a total order, so each source's
-    vocabulary set is deterministic; Jaccard over two fixed-size-k
-    sets closes to shared/(2k - shared).
+    vocabulary set is deterministic; Jaccard divides by the TRUE
+    union |A| + |B| - shared, with each source's actual vocabulary
+    size (<= k — a source with fewer than k distinct tokens gets its
+    real set size, not a silently-understated 2k closure; r10
+    advice) joined back from the top-k table itself.
 
     Exactness: counts and set sizes are exact integers; one double
     division + round(6) per pair row.
@@ -5086,19 +5093,26 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = top.select(F.col("source").alias("src_a"), "token")
     b = top.select(F.col("source").alias("src_b"), "token")
+    vocab = top.groupBy("source").agg(F.count("*").alias("kv"))
     pairs = (
         a.join(b, "token")
         .where(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_shared"))
     )
-    return pairs.select(
-        "src_a",
-        "src_b",
-        "n_shared",
-        F.round(
-            F.col("n_shared").cast("double")
-            / (2 * VOCAB_OVERLAP_TOP_K - F.col("n_shared")),
-            6,
-        ).alias("jaccard"),
+    va = vocab.select(F.col("source").alias("src_a"), F.col("kv").alias("kv_a"))
+    vb = vocab.select(F.col("source").alias("src_b"), F.col("kv").alias("kv_b"))
+    return (
+        pairs.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("kv_a") + F.col("kv_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
     )

@@ -2159,7 +2159,8 @@ SELECT source,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        CAST(SUM(keep) AS BIGINT) AS docs_kept,
        CAST(SUM(keep * n_tokens) AS BIGINT) AS tokens_kept,
-       round(1.0 - CAST(SUM(keep * n_tokens) AS DOUBLE) / SUM(n_tokens), 6)
+       round(1.0 - CAST(SUM(keep * n_tokens) AS DOUBLE)
+                   / NULLIF(SUM(n_tokens), 0), 6)
          AS token_savings
 FROM k GROUP BY source
 """
@@ -2178,7 +2179,10 @@ def pipeline_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical hash, the family's deterministic keep-first rule.
 
     Exactness: token counts and keep flags are exact integers; the
-    savings ratio is one double division + round(6) per source row.
+    savings ratio is one double division + round(6) per source row,
+    with a NULLIF-style denominator guard stated in BOTH engines (an
+    all-empty source yields NULL savings rather than Spark's ANSI
+    DIVIDE_BY_ZERO vs DuckDB's NULL divergence).
 
     Plan/scale: text is dropped at the FIRST projection — each doc
     collapses to (source, doc_id, canon_sha256, n_tokens) ~50 bytes
@@ -2215,7 +2219,14 @@ def pipeline_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("keep").cast("bigint").alias("docs_kept"),
         kept_tokens.cast("bigint").alias("tokens_kept"),
         F.round(
-            1.0 - kept_tokens.cast("double") / F.sum("n_tokens"), 6
+            # NULLIF-style guard on both sides (r10 advice): a source
+            # whose documents are all empty would hit ANSI
+            # DIVIDE_BY_ZERO here while DuckDB returns NULL; the
+            # conditional denominator makes both engines emit NULL.
+            1.0
+            - kept_tokens.cast("double")
+            / F.when(F.sum("n_tokens") > 0, F.sum("n_tokens")),
+            6,
         ).alias("token_savings"),
     )
 
