@@ -302,6 +302,43 @@ def test_nb_language_filter_operating_point_recall_floors(spark):
         assert r.pred_en == (r.verdict != "drop"), r
 
 
+def test_review_queue_consumes_the_band(spark):
+    """The review queue must be exactly the review band under the
+    documented capacity: every queued doc scores inside
+    [NB_KEEP_CUT, NB_CONFIDENT_CUT), ranks follow (dist_to_keep,
+    doc_id) with both distances consistent with the score, and the
+    band SHARES are pinned — the review band holds a real,
+    non-degenerate slice of the corpus (it exists to be consumed,
+    not to hide drops)."""
+    from vector_db_core_spark.operators.pipeline import (
+        NB_CONFIDENT_CUT,
+        NB_KEEP_CUT,
+        REVIEW_QUEUE_K,
+    )
+
+    scored = QUERIES["pipeline_nb_language_filter"](spark, SF_ORACLE).collect()
+    band = {r.doc_id: r for r in scored if r.verdict == "review"}
+    shares = {
+        v: sum(r.verdict == v for r in scored) / len(scored)
+        for v in ("keep", "review", "drop")
+    }
+    assert 0.02 <= shares["review"] <= 0.60, shares
+    assert shares["keep"] >= 0.15 and shares["drop"] >= 0.15, shares
+    q = sorted(
+        QUERIES["pipeline_review_queue"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.queue_rank,
+    )
+    assert len(q) == min(REVIEW_QUEUE_K, len(band))
+    assert [r.queue_rank for r in q] == list(range(1, len(q) + 1))
+    order = [(r.dist_to_keep, r.doc_id) for r in q]
+    assert order == sorted(order)
+    for r in q:
+        src = band[r.doc_id]  # queued docs ARE review-band docs
+        assert NB_KEEP_CUT <= src.score < NB_CONFIDENT_CUT
+        assert abs(r.dist_to_keep - (NB_CONFIDENT_CUT - r.score)) < 1e-6
+        assert abs(r.dist_to_drop - (r.score - NB_KEEP_CUT)) < 1e-6
+
+
 def test_nb_trio_fits_once_per_session(spark):
     """The filter-evaluation trio shares ONE fit per (process,
     sf_dir): after a scratch reset, the first consumer pays the fit

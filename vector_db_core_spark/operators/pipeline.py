@@ -2036,6 +2036,72 @@ def pipeline_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Human-review budget for the queue op: a review queue is a work
+#: list for people, so it carries a fixed capacity — the top-K most
+#: promotable docs, not the whole band.
+REVIEW_QUEUE_K = 200
+
+_REVIEW_QUEUE_SQL = (
+    "WITH nb AS (" + _NB_LANG_SQL + f"""),
+r AS (SELECT doc_id, n_tokens, score,
+             round({NB_CONFIDENT_CUT} - score, 6) AS dist_to_keep,
+             round(score - ({NB_KEEP_CUT}), 6) AS dist_to_drop
+      FROM nb WHERE verdict = 'review'),
+t AS (SELECT * FROM r ORDER BY dist_to_keep, doc_id LIMIT {REVIEW_QUEUE_K})
+SELECT CAST(row_number() OVER (ORDER BY dist_to_keep, doc_id) AS INT)
+         AS queue_rank,
+       doc_id, n_tokens, score, dist_to_keep, dist_to_drop
+FROM t
+"""
+)
+
+
+@register("pipeline_review_queue", oracle=_REVIEW_QUEUE_SQL)
+def pipeline_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUMAN-REVIEW QUEUE for the NB band's ``review`` verdict — the
+    downstream consumer the keep/review/drop band was missing (r10
+    verdict task 7): the band parks mid-confidence documents, and
+    this is the work list a curation loop hands to annotators — the
+    top-K (REVIEW_QUEUE_K) review-band docs ranked by distance below the
+    confident-keep cut (closest first: a tiny labeling effort
+    promotes the near-misses, the cheapest precision wins), with the
+    distance to the drop cut alongside so a reviewer sees how close
+    each doc sits to either exit. Fourth member of the
+    filter-evaluation family, composing the registered filter's
+    DataFrame AND oracle text as a CTE like calibration/confusion.
+
+    Exactness: score is the filter's round(6) per-token log-odds;
+    each distance is one double subtraction + round(6); ranks come
+    from the total order (dist_to_keep, doc_id), so ties can't
+    destabilize the cut.
+
+    Plan/scale: reads the session-shared scored scratch (no re-fit);
+    the verdict filter prunes to the band, the K-row cut is
+    TakeOrderedAndProject (per-partition top-K, then merge — never a
+    global sort of the band), and the rank window runs on the K-row
+    result only."""
+    from pyspark.sql import Window as W
+
+    nb = _nb_scored(spark, sf_dir).where(F.col("verdict") == "review")
+    r = nb.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.round(F.lit(NB_CONFIDENT_CUT) - F.col("score"), 6).alias("dist_to_keep"),
+        F.round(F.col("score") - F.lit(NB_KEEP_CUT), 6).alias("dist_to_drop"),
+    )
+    t = r.orderBy("dist_to_keep", "doc_id").limit(REVIEW_QUEUE_K)
+    rank = F.row_number().over(W.orderBy("dist_to_keep", "doc_id"))
+    return t.select(
+        rank.cast("int").alias("queue_rank"),
+        "doc_id",
+        "n_tokens",
+        "score",
+        "dist_to_keep",
+        "dist_to_drop",
+    )
+
+
 #: Token budget per packed training sequence (the packing op): 256 —
 #: deliberately context-window-SMALL so every fixture scale produces
 #: a multi-pack-per-shard layout (fixture docs average ~50 tokens; a
