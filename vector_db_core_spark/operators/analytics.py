@@ -2404,6 +2404,137 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed round budget for min-label propagation — the k-core/PageRank
+#: bounded-loop discipline: both engines state EXACTLY this many
+#: rounds, so the result is well-defined (and identical) even before
+#: convergence. 12 >> the measured co-purchase diameter at every
+#: tested scale (fixpoint in <= 4 rounds at sf0.01/sf0.1; the Spark
+#: loop early-stops there and later rounds are identity by
+#: monotonicity).
+CC_ROUNDS = 12
+
+
+def _cc_sql() -> str:
+    """Unrolled min-label propagation oracle (NOT a recursive CTE:
+    the all-reachable-labels walk a plain ``WITH RECURSIVE`` can
+    express is |C|^2 rows per component — quadratic in the giant
+    component, minutes at sf0.1 — while the per-round labeling is
+    |V| rows; DuckDB 1.0 has no keyed recursion, so the bounded
+    unroll is the same answer at linear cost)."""
+    parts = [
+        """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+bk AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+       HAVING COUNT(*) BETWEEN 2 AND 20),
+e0 AS MATERIALIZED (
+       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       FROM op a
+       JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+       JOIN bk ON bk.l_orderkey = a.l_orderkey),
+ed AS MATERIALIZED (
+       SELECT u AS src, v AS dst FROM e0
+       UNION ALL
+       SELECT v AS src, u AS dst FROM e0),
+l0 AS (SELECT DISTINCT src AS node, src AS comp FROM ed)"""
+    ]
+    for i in range(1, CC_ROUNDS + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+       SELECT l.node, LEAST(l.comp, COALESCE(MIN(n.comp), l.comp)) AS comp
+       FROM l{i - 1} l
+       LEFT JOIN ed ON ed.dst = l.node
+       LEFT JOIN l{i - 1} n ON n.node = ed.src
+       GROUP BY l.node, l.comp)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+, sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS component_size
+         FROM l{CC_ROUNDS} GROUP BY comp)
+SELECT component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sz GROUP BY component_size
+"""
+    )
+
+
+@register("graph_connected_components", oracle=_cc_sql())
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED COMPONENTS of the co-purchase graph by iterative
+    min-label propagation — the graph family's reachability member
+    (PageRank ranks, triangles measure cohesion, k-core peels; this
+    answers "how many islands, and how big" — the first question a
+    recommender or dedup-cluster consumer asks of an edge set). Each
+    node starts labeled with its own id; every round each node takes
+    the min of its label and its neighbors' labels; at the fixpoint a
+    node's label is the smallest node id reachable from it (the
+    canonical component id — hash-min propagation, the textbook
+    MapReduce CC formulation of Rastogi et al. 2013's HashMin).
+    Output is the bounded component-size histogram (component_size,
+    n_components), not the |V|-row labeling. Sibling of
+    ``dedup_connected_clusters`` (same fixpoint over the TINY near-dup
+    pair graph, emitting per-doc labels); this one runs on the full
+    co-purchase graph where |V|-row output would be data-sized and
+    the histogram is the analyst's question.
+
+    Exactness: labels and counts are integers throughout; no floats
+    anywhere. Both engines state EXACTLY ``CC_ROUNDS`` propagation
+    rounds (the k-core unrolled-loop discipline), so the output is
+    well-defined independent of convergence; the Spark loop
+    early-stops at the fixpoint because further min-rounds are
+    identity by monotonicity — measured fixpoint <= 4 rounds at
+    sf0.01 and sf0.1, far under the budget.
+
+    Plan/scale: reuses the session-shared edge scratch. Each round is
+    one join of the |V|-row label frame against the symmetrized edge
+    list (both sides keyed on node id) + a map-side-combined min —
+    the PageRank loop shape, persist+count per round with superseded
+    frames unpersisted. Convergence is detected by the SUM of labels
+    (strictly decreasing until fixpoint — min-propagation is
+    monotone), one scalar per round instead of a change-count join.
+    Rounds = graph diameter (small for the dense co-purchase graph;
+    capped with a sanity bound). At 1000-executor scale the same loop
+    runs with the label frame hash-partitioned on node; for
+    high-diameter graphs the published large-star/small-star
+    alternation (Kiveris et al. 2014) bounds rounds at O(log n) with
+    the same per-round join shape."""
+    edges = _co_purchase_edges(spark, sf_dir)
+    ed = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .persist()
+    )
+    lbl = (
+        ed.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    prev_sum = lbl.agg(F.sum("comp").alias("s")).collect()[0].s
+    for _ in range(CC_ROUNDS):  # the oracle's exact round budget
+        msgs = lbl.join(ed, lbl.node == ed.src).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        nxt = (
+            lbl.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        cur_sum = nxt.agg(F.sum("comp").alias("s")).collect()[0].s
+        lbl.unpersist()
+        lbl = nxt
+        if cur_sum == prev_sum:  # monotone: equal sum == fixpoint
+            break
+        prev_sum = cur_sum
+    # final labels stay materialized (the PageRank discipline); the
+    # symmetrized edge cache is no longer needed — re-derivable from
+    # the scratch parquet on eviction. Registry clearCache reaps lbl.
+    ed.unpersist()
+    sz = lbl.groupBy("comp").agg(F.count("*").alias("component_size"))
+    return sz.groupBy("component_size").agg(F.count("*").alias("n_components"))
+
+
 _KM_SQL = """
 WITH u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS f, CAST(MAX(ts) AS DATE) AS l,
                   CAST(MIN(CASE WHEN event_type = 'purchase'
