@@ -2404,6 +2404,100 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASSORT_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+bk AS (SELECT l_orderkey FROM op GROUP BY l_orderkey
+       HAVING COUNT(*) BETWEEN 2 AND 20),
+e0 AS MATERIALIZED (
+       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       FROM op a
+       JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+       JOIN bk ON bk.l_orderkey = a.l_orderkey),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM
+          (SELECT unnest([u, v]) AS node FROM e0) GROUP BY node),
+ed AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+j AS (SELECT da.dg AS dx, db.dg AS dy
+      FROM ed JOIN deg da ON da.node = ed.a
+              JOIN deg db ON db.node = ed.b),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS BIGINT) AS sum_xy,
+             CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS BIGINT) AS sum_x,
+             CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS BIGINT) AS sum_xx
+      FROM j)
+SELECT n_pairs, sum_xy, sum_x, sum_xx,
+       CASE WHEN n_pairs * sum_xx - sum_x * sum_x = 0 THEN NULL
+            ELSE round((CAST(n_pairs AS DOUBLE) * sum_xy
+                        - CAST(sum_x AS DOUBLE) * sum_x)
+                       / (CAST(n_pairs AS DOUBLE) * sum_xx
+                          - CAST(sum_x AS DOUBLE) * sum_x), 6)
+       END AS assortativity
+FROM s
+"""
+
+
+@register("graph_assortativity", oracle=_ASSORT_SQL)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the co-purchase graph — Newman (2002)'s
+    r: the Pearson correlation of the degrees at the two ends of every
+    edge, evaluated over BOTH orientations (which symmetrizes the
+    moments, so Sy == Sx and Syy == Sxx and plain Pearson closes the
+    formula). Positive r = hubs buy with hubs (assortative mixing,
+    social-network-like); negative = hub-and-spoke (popular staples
+    pair with long-tail parts — the typical retail signature). The
+    one-scalar structural read PageRank/degree-distribution don't
+    give: it says WHO connects to whom, not who matters.
+
+    Exactness: degrees are exact integer counts; every cross-moment
+    (dx*dy, dx, dx^2) accumulates in DECIMAL(38,0) on both engines
+    (the ``agg_covariance_matrix`` discipline — order-independent
+    integer addition at any parallelism), exposed as BIGINT; the
+    correlation is one fixed double expression + round(6), with the
+    zero-variance guard stated in both engines (a regular graph has
+    no degree variance and reports NULL, not a fault).
+
+    Plan/scale: reuses the session-shared edge scratch; one degree
+    aggregate (the shared ``_degrees`` shape), two node-keyed joins
+    to decorate edge ends, one map-side-combined global reduction to
+    a single row. Degree skew is join-key skew on the hub nodes —
+    AQE's skew split or the salting knob, same as every other
+    edge-decorating op."""
+    und = _co_purchase_edges(spark, sf_dir)
+    deg = _degrees(und)
+    ed = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    j = (
+        ed.join(deg.select(F.col("node").alias("a"), F.col("dg").alias("dx")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("dg").alias("dy")), "b")
+        .select("dx", "dy")
+    )
+    s = j.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("sum_xy"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).cast("bigint").alias("sum_x"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("sum_xx"),
+    )
+    n, sxy, sx, sxx = (F.col(c) for c in ("n_pairs", "sum_xy", "sum_x", "sum_xx"))
+    denom_zero = (n * sxx - sx * sx) == 0
+    r = (n.cast("double") * sxy - sx.cast("double") * sx) / (
+        n.cast("double") * sxx - sx.cast("double") * sx
+    )
+    return s.select(
+        "n_pairs",
+        "sum_xy",
+        "sum_x",
+        "sum_xx",
+        F.when(denom_zero, F.lit(None).cast("double"))
+        .otherwise(F.round(r, 6))
+        .alias("assortativity"),
+    )
+
+
 #: Fixed round budget for min-label propagation — the k-core/PageRank
 #: bounded-loop discipline: both engines state EXACTLY this many
 #: rounds, so the result is well-defined (and identical) even before

@@ -4696,6 +4696,245 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BROWN_FORSYTHE_SQL = """
+WITH x AS (SELECT o_orderpriority AS pri,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+m AS (SELECT pri, quantile_cont(c, 0.5) AS med FROM x GROUP BY pri),
+z AS (SELECT x.pri,
+             abs(CAST(x.c AS DOUBLE) - m.med) / 100.0 AS zd
+      FROM x JOIN m ON m.pri = x.pri),
+g AS (SELECT pri,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(CAST(zd AS DECIMAL(38,15))) AS sz,
+             SUM(CAST(zd * zd AS DECIMAL(38,15))) AS qz
+      FROM z GROUP BY pri),
+w AS (SELECT g.*, m.med,
+             CAST(SUM(sz) OVER () AS DOUBLE)
+               / CAST(SUM(n_g) OVER () AS DOUBLE) AS zbar,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k,
+             CAST(SUM(n_g) OVER () AS BIGINT) AS n
+      FROM g JOIN m ON m.pri = g.pri),
+w2 AS (SELECT *,
+              SUM(CAST(n_g * (CAST(sz AS DOUBLE) / n_g - zbar)
+                           * (CAST(sz AS DOUBLE) / n_g - zbar)
+                       AS DECIMAL(38,15))) OVER () AS ssb,
+              SUM(CAST(CAST(qz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n_g
+                       AS DECIMAL(38,15))) OVER () AS ssw
+       FROM w)
+SELECT pri, n_g,
+       round(med / 100.0, 6) AS median_price,
+       round(CAST(sz AS DOUBLE) / n_g, 6) AS mean_absdev,
+       k - 1 AS df_between,
+       n - k AS df_within,
+       round((CAST(n - k AS DOUBLE) * CAST(ssb AS DOUBLE))
+             / (CAST(k - 1 AS DOUBLE) * CAST(ssw AS DOUBLE)), 6) AS bf_stat
+FROM w2
+"""
+
+
+@register("agg_brown_forsythe_variance", oracle=_BROWN_FORSYTHE_SQL)
+def agg_brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE TEST (median-centered Levene) for equality of
+    VARIANCES across order priorities — the assumption check the
+    family's mean-comparison members lean on (``agg_anova_oneway``'s
+    F and ``agg_welch_ttest``'s motivation both hinge on whether
+    group spreads differ; Brown & Forsythe 1974's median-centered
+    variant is the robust standard): transform each value to its
+    absolute deviation from the GROUP MEDIAN, then one-way ANOVA on
+    those deviations. Per-group rows (n, median, mean absolute
+    deviation) with the global W statistic and dfs alongside — the
+    ANOVA op's output shape.
+
+    Exactness: cents are exact integers; the group median is the
+    shared exact-percentile contract (quantile_cont == F.percentile,
+    the k-core k's discipline); each deviation and its square is one
+    fixed double expression DECIMAL(38,15)-cast before the
+    order-independent sum (dollar-scaled so squares stay inside the
+    integer digits — the ANOVA accumulators' trick); the W statistic
+    closes as one fixed double expression + round(6) over the 5-row
+    grid.
+
+    Plan/scale: two corpus scans by construction (medians first,
+    deviations second — the MAD op's inherent two-pass), each one
+    map-side-combined aggregate; the median table broadcasts; grand
+    totals are windows over the 5-row priority grid, never
+    crossJoins (the contingency-marginals discipline, pinned for
+    ANOVA)."""
+    x = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    m = x.groupBy("pri").agg(F.percentile("c", F.lit(0.5)).alias("med"))
+    zd = F.abs(F.col("c").cast("double") - F.col("med")) / 100.0
+    z = x.join(F.broadcast(m), "pri").select("pri", zd.alias("zd"))
+    g = z.groupBy("pri").agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.col("zd").cast("decimal(38,15)")).alias("sz"),
+        F.sum((F.col("zd") * F.col("zd")).cast("decimal(38,15)")).alias("qz"),
+    )
+    grid = W.partitionBy()
+    w = g.join(F.broadcast(m), "pri").select(
+        "pri",
+        "n_g",
+        "sz",
+        "qz",
+        "med",
+        (
+            F.sum("sz").over(grid).cast("double")
+            / F.sum("n_g").over(grid).cast("double")
+        ).alias("zbar"),
+        F.count("*").over(grid).cast("bigint").alias("k"),
+        F.sum("n_g").over(grid).cast("bigint").alias("n"),
+    )
+    zbar_g = F.col("sz").cast("double") / F.col("n_g")
+    ssb = F.sum(
+        (F.col("n_g") * (zbar_g - F.col("zbar")) * (zbar_g - F.col("zbar"))).cast(
+            "decimal(38,15)"
+        )
+    ).over(grid)
+    ssw = F.sum(
+        (
+            F.col("qz").cast("double")
+            - F.col("sz").cast("double") * F.col("sz").cast("double") / F.col("n_g")
+        ).cast("decimal(38,15)")
+    ).over(grid)
+    w2 = w.select("*", ssb.alias("ssb"), ssw.alias("ssw"))
+    bf = (
+        (F.col("n") - F.col("k")).cast("double") * F.col("ssb").cast("double")
+    ) / ((F.col("k") - 1).cast("double") * F.col("ssw").cast("double"))
+    return w2.select(
+        "pri",
+        "n_g",
+        F.round(F.col("med") / 100.0, 6).alias("median_price"),
+        F.round(F.col("sz").cast("double") / F.col("n_g"), 6).alias("mean_absdev"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        F.round(bf, 6).alias("bf_stat"),
+    )
+
+
+_KENDALL_SQL = """
+WITH src AS (SELECT CAST(round(l_quantity) AS INT) AS bx,
+                    CAST(floor(CAST(l_extendedprice AS DOUBLE) / 10000.0)
+                         AS INT) AS by
+             FROM lineitem),
+g AS (SELECT bx, by, CAST(COUNT(*) AS BIGINT) AS n FROM src GROUP BY bx, by),
+cd AS (SELECT
+         CAST(SUM(CASE WHEN a.bx < b.bx AND a.by < b.by
+                       THEN CAST(a.n * b.n AS DECIMAL(38,0))
+                       ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN a.bx < b.bx AND a.by > b.by
+                       THEN CAST(a.n * b.n AS DECIMAL(38,0))
+                       ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT) AS d
+       FROM g a, g b),
+tx AS (SELECT CAST(SUM(CAST(t * (t - 1) AS DECIMAL(38,0))) AS BIGINT) // 2
+         AS n1
+       FROM (SELECT SUM(n) AS t FROM g GROUP BY bx)),
+ty AS (SELECT CAST(SUM(CAST(t * (t - 1) AS DECIMAL(38,0))) AS BIGINT) // 2
+         AS n2
+       FROM (SELECT SUM(n) AS t FROM g GROUP BY by)),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM g)
+SELECT tot.n AS n_rows, cd.c AS n_concordant, cd.d AS n_discordant,
+       tx.n1 AS ties_x, ty.n2 AS ties_y,
+       round((CAST(cd.c AS DOUBLE) - cd.d)
+             / (sqrt(CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2.0 - tx.n1)
+                * sqrt(CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2.0 - ty.n2)),
+             6) AS tau_b
+FROM cd, tx, ty, tot
+"""
+
+
+@register("agg_kendall_tau_binned", oracle=_KENDALL_SQL)
+def agg_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU-B between line-item quantity and price, computed
+    ENTIRELY from the binned contingency grid — the third rank-
+    association member (Pearson reads linear fit, Spearman reads
+    monotone rank agreement, tau reads PAIRWISE concordance: the
+    probability a random pair sorts the same way on both axes, the
+    quantity Kendall 1938 defined and the one with the direct
+    betting-odds interpretation). Naive tau is O(n^2) over ROWS; on a
+    grid of B_x x B_y value bins every concordant/discordant count is
+    a product of CELL counts, so the quadratic collapses onto the
+    bounded grid (<= 550 cells here: quantity's 50 native values x 11
+    price bins) — the reduce-then-pair discipline ``agg_ks_binned``
+    applies to the same wall, with the tie corrections (tau-b's
+    sqrt((n0-n1)(n0-n2)) denominator) read off the grid marginals.
+
+    Exactness: cell counts and every pair product accumulate in
+    DECIMAL(38,0) (order-independent integer addition; products of
+    two row counts overflow BIGINT long before 100 TB), exposed as
+    BIGINT; the tau closes as one fixed double expression + round(6)
+    on both engines. Binning is stated identically (round() for the
+    integral quantity — never a bare CAST, the engines' cast-rounding
+    divergence — and floor(double/10000) for price).
+
+    Plan/scale: one map-side-combined grid aggregate (the only
+    data-sized work), then a 550x550 broadcast-sized grid cross-pair
+    and two marginal rollups — output and pair work are
+    grid-bounded whatever the corpus."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("int").alias("bx"),
+        F.floor(F.col("l_extendedprice").cast("double") / 10000.0)
+        .cast("int")
+        .alias("by"),
+    )
+    g = li.groupBy("bx", "by").agg(F.count("*").alias("n")).persist()
+    a, b = g.alias("a"), g.alias("b")
+    pair_n = (F.col("a.n") * F.col("b.n")).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    cd = (
+        a.crossJoin(F.broadcast(b))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("a.bx") < F.col("b.bx"))
+                    & (F.col("a.by") < F.col("b.by")),
+                    pair_n,
+                ).otherwise(zero)
+            )
+            .cast("bigint")
+            .alias("c"),
+            F.sum(
+                F.when(
+                    (F.col("a.bx") < F.col("b.bx"))
+                    & (F.col("a.by") > F.col("b.by")),
+                    pair_n,
+                ).otherwise(zero)
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    def tie(key: str, out: str) -> DataFrame:
+        return (
+            g.groupBy(key)
+            .agg(F.sum("n").alias("t"))
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST(t * (t - 1) AS DECIMAL(38,0))) AS BIGINT)"
+                    " div 2"
+                ).alias(out)
+            )
+        )
+    tx, ty = tie("bx", "n1"), tie("by", "n2")
+    tot = g.agg(F.sum("n").cast("bigint").alias("n"))
+    out = cd.crossJoin(tx).crossJoin(ty).crossJoin(tot)
+    n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2.0
+    tau = (F.col("c").cast("double") - F.col("d")) / (
+        F.sqrt(n0 - F.col("n1")) * F.sqrt(n0 - F.col("n2"))
+    )
+    return out.select(
+        F.col("n").alias("n_rows"),
+        F.col("c").alias("n_concordant"),
+        F.col("d").alias("n_discordant"),
+        F.col("n1").alias("ties_x"),
+        F.col("n2").alias("ties_y"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
 _SPEARMAN_SQL = """
 WITH x AS (SELECT CAST(COUNT(*) AS BIGINT) AS xv,
                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
