@@ -4815,6 +4815,136 @@ def agg_brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LJUNG_BOX_LAGS = 7
+
+_LJUNG_BOX_SQL = f"""
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(cents) AS BIGINT) AS sx
+       FROM d GROUP BY event_type),
+v AS (SELECT d.event_type, d.day,
+             (CAST(d.cents AS DOUBLE) - CAST(st.sx AS DOUBLE) / st.n) / 100.0
+               AS dev
+      FROM d JOIN st ON st.event_type = d.event_type),
+c0 AS (SELECT event_type, SUM(CAST(dev * dev AS DECIMAL(38,15))) AS s0
+       FROM v GROUP BY event_type),
+ck AS (SELECT a.event_type, CAST(lag.k AS INT) AS k,
+              SUM(CAST(a.dev * b.dev AS DECIMAL(38,15))) AS sk
+       FROM v a, UNNEST(generate_series(1, {LJUNG_BOX_LAGS})) AS lag(k)
+       JOIN v b ON b.event_type = a.event_type
+               AND b.day = a.day - CAST(lag.k AS INTEGER)
+       GROUP BY 1, 2),
+r AS (SELECT ck.event_type, ck.k, st.n,
+             CAST(ck.sk AS DOUBLE) / CAST(c0.s0 AS DOUBLE) AS rho
+      FROM ck
+      JOIN c0 ON c0.event_type = ck.event_type
+      JOIN st ON st.event_type = ck.event_type
+      WHERE st.n > {LJUNG_BOX_LAGS})
+SELECT event_type, n AS n_days,
+       CAST({LJUNG_BOX_LAGS} AS INT) AS m_lags,
+       round(CAST(n AS DOUBLE) * (n + 2)
+             * CAST(SUM(CAST(rho * rho / (n - k) AS DECIMAL(38,15)))
+                    AS DOUBLE), 6) AS q_stat
+FROM r GROUP BY event_type, n
+"""
+
+
+@register("timeseries_ljung_box", oracle=_LJUNG_BOX_SQL)
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU TEST on each event type's daily-revenue
+    series: Q = n(n+2) * sum over lags k<=m of rho_k^2/(n-k) (Ljung &
+    Box 1978) — the whole-correlogram whiteness read the per-lag ACF
+    table (``timeseries_autocorrelation``) can't give: seven
+    individually-smallish autocorrelations can jointly be decisive,
+    and Q is the one number forecasting pipelines gate residuals on
+    (a model whose residual Q stays large is leaving structure on the
+    table). Uses the textbook estimator — deviations from the ONE
+    series mean, rho_k = c_k/c_0 with the full-series sum of squares
+    as the shared denominator — where the ACF op reports per-lag
+    Pearson over the lag-aligned pairs; the two read different
+    questions and both belong.
+
+    Exactness: daily cents are exact integer sums; the mean is one
+    fixed double expression; deviations are dollar-scaled doubles
+    whose products DECIMAL(38,15)-cast before every order-independent
+    sum (the ANOVA accumulators' discipline), as does each lag's
+    rho^2/(n-k) term before the 7-term fold; one n(n+2)*sum + round(6)
+    finish. Series shorter than m lags are excluded in both engines
+    (stated boundary; every fixture series is far longer).
+
+    Plan/scale: the day grid is the only data-sized reduction (the
+    family's shared daily rollup); deviations, c_0, and the 7 lag
+    products all run on the |days|-row grid (lag join keyed on
+    (event_type, day)); output is one row per event type."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    st = d.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("sx")
+    )
+    dev = (
+        F.col("cents").cast("double") - F.col("sx").cast("double") / F.col("n")
+    ) / 100.0
+    v = d.join(F.broadcast(st), "event_type").select(
+        "event_type", "day", dev.alias("dev")
+    )
+    c0 = v.groupBy("event_type").agg(
+        F.sum((F.col("dev") * F.col("dev")).cast("decimal(38,15)")).alias("s0")
+    )
+    a = v.select(
+        "event_type",
+        "day",
+        F.col("dev").alias("dev_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(LJUNG_BOX_LAGS))).alias("k"),
+    )
+    b = v.select(
+        "event_type", F.col("day").alias("day_b"), F.col("dev").alias("dev_b")
+    )
+    ck = (
+        a.join(
+            b,
+            (F.col("day_b") == F.date_sub(F.col("day"), F.col("k")))
+            & (a.event_type == b.event_type),
+        )
+        .groupBy(a.event_type, "k")
+        .agg(
+            F.sum((F.col("dev_a") * F.col("dev_b")).cast("decimal(38,15)")).alias(
+                "sk"
+            )
+        )
+    )
+    r = (
+        ck.join(F.broadcast(c0), "event_type")
+        .join(F.broadcast(st), "event_type")
+        .where(F.col("n") > LJUNG_BOX_LAGS)
+        .select(
+            "event_type",
+            "k",
+            "n",
+            (F.col("sk").cast("double") / F.col("s0").cast("double")).alias("rho"),
+        )
+    )
+    term = (F.col("rho") * F.col("rho") / (F.col("n") - F.col("k"))).cast(
+        "decimal(38,15)"
+    )
+    return r.groupBy("event_type", "n").agg(
+        F.round(
+            F.col("n").cast("double")
+            * (F.col("n") + 2)
+            * F.sum(term).cast("double"),
+            6,
+        ).alias("q_stat")
+    ).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.lit(LJUNG_BOX_LAGS).cast("int").alias("m_lags"),
+        "q_stat",
+    )
+
+
 _KENDALL_SQL = """
 WITH src AS (SELECT CAST(round(l_quantity) AS INT) AS bx,
                     CAST(floor(CAST(l_extendedprice AS DOUBLE) / 10000.0)

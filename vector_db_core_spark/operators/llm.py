@@ -32,6 +32,8 @@ as the correctness baseline and are labeled as such.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -4903,6 +4905,126 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
         ).where(F.col("hamming") <= MM_PHASH_MAX_HAMMING)
+    )
+
+
+_JS_DIVERGENCE_SQL = r"""
+WITH tok AS (SELECT source,
+                    unnest(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS token
+             FROM documents),
+cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, token),
+nt AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt FROM cnt GROUP BY source),
+srcs AS (SELECT source FROM nt),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+ca AS (SELECT p.sa, p.sb, c.token, c.n AS na
+       FROM pairs p JOIN cnt c ON c.source = p.sa),
+cb AS (SELECT p.sa, p.sb, c.token, c.n AS nb
+       FROM pairs p JOIN cnt c ON c.source = p.sb),
+u AS (SELECT COALESCE(ca.sa, cb.sa) AS sa, COALESCE(ca.sb, cb.sb) AS sb,
+             COALESCE(ca.token, cb.token) AS token,
+             COALESCE(ca.na, 0) AS na, COALESCE(cb.nb, 0) AS nb
+      FROM ca FULL OUTER JOIN cb
+        ON cb.sa = ca.sa AND cb.sb = ca.sb AND cb.token = ca.token),
+t AS (SELECT u.sa, u.sb, u.token,
+             CAST(u.na AS DOUBLE) / xa.nt AS p,
+             CAST(u.nb AS DOUBLE) / xb.nt AS q
+      FROM u JOIN nt xa ON xa.source = u.sa
+             JOIN nt xb ON xb.source = u.sb)
+SELECT sa AS src_a, sb AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_union,
+       round(CAST(SUM(CAST(
+                 (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                  + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END)
+                 / (2 * ln(2)) AS DECIMAL(38,15))) AS DOUBLE), 6) AS jsd_bits
+FROM t GROUP BY sa, sb
+"""
+
+
+@register("text_js_divergence_sources", oracle=_JS_DIVERGENCE_SQL)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE JENSEN-SHANNON DIVERGENCE between source unigram
+    distributions, in bits — the symmetric, bounded ([0,1]) cousin of
+    the KL drift read (``pipeline_unigram_drift_kl`` compares one
+    epoch to a reference and is asymmetric/unbounded; JSD is the
+    metric-grade distance mixture planners put in a source-by-source
+    matrix, and with ``text_source_vocab_overlap`` it separates
+    "different vocabulary" from "same vocabulary, different usage
+    rates"). JSD(P,Q) = (KL(P||M) + KL(Q||M)) / 2 with M the
+    midpoint; log base 2 via ln/ln(2).
+
+    Exactness: token counts are exact integers; each union token's
+    contribution is one fixed double expression (0*ln(0) stated as 0
+    via CASE in both engines, never relying on NULL/NaN propagation)
+    DECIMAL(38,15)-cast before the order-independent per-pair sum;
+    one round(6) finish.
+
+    Plan/scale: the (source, token) count is the same aggregate every
+    tf/idf op pays; the pair expansion joins that vocab table against
+    the tiny source-pair grid (|pairs| x vocab rows, vocab-bounded),
+    the FULL OUTER union-of-vocabularies join keys on (pair, token),
+    and per-source totals broadcast. Output is C(|sources|, 2)
+    rows."""
+    from vector_db_core_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    nt = cnt.groupBy("source").agg(F.sum("n").cast("bigint").alias("nt"))
+    srcs = nt.select("source")
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+    )
+    ca = pairs.join(cnt, F.col("source") == F.col("sa")).select(
+        "sa", "sb", "token", F.col("n").alias("na")
+    )
+    cb = pairs.join(cnt, F.col("source") == F.col("sb")).select(
+        "sa", "sb", "token", F.col("n").alias("nb")
+    )
+    u = (
+        ca.join(cb, ["sa", "sb", "token"], "full_outer")
+        .select(
+            "sa",
+            "sb",
+            "token",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    xa = nt.select(F.col("source").alias("sa"), F.col("nt").alias("nta"))
+    xb = nt.select(F.col("source").alias("sb"), F.col("nt").alias("ntb"))
+    t = (
+        u.join(F.broadcast(xa), "sa")
+        .join(F.broadcast(xb), "sb")
+        .select(
+            "sa",
+            "sb",
+            (F.col("na").cast("double") / F.col("nta")).alias("p"),
+            (F.col("nb").cast("double") / F.col("ntb")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    ) / (2 * math.log(2.0))
+    return t.groupBy("sa", "sb").agg(
+        F.count("*").alias("n_tokens_union"),
+        F.round(
+            F.sum(term.cast("decimal(38,15)")).cast("double"), 6
+        ).alias("jsd_bits"),
+    ).select(
+        F.col("sa").alias("src_a"),
+        F.col("sb").alias("src_b"),
+        "n_tokens_union",
+        "jsd_bits",
     )
 
 

@@ -2102,6 +2102,99 @@ def pipeline_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TEMP_SQL = r"""
+WITH t AS (SELECT source,
+                  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                           x -> x <> ''))) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM t),
+al AS (SELECT CAST(u.a AS DOUBLE) AS alpha
+       FROM UNNEST([0.3, 0.5, 0.7, 1.0]) AS u(a)),
+p AS (SELECT al.alpha, t.source, t.n_tokens,
+             CAST(t.n_tokens AS DOUBLE) / tot.total AS pnat,
+             exp(al.alpha * ln(CAST(t.n_tokens AS DOUBLE) / tot.total)) AS pa
+      FROM t, tot, al),
+z AS (SELECT alpha, CAST(SUM(CAST(pa AS DECIMAL(38,15))) AS DOUBLE) AS za
+      FROM p GROUP BY alpha)
+SELECT p.alpha, p.source, p.n_tokens,
+       round(p.pnat, 6) AS share_natural,
+       round(p.pa / z.za, 6) AS share_temp,
+       round(p.pa / z.za / p.pnat, 6) AS repeat_factor,
+       p.pa / z.za / p.pnat > 4.0 AS over_cap
+FROM p JOIN z ON z.alpha = p.alpha
+"""
+
+
+@register("pipeline_mixture_temperature", oracle=_MIX_TEMP_SQL)
+def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED MIXTURE WEIGHTS — the alpha-sampling knob
+    table of multilingual/multi-source pretraining (mT5 / XLM-R style:
+    sample source i with probability p_i^alpha renormalized, alpha < 1
+    flattening the natural distribution toward uniform): for each
+    alpha on the standard grid {0.3, 0.5, 0.7, 1.0} and each source,
+    the natural token share, the temperature-scaled share, and the
+    implied REPEAT FACTOR (scaled share / natural share — exactly the
+    epochs a source is re-read at a one-epoch-total token budget),
+    flagged when it crosses the ~4-epoch diminishing-returns line
+    (Muennighoff et al. 2023). The family's third mixing knob:
+    ``pipeline_source_mixture`` applies fixed rates,
+    ``pipeline_mixture_token_budget`` caps at a fair-share multiple;
+    this one publishes the whole alpha curve so the run PICKS its
+    flattening before committing — the threshold-operating-curve
+    discipline applied to mixing.
+
+    Exactness: token counts are exact integers; p^alpha is stated as
+    exp(alpha * ln(p)) LITERALLY in both engines (never a bare pow —
+    same-libm-family discipline as the catalog's ln/exp consumers);
+    each alpha's normalizer sums DECIMAL(38,15)-cast terms
+    (order-independent); shares close as fixed double expressions +
+    round(6), and the over-cap flag compares the unrounded ratio in
+    both engines.
+
+    Plan/scale: ONE map-side-combined per-source token aggregate is
+    the only data-sized work (the shuffle carries one row per
+    source); the alpha grid is a 4-row literal crossJoin on the
+    |sources|-row table; output is |alphas| x |sources| rows whatever
+    the corpus."""
+    from vector_db_core_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("n_tokens")
+    )
+    tot = t.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    al = spark.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (1.0,)], schema="alpha DOUBLE"
+    )
+    pnat = F.col("n_tokens").cast("double") / F.col("total")
+    p = (
+        t.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(al))
+        .select(
+            "alpha",
+            "source",
+            "n_tokens",
+            pnat.alias("pnat"),
+            F.exp(F.col("alpha") * F.log(pnat)).alias("pa"),
+        )
+    )
+    z = p.groupBy("alpha").agg(
+        F.sum(F.col("pa").cast("decimal(38,15)")).cast("double").alias("za")
+    )
+    share = F.col("pa") / F.col("za")
+    boost = share / F.col("pnat")
+    return p.join(F.broadcast(z), "alpha").select(
+        "alpha",
+        "source",
+        "n_tokens",
+        F.round(F.col("pnat"), 6).alias("share_natural"),
+        F.round(share, 6).alias("share_temp"),
+        F.round(boost, 6).alias("repeat_factor"),
+        (boost > 4.0).alias("over_cap"),
+    )
+
+
 #: Token budget per packed training sequence (the packing op): 256 —
 #: deliberately context-window-SMALL so every fixture scale produces
 #: a multi-pack-per-shard layout (fixture docs average ~50 tokens; a
