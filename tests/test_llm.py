@@ -1226,6 +1226,23 @@ def test_phash_wide_band_space_exceeds_narrow(spark):
     assert len(band0) > 128  # 7-bit bands could never exceed 128
 
 
+def test_aspect_bucketing_partitions_corpus(spark):
+    """Every image lands in exactly one bucket (counts sum to |docs|),
+    every declared bucket is populated by the doc_id size arithmetic,
+    and the signature comes from the REAL Arrow decode path."""
+    from vector_db_core_spark.operators.llm import ASPECT_BUCKETS, _t
+
+    n_docs = _t(spark, SF_ORACLE, "documents").count()
+    df = QUERIES["multimodal_aspect_bucketing"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert {r.bucket for r in rows} == set(ASPECT_BUCKETS)
+    assert sum(r.n_images for r in rows) == n_docs
+    for r in rows:
+        assert r.total_pixels >= 16 * r.n_images  # min raster is 4x4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
 def test_source_vocab_overlap_structure(spark):
     """Exactly C(|sources|,2) pairs, shared counts bounded by k, and
     the Jaccard over the TRUE union |A| + |B| - shared re-derived

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -561,6 +562,30 @@ def dhash_signature(payload: bytes) -> int:
                 sig |= 1 << idx
             idx += 1
     return sig
+
+
+def append_dims(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append ``width INT, height INT`` columns via Arrow-batched
+    ``mapInPandas`` over the binary payload column — REAL decode
+    (``decode_image``), same composition contract as ``append_dhash``
+    (output schema = input schema + dims, no shuffle introduced)."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("width", IntegerType()), StructField("height", IntegerType())]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            dims = [
+                decode_image(bytes(p) if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
+            yield pdf.assign(
+                width=[d["width"] for d in dims],
+                height=[d["height"] for d in dims],
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def append_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -5028,6 +5028,127 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASPECT_BUCKETS = (0.5, 0.75, 1.0, 1.5, 2.0)
+
+_ASPECT_BUCKET_SQL = rf"""
+WITH d AS (SELECT doc_id,
+                  CAST(4 + (doc_id % 5) * 2 AS INT) AS w,
+                  CAST(4 + doc_id % 7 AS INT) AS h
+           FROM documents),
+bkt AS (SELECT CAST(u.b AS DOUBLE) AS bucket
+        FROM UNNEST([{", ".join(str(b) for b in ASPECT_BUCKETS)}]) AS u(b)),
+scored AS (SELECT d.doc_id, d.w, d.h,
+                  CAST(d.w AS DOUBLE) / d.h AS aspect,
+                  bkt.bucket,
+                  row_number() OVER (
+                      PARTITION BY d.doc_id
+                      ORDER BY abs(ln(CAST(d.w AS DOUBLE) / d.h)
+                                   - ln(bkt.bucket)), bkt.bucket) AS rk
+           FROM d, bkt)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS total_pixels,
+       round(CAST(SUM(CAST(aspect AS DECIMAL(38,15))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_aspect
+FROM scored WHERE rk = 1
+GROUP BY bucket
+"""
+
+
+@register("multimodal_aspect_bucketing", oracle=_ASPECT_BUCKET_SQL)
+def multimodal_aspect_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASPECT-RATIO BUCKETING for image batching — the NaViT/SDXL
+    preprocessing step: variable-size images are grouped into a fixed
+    grid of aspect buckets (each batch then crops/pads only within
+    its bucket, so batched tensors share a shape without destroying
+    geometry). Every document becomes a valid VARIABLE-SIZE grayscale
+    netpbm (width 4-12 x height 4-10, both derived from doc_id so the
+    corpus genuinely spans the bucket grid; raster bytes from the
+    salted-md5 chain as in the phash family), the REAL Arrow
+    ``mapInPandas`` decode path reads back width/height
+    (``functions/multimodal.append_dims`` — the engine never peeks at
+    the arithmetic), and each image lands in the log-nearest bucket
+    of {0.5, 0.75, 1.0, 1.5, 2.0} (distance in ln space — the
+    scale-free metric, so 2:1 and 1:2 sit symmetric around square;
+    ties break to the smaller bucket, stated identically in both
+    engines). Output per bucket: image count, total pixels (the
+    batch-budget denominator), mean aspect.
+
+    Exactness: dimensions are exact integers re-derived by the oracle
+    from the same doc_id arithmetic the payload constructor states
+    (the phash discipline: engine hashes REAL decoded headers, oracle
+    replicates the construction); aspect sums DECIMAL(38,15)-cast
+    per-term; one division + round(6) per bucket row.
+
+    Plan/scale: payload construction and decode are map-only
+    partition-parallel; the bucket assignment is a 5-row broadcast
+    grid with a per-doc window over 5 rows (doc-keyed partitions,
+    never a global sort); one map-side-combined aggregate to
+    |buckets| rows."""
+    from vector_db_core_spark.functions.multimodal import append_dims
+    from vector_db_core_spark.functions.text import canonical_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    canon = canonical_text("text")
+    hexs = F.concat(*[F.md5(F.concat(canon, F.lit(f"#a{i}"))) for i in range(8)])
+    w = (F.lit(4) + (F.col("doc_id") % 5) * 2).cast("int")
+    h = (F.lit(4) + F.col("doc_id") % 7).cast("int")
+    imgs = docs.select(
+        "doc_id",
+        w.alias("w"),
+        h.alias("h"),
+        hexs.alias("hx"),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.encode(
+                F.concat(
+                    F.lit("P5\n"),
+                    F.col("w").cast("string"),
+                    F.lit(" "),
+                    F.col("h").cast("string"),
+                    F.lit("\n255\n"),
+                ),
+                "utf-8",
+            ),
+            F.unhex(F.expr("substr(hx, 1, 2 * w * h)")),
+        ).alias("payload"),
+    )
+    dims = append_dims(imgs, "payload").select("doc_id", "width", "height")
+    bkt = spark.createDataFrame(
+        [(float(b),) for b in ASPECT_BUCKETS], schema="bucket DOUBLE"
+    )
+    aspect = F.col("width").cast("double") / F.col("height")
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.abs(F.log(aspect) - F.log(F.col("bucket"))), F.col("bucket")
+        )
+    )
+    scored = (
+        dims.crossJoin(F.broadcast(bkt))
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            aspect.alias("aspect"),
+            "bucket",
+            rk.alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+    )
+    return scored.groupBy("bucket").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("width").cast("bigint") * F.col("height"))
+        .cast("bigint")
+        .alias("total_pixels"),
+        F.round(
+            F.sum(F.col("aspect").cast("decimal(38,15)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_aspect"),
+    )
+
+
 _PHASH_WIDE_SQL = r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
