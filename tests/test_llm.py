@@ -1226,6 +1226,51 @@ def test_phash_wide_band_space_exceeds_narrow(spark):
     assert len(band0) > 128  # 7-bit bands could never exceed 128
 
 
+def test_mmr_diversifies_the_pool(spark):
+    """MMR invariants: pick 1 is the pure-relevance top-1, picks are
+    distinct pool members in rank order, and the selection genuinely
+    DIVERSIFIES — the picked set's max pairwise cosine must be lower
+    than the plain top-K's (the fixture's near-dup embedding pairs
+    crowd the relevance head, which is the op's reason to exist)."""
+    import itertools
+
+    from vector_db_core_spark.functions.vectors import cosine_similarity
+    from vector_db_core_spark.operators.llm import MMR_K, _t
+
+    rows = sorted(
+        QUERIES["sim_mmr_diversified_topk"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.pick_rank,
+    )
+    assert [r.pick_rank for r in rows] == list(range(1, MMR_K + 1))
+    assert len({r.vec_id for r in rows}) == MMR_K
+    assert rows[0].relevance == max(r.relevance for r in rows)
+
+    e = _t(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    top = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", cosine_similarity("embedding", "qv").alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_K)
+        .collect()
+    )
+    vecs = {r.vec_id: r.embedding for r in e.collect()}
+
+    def max_pair_sim(ids):
+        def cos(x, y):
+            dot = sum(a * b for a, b in zip(x, y))
+            nx = sum(a * a for a in x) ** 0.5
+            ny = sum(b * b for b in y) ** 0.5
+            return dot / (nx * ny)
+
+        return max(cos(vecs[a], vecs[b]) for a, b in itertools.combinations(ids, 2))
+
+    plain = max_pair_sim([r.vec_id for r in top])
+    mmr = max_pair_sim([r.vec_id for r in rows])
+    assert mmr < plain, (mmr, plain)
+
+
 def test_aspect_bucketing_partitions_corpus(spark):
     """Every image lands in exactly one bucket (counts sum to |docs|),
     every declared bucket is populated by the doc_id size arithmetic,

@@ -5149,6 +5149,150 @@ def multimodal_aspect_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_POOL = 50
+MMR_K = 10
+#: lambda and (1 - lambda) as LITERAL STRINGS shared by both engines:
+#: Python's 1 - 0.7 is 0.30000000000000004, which would silently
+#: diverge from a SQL-side 0.3 literal — both sides parse the same
+#: decimal text instead.
+MMR_LAM_TXT = "0.7"
+MMR_ONE_MINUS_LAM_TXT = "0.3"
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR oracle: K chained top-1 CTEs, each scoring
+    the remaining pool against the union of prior picks (the
+    k-core/PageRank bounded-loop discipline — a fixed pick count
+    needs no recursion)."""
+    head = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+rel AS MATERIALIZED (
+       SELECT e.vec_id, {_duck_cosine("e.v", "q.v")} AS rel, e.v
+       FROM e, q WHERE e.vec_id <> 0
+       ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}),
+ps AS MATERIALIZED (
+       SELECT a.vec_id AS pa, b.vec_id AS pb,
+              {_duck_cosine("a.v", "b.v")} AS sim
+       FROM rel a JOIN rel b ON a.vec_id <> b.vec_id),
+s1 AS MATERIALIZED (
+       SELECT vec_id, rel, CAST(1 AS INT) AS pick_rank,
+              CAST({MMR_LAM_TXT} AS DOUBLE) * rel AS mmr
+       FROM rel ORDER BY rel DESC, vec_id LIMIT 1)"""
+    parts = [head]
+    sels = ["s1"]
+    for i in range(2, MMR_K + 1):
+        picked = " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in sels)
+        parts.append(
+            f"""sc{i} AS MATERIALIZED (
+          SELECT r.vec_id, r.rel,
+                 CAST({MMR_LAM_TXT} AS DOUBLE) * r.rel
+                 - CAST({MMR_ONE_MINUS_LAM_TXT} AS DOUBLE) * MAX(ps.sim) AS mmr
+          FROM rel r JOIN ps ON ps.pb = r.vec_id
+                            AND ps.pa IN ({picked})
+          WHERE r.vec_id NOT IN ({picked})
+          GROUP BY r.vec_id, r.rel),
+s{i} AS MATERIALIZED (
+         SELECT vec_id, rel, CAST({i} AS INT) AS pick_rank, mmr
+         FROM sc{i} ORDER BY mmr DESC, vec_id LIMIT 1)"""
+        )
+        sels.append(f"s{i}")
+    final = "\nUNION ALL\n".join(
+        f"SELECT pick_rank, vec_id, round(rel, 6) AS relevance,"
+        f" round(mmr, 6) AS mmr_score FROM {s}"
+        for s in sels
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@register("sim_mmr_diversified_topk", oracle=_mmr_sql())
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    1998) — the diversified-retrieval serving shape the plain cosine
+    top-k can't give: greedy over a retrieved pool, each pick
+    maximizing lambda*rel(d,q) - (1-lambda)*max sim(d, already
+    picked), so near-duplicate neighbors stop crowding the page (the
+    retrieval-side cousin of SemDeDup's training-side pruning).
+    Query = vec_id 0; pool = its exact-cosine top-50; K = 10 picks at
+    lambda = 0.7; ties break on vec_id.
+
+    Exactness: every cosine is the shared left-fold kernel
+    (``cosine_similarity`` == ``_duck_cosine`` fold order, the
+    sim-family contract), lambda and (1-lambda) are the same decimal
+    TEXT in both engines (a Python ``1 - 0.7`` is not 0.3 in
+    doubles), and the greedy is pure IEEE-double comparisons — so the
+    pick sequence is bit-identical; round(6) only on the emitted
+    columns. The oracle unrolls the K picks as chained top-1 CTEs.
+
+    Plan/scale: the DISTRIBUTED work is pool selection — map-side
+    cosine against the broadcast query, TakeOrdered top-50; the
+    greedy then runs driver-side over the BOUNDED pool (50 relevance
+    rows + 50x49 pairwise sims, constant whatever the corpus — the
+    serving-time rerank-the-page shape, and the catalog's
+    bounded-collect contract). A batched variant fans the same
+    per-query rerank across queries with applyInPandas, pool-sized
+    state per group."""
+    from vector_db_core_spark.functions.vectors import cosine_similarity
+
+    lam = float(MMR_LAM_TXT)
+    one_minus = float(MMR_ONE_MINUS_LAM_TXT)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    rel = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine_similarity("embedding", "qv").alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+    )
+    a = rel.select(F.col("vec_id").alias("pa"), F.col("embedding").alias("va"))
+    b = rel.select(F.col("vec_id").alias("pb"), F.col("embedding").alias("vb"))
+    ps = (
+        a.crossJoin(b)
+        .where(F.col("pa") != F.col("pb"))
+        .select("pa", "pb", cosine_similarity("va", "vb").alias("sim"))
+    )
+    # bounded collects: the pool is 50 rows and 50x49 sims by
+    # construction, independent of corpus size
+    rel_rows = {r.vec_id: r.rel for r in rel.select("vec_id", "rel").collect()}
+    sim_rows = {(r.pa, r.pb): r.sim for r in ps.collect()}
+    picked: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for vid, rv in rel_rows.items():
+            if vid in chosen:
+                continue
+            if chosen:
+                mmr = lam * rv - one_minus * max(
+                    sim_rows[(s, vid)] for s in chosen
+                )
+                key = (-mmr, vid)
+            else:
+                # pick 1 orders on raw relevance exactly as the
+                # oracle's s1 does (lam*rel could collapse distinct
+                # rel doubles; rel itself cannot)
+                mmr = lam * rv
+                key = (-rv, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rv, mmr)
+        picked.append((rank, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    out = spark.createDataFrame(
+        picked, schema="pick_rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )
+    return out.select(
+        "pick_rank",
+        "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
 _PHASH_WIDE_SQL = r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
