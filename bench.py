@@ -170,6 +170,20 @@ HEADLINE = [
     "agg_welch_ttest",
     "text_source_vocab_overlap",
     "agg_spearman_rank_corr",
+    # round-11 additions, one row each. graph_connected_components
+    # rides the iterative section beside the other eager graph loops;
+    # dedup_threshold_operating_curve above now reads the shared
+    # estimator scratch (its true build is the minhash_est_build row).
+    "multimodal_phash_neardup_wide",
+    "pipeline_review_queue",
+    "graph_assortativity",
+    "agg_kendall_tau_binned",
+    "agg_brown_forsythe_variance",
+    "timeseries_ljung_box",
+    "pipeline_mixture_temperature",
+    "text_js_divergence_sources",
+    "multimodal_aspect_bucketing",
+    "sim_mmr_diversified_topk",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`
@@ -192,7 +206,13 @@ def log(msg: str) -> None:
 # Headline rows whose query BUILD is eager (the two-phase rank's
 # per-partition-counts collect runs at construction): time the whole
 # callable, or the sample would miss the ranking shuffle entirely.
-HEADLINE_INCLUSIVE = {"agg_gini_customer_spend", "agg_lorenz_deciles"}
+HEADLINE_INCLUSIVE = {
+    "agg_gini_customer_spend",
+    "agg_lorenz_deciles",
+    # the MMR greedy runs at construction over its bounded collected
+    # pool — sink-only timing would measure a 10-row materialization
+    "sim_mmr_diversified_topk",
+}
 
 
 def run_query(queries, name, spark) -> float:
@@ -568,6 +588,9 @@ def main() -> None:
             # round-10: the k-core peel loop (eager persist+count
             # rounds over the shared edge scratch)
             "graph_kcore_peeling",
+            # round-11: min-label propagation to the fixpoint (eager
+            # per-round label-sum collects over the shared scratch)
+            "graph_connected_components",
             # NOT tracked: graph_jaccard_link_prediction — the
             # all-pairs baseline (67.8 s at sf0.1, Σ C(d,2) wedge
             # generation) is quarantined at correctness scale exactly
