@@ -2421,19 +2421,15 @@ j AS (SELECT da.dg AS dx, db.dg AS dy
       FROM ed JOIN deg da ON da.node = ed.a
               JOIN deg db ON db.node = ed.b),
 s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-             CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DECIMAL(38,0))
-               AS sum_xy,
-             CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_x,
-             CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DECIMAL(38,0))
-               AS sum_xx
+             CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sum_xy,
+             CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sum_x,
+             CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sum_xx
       FROM j)
 SELECT n_pairs, sum_xy, sum_x, sum_xx,
-       CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sum_xx AS DOUBLE)
-                 - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) = 0 THEN NULL
-            ELSE round((CAST(n_pairs AS DOUBLE) * CAST(sum_xy AS DOUBLE)
-                        - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
-                       / (CAST(n_pairs AS DOUBLE) * CAST(sum_xx AS DOUBLE)
-                          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)),
+       CASE WHEN CAST(n_pairs AS DOUBLE) * sum_xx - sum_x * sum_x = 0
+            THEN NULL
+            ELSE round((CAST(n_pairs AS DOUBLE) * sum_xy - sum_x * sum_x)
+                       / (CAST(n_pairs AS DOUBLE) * sum_xx - sum_x * sum_x),
                        6)
        END AS assortativity
 FROM s
@@ -2453,14 +2449,17 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     give: it says WHO connects to whom, not who matters.
 
     Exactness: degrees are exact integer counts; every cross-moment
-    (dx*dy, dx, dx^2) accumulates AND is exposed in DECIMAL(38,0) on
-    both engines (the ``agg_covariance_matrix`` discipline —
-    order-independent integer addition at any parallelism; a BIGINT
-    exposure would overflow the closing algebra's products of sums at
-    ~sf1, which the scale ladder caught); the correlation is one
-    fixed all-DOUBLE expression + round(6), with the zero-variance
-    guard stated in both engines (a regular graph has no degree
-    variance and reports NULL, not a fault).
+    (dx*dy, dx, dx^2) accumulates in DECIMAL(38,0) on both engines
+    (the ``agg_covariance_matrix`` discipline — order-independent
+    integer addition at any parallelism; a BIGINT accumulator would
+    overflow the closing algebra's products of sums at ~sf1, which
+    the scale ladder caught) and is exposed as DOUBLE (a DECIMAL
+    output column materializes asymmetrically in pandas — the dtype
+    audit's catch; the decimal-to-double conversion is the same
+    nearest-double on both engines); the correlation is one fixed
+    all-DOUBLE expression + round(6), with the zero-variance guard
+    stated in both engines (a regular graph has no degree variance
+    and reports NULL, not a fault).
 
     Plan/scale: reuses the session-shared edge scratch; one degree
     aggregate (the shared ``_degrees`` shape), two node-keyed joins
@@ -2478,26 +2477,25 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.select(F.col("node").alias("b"), F.col("dg").alias("dy")), "b")
         .select("dx", "dy")
     )
+    # accumulate in DECIMAL(38,0) (exact, order-independent), close
+    # and EXPOSE in DOUBLE on both engines: a 240M-pair sum's square
+    # overflows BIGINT at ~sf1 (the ladder caught the bare product in
+    # the zero guard), and a DECIMAL(38,0) output column materializes
+    # as pandas object on Spark but float64 on DuckDB (the dtype
+    # audit's catch) — the decimal-to-double conversion itself is the
+    # same nearest-double on both engines
     s = j.agg(
         F.count("*").alias("n_pairs"),
         F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
+        .cast("double")
         .alias("sum_xy"),
-        F.sum(F.col("dx").cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
-        .alias("sum_x"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).cast("double").alias("sum_x"),
         F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
+        .cast("double")
         .alias("sum_xx"),
     )
-    # the closing algebra runs entirely in DOUBLE on both engines: the
-    # exact integer moments stay DECIMAL(38,0) (a 240M-pair sum's
-    # square overflows BIGINT at ~sf1 — the ladder caught the bare
-    # product in the zero guard), and products of sums happen only
-    # after the cast
-    n, sxy, sx, sxx = (
-        F.col(c).cast("double") for c in ("n_pairs", "sum_xy", "sum_x", "sum_xx")
-    )
+    n = F.col("n_pairs").cast("double")
+    sxy, sx, sxx = (F.col(c) for c in ("sum_xy", "sum_x", "sum_xx"))
     denom_zero = (n * sxx - sx * sx) == 0
     r = (n * sxy - sx * sx) / (n * sxx - sx * sx)
     return s.select(
