@@ -184,6 +184,10 @@ HEADLINE = [
     "text_js_divergence_sources",
     "multimodal_aspect_bucketing",
     "sim_mmr_diversified_topk",
+    # round-11 wave 2
+    "agg_theil_index",
+    "sketch_kmv_distinct_intersection",
+    "cohort_km_median_lifetime",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

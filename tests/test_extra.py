@@ -903,6 +903,34 @@ def test_theil_sen_matches_numpy_rederivation(spark):
         assert abs(slope - float(np.median(slopes))) < 1e-5, et
 
 
+def test_kmv_sketch_estimates_track_truth(spark):
+    """KMV invariants at a scale where ESTIMATION actually engages
+    (sf0.1's user sets exceed k=256, unlike the sf0.01 oracle fixture
+    where the merged sketch holds the whole union and estimates must
+    be EXACT): estimates within 15% of the exact union/intersection
+    carried in-row, and the under-k collapse verified at sf0.01."""
+    rows01 = QUERIES["sketch_kmv_distinct_intersection"](spark, SF_ORACLE).collect()
+    for r in rows01:  # under-k: sketch == set, estimates exact
+        assert r.est_union == r.exact_union, r
+        assert r.est_intersection == r.exact_intersection, r
+    rows1 = QUERIES["sketch_kmv_distinct_intersection"](
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert rows1
+    engaged = 0
+    for r in rows1:
+        assert abs(r.est_union - r.exact_union) <= 0.15 * r.exact_union, r
+        if r.exact_intersection > 0:
+            assert (
+                abs(r.est_intersection - r.exact_intersection)
+                <= 0.15 * r.exact_intersection + 5
+            ), r
+        if r.exact_union > 256:
+            engaged += 1
+    assert engaged > 0  # the estimator path genuinely ran
+    spark.catalog.clearCache()
+
+
 def test_connected_components_partition_the_graph(spark):
     """The component-size histogram must PARTITION the node set:
     sum(size * count) == |V|, every size >= 1, and every component id

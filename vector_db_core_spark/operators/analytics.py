@@ -569,6 +569,184 @@ def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 256
+#: 2^48 as shared literal text — the hash domain of the first 12 md5
+#: hex digits, same 48-bit family as the MinHash estimator.
+_KMV_DOMAIN = "281474976710656.0"
+
+_KMV_SQL = f"""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+nt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+       FROM u GROUP BY event_type),
+h AS (SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|kmv'), 1, 12))::BIGINT
+               AS hv
+      FROM u),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+      FROM h),
+kmv AS (SELECT event_type, hv FROM r WHERE rk <= {KMV_K}),
+tps AS (SELECT event_type FROM nt),
+pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+          FROM tps a JOIN tps b ON a.event_type < b.event_type),
+mrg AS (SELECT p.ta, p.tb, k.hv,
+               MAX(CASE WHEN k.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN k.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p
+        JOIN kmv k ON k.event_type = p.ta OR k.event_type = p.tb
+        GROUP BY p.ta, p.tb, k.hv),
+rr AS (SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rk
+       FROM mrg),
+sk AS (SELECT ta, tb,
+              CAST(COUNT(*) AS BIGINT) AS n_merged,
+              CAST(MAX(hv) AS BIGINT) AS hk,
+              CAST(SUM(in_a * in_b) AS BIGINT) AS shared
+       FROM rr WHERE rk <= {KMV_K} GROUP BY ta, tb),
+ei AS (SELECT x.event_type AS ta, y.event_type AS tb,
+              CAST(COUNT(*) AS BIGINT) AS exact_inter
+       FROM u x JOIN u y ON y.user_id = x.user_id
+                        AND x.event_type < y.event_type
+       GROUP BY 1, 2),
+est AS (SELECT sk.ta, sk.tb, sk.shared, sk.n_merged,
+               CASE WHEN sk.n_merged < {KMV_K}
+                    THEN CAST(sk.n_merged AS DOUBLE)
+                    ELSE CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_DOMAIN} / sk.hk
+               END AS est_union
+        FROM sk)
+SELECT est.ta AS type_a, est.tb AS type_b,
+       na.n AS n_a, nb.n AS n_b,
+       na.n + nb.n - COALESCE(ei.exact_inter, 0) AS exact_union,
+       COALESCE(ei.exact_inter, 0) AS exact_intersection,
+       CAST(round(est.est_union) AS BIGINT) AS est_union,
+       CAST(round(CAST(est.shared AS DOUBLE) / est.n_merged * est.est_union)
+            AS BIGINT) AS est_intersection
+FROM est
+JOIN nt na ON na.event_type = est.ta
+JOIN nt nb ON nb.event_type = est.tb
+LEFT JOIN ei ON ei.ta = est.ta AND ei.tb = est.tb
+"""
+
+
+@register("sketch_kmv_distinct_intersection", oracle=_KMV_SQL)
+def sketch_kmv_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) SKETCH set algebra — distinct-count
+    UNION and INTERSECTION estimates for every event-type pair's user
+    sets (Beyer et al. 2007, the mergeable distinct sketch): per
+    type, keep the K=256 smallest 48-bit salted-md5 hashes of its
+    distinct users; for a pair, re-merge to the K smallest of the
+    union — est|A∪B| = (k-1)·2^48/h_(k) (exact count when the merged
+    sketch is under k), and est|A∩B| = (shared members of the merged
+    sketch / merged size) · est|A∪B| (merged size == k once the union
+    exceeds k — the textbook ratio — and the whole union below it,
+    where the estimate collapses to the exact shared count). HLL
+    answers one set's cardinality;
+    KMV sketches COMPOSE across sets, which is what audience-overlap
+    and cross-segment reach questions need. Exact union/intersection
+    ride alongside so the error is measurable in-row — the
+    count-min/Bloom md5-twin discipline (sketch VALUES under the
+    hash gate, not just plausible estimates).
+
+    Exactness: the hash family is the MinHash estimator's
+    seeded-suffix md5 (first 12 hex digits → BIGINT, engine-stable);
+    ranks, merges, and shared counts are integer; the two estimates
+    are fixed double expressions rounded to integers via round() THEN
+    cast (never a bare double→BIGINT cast — the engines' cast-
+    rounding divergence).
+
+    Plan/scale: the per-type distinct + top-k is the only data-sized
+    work (per-partition top-k merges, k rows per type thereafter);
+    pair merging runs on |types|·k rows; the exact-intersection join
+    is the audit column (at 100 TB you'd drop it and trust the
+    sketch — that substitution is the op's point)."""
+    u = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    nt = u.groupBy("event_type").agg(F.count("*").alias("n"))
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|kmv"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = u.select("event_type", hv.alias("hv")).distinct()
+    rk = F.row_number().over(W.partitionBy("event_type").orderBy("hv"))
+    kmv = h.select("event_type", "hv", rk.alias("rk")).where(F.col("rk") <= KMV_K)
+    tps = nt.select("event_type")
+    pairs = (
+        tps.alias("a")
+        .join(tps.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    mrg = (
+        pairs.join(
+            F.broadcast(kmv.select("event_type", "hv")),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "hv")
+        .agg(
+            F.max((F.col("event_type") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+    )
+    rr = mrg.select(
+        "*",
+        F.row_number().over(W.partitionBy("ta", "tb").orderBy("hv")).alias("rk"),
+    )
+    sk = (
+        rr.where(F.col("rk") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count("*").alias("n_merged"),
+            F.max("hv").cast("bigint").alias("hk"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("shared"),
+        )
+    )
+    x = u.select(F.col("event_type").alias("ta"), "user_id")
+    y = u.select(F.col("event_type").alias("tb"), "user_id")
+    ei = (
+        x.join(y, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    est_union = F.when(
+        F.col("n_merged") < KMV_K, F.col("n_merged").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(float(_KMV_DOMAIN)) / F.col("hk")
+    )
+    na = nt.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    nb = nt.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    out = (
+        sk.select("ta", "tb", "shared", "n_merged", est_union.alias("est_union_d"))
+        .join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .join(F.broadcast(ei), ["ta", "tb"], "left")
+    )
+    exact_inter = F.coalesce(F.col("exact_inter"), F.lit(0)).cast("bigint")
+    return out.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b") - exact_inter).alias("exact_union"),
+        exact_inter.alias("exact_intersection"),
+        F.round(F.col("est_union_d")).cast("bigint").alias("est_union"),
+        # divide by the MERGED sketch size, not k: when the union fits
+        # under k the sketch IS the union and the estimate collapses
+        # to the exact shared count (shared/n * n); at k it is the
+        # textbook shared/k * est_union
+        F.round(
+            F.col("shared").cast("double")
+            / F.col("n_merged")
+            * F.col("est_union_d")
+        )
+        .cast("bigint")
+        .alias("est_intersection"),
+    )
+
+
 # ------------------------------------------------------- replica checksum
 @register(
     "checksum_orders_table",
@@ -2767,6 +2945,72 @@ def cohort_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("zhit") == 1, F.lit(0.0))
         .otherwise(F.round(F.exp(F.col("cum_ln").cast("double")), 6))
         .alias("km_survival"),
+    )
+
+
+
+_KM_MEDIAN_SQL = (
+    "WITH km AS (" + _KM_SQL + """),
+c AS (SELECT MIN(lifetime_days) AS med FROM km WHERE km_survival <= 0.5),
+t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total,
+             CAST(SUM(n_events) AS BIGINT) AS n_converted,
+             CAST(SUM(n_censored) AS BIGINT) AS n_censored
+      FROM km)
+SELECT t.n_total, t.n_converted, t.n_censored,
+       c.med AS median_lifetime_days,
+       (SELECT km_survival FROM km WHERE lifetime_days = c.med)
+         AS survival_at_median
+FROM c, t
+"""
+)
+
+
+@register("cohort_km_median_lifetime", oracle=_KM_MEDIAN_SQL)
+def cohort_km_median_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN SURVIVAL TIME off the Kaplan-Meier curve — the
+    one-number summary the full ``cohort_kaplan_meier`` table feeds
+    every dashboard: the smallest duration t where S(t) <= 0.5 (the
+    censoring-aware median; a naive median of observed lifetimes
+    would treat censored users as converted-at-last-sight and bias
+    low — the exact error KM exists to avoid). Composes the
+    registered KM DataFrame AND its oracle text as a CTE (the
+    calibration/curve discipline), with the cohort's conversion /
+    censoring totals alongside; if the curve never crosses 0.5 (most
+    users never convert) the median is NULL in both engines — a
+    stated outcome, not a fault, and itself the headline ("median
+    time-to-convert undefined: under half convert").
+
+    Exactness: the KM curve's values are the registered op's (same
+    SQL text); the crossing pick is MIN over an integer column under
+    a comparison of already-round(6) survival values; totals are
+    exact integer sums.
+
+    Plan/scale: everything beyond the KM op's own shuffles runs on
+    the bounded duration grid (one filter + MIN, one grid total, one
+    single-row lookup join)."""
+    km = cohort_kaplan_meier(spark, sf_dir)
+    c = km.where(F.col("km_survival") <= 0.5).agg(
+        F.min("lifetime_days").alias("med")
+    )
+    t = km.agg(
+        F.sum("n_users").cast("bigint").alias("n_total"),
+        F.sum("n_events").cast("bigint").alias("n_converted"),
+        F.sum("n_censored").cast("bigint").alias("n_censored"),
+    )
+    at = km.select(
+        F.col("lifetime_days").alias("med_l"),
+        F.col("km_survival").alias("survival_at_median"),
+    )
+    return (
+        c.crossJoin(t)
+        .join(F.broadcast(at), F.col("med_l") == F.col("med"), "left")
+        .select(
+            "n_total",
+            "n_converted",
+            "n_censored",
+            F.col("med").alias("median_lifetime_days"),
+            "survival_at_median",
+        )
     )
 
 

@@ -4945,6 +4945,80 @@ def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_THEIL_SQL = """
+WITH x AS (SELECT o_custkey,
+                  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS c
+           FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s FROM x),
+e AS (SELECT CAST(x.c AS DOUBLE) / (CAST(t.s AS DOUBLE) / t.n) AS r, t.n, t.s
+      FROM x, t),
+a AS (SELECT MAX(n) AS n, MAX(s) AS s,
+             SUM(CAST(r * ln(r) AS DECIMAL(38,15))) AS t_acc,
+             SUM(CAST(-ln(r) AS DECIMAL(38,15))) AS l_acc
+      FROM e)
+SELECT n AS n_customers, s AS total_cents,
+       round(CAST(t_acc AS DOUBLE) / n, 6) AS theil_t,
+       round(CAST(l_acc AS DOUBLE) / n, 6) AS theil_l,
+       round(CAST(t_acc AS DOUBLE) / n / ln(CAST(n AS DOUBLE)), 6)
+         AS theil_t_normalized
+FROM a
+"""
+
+
+@register("agg_theil_index", oracle=_THEIL_SQL)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL INEQUALITY INDICES over per-customer spend — the
+    decomposable member of the inequality family (Gini ranks, Lorenz
+    draws the curve, HHI reads concentration of SHARES; Theil 1967's
+    entropy-based T = (1/N) sum (x/mu) ln(x/mu) and L = (1/N) sum
+    ln(mu/x) are the ones that split additively into within/between
+    group terms, which is why panel studies reach for them), plus
+    T/ln(N) — the [0,1] normalization that makes readings comparable
+    across population sizes. Unlike the Gini pair, NO ranking is
+    needed at all: both indices are plain means of per-row terms, so
+    the op is one aggregate cheaper than its siblings by
+    construction.
+
+    Exactness: per-customer cents are exact integer sums; the global
+    (n, s) pair reduces exactly; each customer's ratio term is one
+    fixed double expression DECIMAL(38,15)-cast before the
+    order-independent sum; three divisions + round(6) finish. Every
+    customer with an order has positive spend (fixture invariant:
+    o_totalprice > 0), so ln never sees zero — stated, not guarded.
+
+    Plan/scale: one map-side-combined per-customer rollup (the same
+    shuffle Gini pays), one 2-scalar reduction, one broadcast-back
+    map + final aggregate. No window, no sort, no rank — at 100 TB
+    this is strictly the cheapest inequality read in the catalog."""
+    x = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    t = x.agg(F.count("*").alias("n"), F.sum("c").cast("bigint").alias("s"))
+    r = F.col("c").cast("double") / (F.col("s").cast("double") / F.col("n"))
+    e = x.crossJoin(F.broadcast(t)).select(r.alias("r"), "n", "s")
+    a = e.agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum((F.col("r") * F.log("r")).cast("decimal(38,15)")).alias("t_acc"),
+        F.sum((-F.log("r")).cast("decimal(38,15)")).alias("l_acc"),
+    )
+    return a.select(
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("total_cents"),
+        F.round(F.col("t_acc").cast("double") / F.col("n"), 6).alias("theil_t"),
+        F.round(F.col("l_acc").cast("double") / F.col("n"), 6).alias("theil_l"),
+        F.round(
+            F.col("t_acc").cast("double")
+            / F.col("n")
+            / F.log(F.col("n").cast("double")),
+            6,
+        ).alias("theil_t_normalized"),
+    )
+
+
 _KENDALL_SQL = """
 WITH src AS (SELECT CAST(round(l_quantity) AS INT) AS bx,
                     CAST(floor(CAST(l_extendedprice AS DOUBLE) / 10000.0)
