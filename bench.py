@@ -188,6 +188,10 @@ HEADLINE = [
     "agg_theil_index",
     "sketch_kmv_distinct_intersection",
     "cohort_km_median_lifetime",
+    # round-11 wave 3
+    "text_bm25_ranking",
+    "timeseries_drawdown",
+    "profile_column_entropy",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

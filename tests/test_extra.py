@@ -903,6 +903,38 @@ def test_theil_sen_matches_numpy_rederivation(spark):
         assert abs(slope - float(np.median(slopes))) < 1e-5, et
 
 
+def test_round11_wave3_invariants(spark):
+    """Structural pins for the wave-3 trio: BM25 emits a dense,
+    score-ordered top-20 with matched counts inside the 3-term query;
+    drawdown rows are genuine peak-to-trough excursions; the entropy
+    profile spans the cardinality spectrum with the constant column
+    hitting the normalized-NULL boundary."""
+    bm = sorted(
+        QUERIES["text_bm25_ranking"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in bm] == list(range(1, 21))
+    assert all(1 <= r.n_matched <= 3 for r in bm)
+    scores = [r.bm25_score for r in bm]
+    assert scores == sorted(scores, reverse=True)
+
+    for r in QUERIES["timeseries_drawdown"](spark, SF_ORACLE).collect():
+        assert 0 <= r.max_drawdown < 1
+        assert r.trough_cents <= r.peak_cents
+        assert r.n_days > 0
+
+    ent = {r.column_name: r for r in
+           QUERIES["profile_column_entropy"](spark, SF_ORACLE).collect()}
+    assert ent["price_sign"].n_distinct == 1
+    assert ent["price_sign"].entropy_normalized is None
+    assert ent["price_sign"].entropy_bits == 0.0
+    assert ent["o_custkey"].n_distinct > ent["o_orderpriority"].n_distinct
+    assert ent["o_custkey"].entropy_bits > ent["o_orderstatus"].entropy_bits
+    for r in ent.values():
+        if r.entropy_normalized is not None:
+            assert 0 <= r.entropy_normalized <= 1 + 1e-9
+
+
 def test_kmv_sketch_estimates_track_truth(spark):
     """KMV invariants at a scale where ESTIMATION actually engages
     (sf0.1's user sets exceed k=256, unlike the sf0.01 oracle fixture

@@ -11,6 +11,8 @@ stddev/variance, approx_count_distinct, the remaining join types.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -5016,6 +5018,206 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.log(F.col("n").cast("double")),
             6,
         ).alias("theil_t_normalized"),
+    )
+
+
+_DRAWDOWN_SQL = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events GROUP BY 1, 2),
+p AS (SELECT event_type, day, cents,
+             MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM d),
+dd AS (SELECT *,
+              (CAST(peak AS DOUBLE) - cents) / peak AS drawdown,
+              row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY (CAST(peak AS DOUBLE) - cents) / peak DESC, day)
+                AS rk
+       FROM p),
+cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM d
+        GROUP BY event_type)
+SELECT dd.event_type, cnt.n_days,
+       CAST(dd.day AS TIMESTAMP) AS trough_day,
+       dd.peak AS peak_cents,
+       dd.cents AS trough_cents,
+       round(dd.drawdown, 6) AS max_drawdown
+FROM dd JOIN cnt ON cnt.event_type = dd.event_type
+WHERE dd.rk = 1
+"""
+
+
+@register("timeseries_drawdown", oracle=_DRAWDOWN_SQL)
+def timeseries_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN of each event type's daily-revenue series —
+    the worst peak-to-trough collapse relative to the running peak
+    (the risk statistic finance monitors on equity curves, and the
+    same read an ops dashboard wants for daily volume: "how bad was
+    the worst slump, and when"): per type, the running peak over the
+    day grid, drawdown_t = (peak_t - x_t)/peak_t, and the row where
+    it maximizes (tie -> earliest day), with the peak and trough
+    levels alongside. CUSUM (``timeseries_cusum_changepoint``) finds
+    WHERE the level shifted; drawdown reports the DEPTH of the worst
+    excursion — different question, same grid.
+
+    Exactness: daily cents are exact integer sums; the running peak
+    is an integer window MAX; the drawdown is one fixed double
+    expression, compared UNROUNDED for the argmax (with the day as
+    the stated tie-break) and rounded only on emission. Revenue
+    cents are positive, so peak > 0 always — stated, not guarded.
+
+    Plan/scale: one map-side-combined day rollup, then windows on
+    the |type x day| grid partitioned by type (bounded by the
+    calendar, the family's shared shape); one row out per type."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    peak_w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = d.select(
+        "event_type", "day", "cents", F.max("cents").over(peak_w).alias("peak")
+    )
+    drawdown = (F.col("peak").cast("double") - F.col("cents")) / F.col("peak")
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(drawdown.desc(), "day")
+    )
+    dd = p.select(
+        "event_type",
+        "day",
+        "cents",
+        "peak",
+        drawdown.alias("drawdown"),
+        rk.alias("rk"),
+    ).where(F.col("rk") == 1)
+    cnt = d.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return dd.join(F.broadcast(cnt), "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("day").cast("timestamp").alias("trough_day"),
+        F.col("peak").alias("peak_cents"),
+        F.col("cents").alias("trough_cents"),
+        F.round("drawdown", 6).alias("max_drawdown"),
+    )
+
+
+_COL_ENTROPY_SQL = """
+WITH s AS (SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', o_orderpriority FROM orders
+           UNION ALL
+           SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL
+           SELECT 'order_year',
+                  CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR) FROM orders
+           UNION ALL
+           SELECT 'price_sign',
+                  CASE WHEN o_totalprice > 0 THEN 'pos' ELSE 'nonpos' END
+           FROM orders),
+c AS (SELECT col, val, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s GROUP BY col, val),
+c2 AS (SELECT col, n,
+              SUM(n) OVER (PARTITION BY col) AS tot
+       FROM c),
+t AS (SELECT col, CAST(MAX(tot) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(n) AS BIGINT) AS top_n,
+             CAST(SUM(CAST(
+                 -(CAST(n AS DOUBLE) / tot)
+                   * ln(CAST(n AS DOUBLE) / tot)
+                   / ln(2) AS DECIMAL(38,15))) AS DOUBLE) AS h
+      FROM c2 GROUP BY col)
+SELECT col AS column_name, n_distinct,
+       round(CAST(top_n AS DOUBLE) / tot, 6) AS top_share,
+       round(h, 6) AS entropy_bits,
+       CASE WHEN n_distinct > 1
+            THEN round(h / (ln(CAST(n_distinct AS DOUBLE)) / ln(2)), 6)
+            ELSE NULL END AS entropy_normalized
+FROM t
+"""
+
+
+@register("profile_column_entropy", oracle=_COL_ENTROPY_SQL)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL-COLUMN ENTROPY PROFILE of the orders table — the
+    information-theoretic companion of the column profiler
+    (``profile_orders_columns`` reads nulls/min/max/distincts;
+    ``profile_functional_dependencies`` reads determinism BETWEEN
+    columns; this reads how much information each column carries on
+    its own): per column, Shannon entropy in bits over the value
+    distribution, the dominant value's share, and entropy normalized
+    by log2(distinct) — near-0 flags a effectively-constant column
+    (drop it from shuffles and stats), near-1 a uniform key-like one
+    (a candidate partition/bucket key). Columns span the cardinality
+    range on purpose: status (3 values), priority (5), order year
+    (calendar-sized), custkey (key-like), and a derived price-sign
+    flag that is constant on this data — the live case for the
+    normalized-entropy NULL boundary.
+
+    Exactness: value counts are exact integers via ONE stacked
+    aggregate; each value's -p*log2(p) term is one fixed double
+    expression DECIMAL(38,15)-cast before the order-independent
+    per-column sum; shares and normalizations are single divisions +
+    round(6), with the single-valued-column guard (log2(1) = 0
+    denominator) stated as NULL in both engines.
+
+    Plan/scale: the unpivot explode carries (column, value) pairs —
+    5x the rows but only the profiled columns' bytes; one map-side-
+    combined count, then per-column closing sums over the bounded
+    value grid. |columns| output rows."""
+    o = _t(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("o_custkey").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("order_year").alias("col"),
+                    F.year("o_orderdate").cast("int").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("price_sign").alias("col"),
+                    F.when(F.col("o_totalprice") > 0, F.lit("pos"))
+                    .otherwise(F.lit("nonpos"))
+                    .alias("val"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.col", "s.val")
+    c = stacked.groupBy("col", "val").agg(F.count("*").alias("n"))
+    tot_w = W.partitionBy("col")
+    p = F.col("n").cast("double") / F.sum("n").over(tot_w)
+    term = (-p * F.log(p) / math.log(2.0)).cast("decimal(38,15)")
+    t = c.select("col", "n", term.alias("term")).groupBy("col").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").alias("n_distinct"),
+        F.max("n").cast("bigint").alias("top_n"),
+        F.sum("term").cast("double").alias("h"),
+    )
+    norm = F.col("h") / (F.log(F.col("n_distinct").cast("double")) / math.log(2.0))
+    return t.select(
+        F.col("col").alias("column_name"),
+        "n_distinct",
+        F.round(F.col("top_n").cast("double") / F.col("tot"), 6).alias("top_share"),
+        F.round("h", 6).alias("entropy_bits"),
+        F.when(F.col("n_distinct") > 1, F.round(norm, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("entropy_normalized"),
     )
 
 

@@ -5293,6 +5293,124 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1_TXT = "1.2"
+BM25_B_TXT = "0.75"
+BM25_TOP_N = 20
+
+_BM25_SQL = rf"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+qt AS (SELECT term FROM tf WHERE doc_id = 0
+       ORDER BY tf DESC, term LIMIT 3),
+df AS (SELECT tf.term, CAST(COUNT(*) AS BIGINT) AS df
+       FROM tf JOIN qt ON qt.term = tf.term GROUP BY tf.term),
+s AS (SELECT tf.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_matched,
+             CAST(SUM(CAST(
+                 ln((CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * (tf.tf * (CAST({BM25_K1_TXT} AS DOUBLE) + 1))
+                 / (tf.tf + CAST({BM25_K1_TXT} AS DOUBLE)
+                    * (1 - CAST({BM25_B_TXT} AS DOUBLE)
+                       + CAST({BM25_B_TXT} AS DOUBLE) * dl.dl
+                         / (CAST(n.tot AS DOUBLE) / n.n)))
+                 AS DECIMAL(38,15))) AS DOUBLE) AS score
+      FROM tf
+      JOIN qt ON qt.term = tf.term
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id, n
+      GROUP BY tf.doc_id),
+r AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT {BM25_TOP_N})
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, n_matched, round(score, 6) AS bm25_score
+FROM r
+"""
+
+
+@register("text_bm25_ranking", oracle=_BM25_SQL)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 DOCUMENT RANKING (Robertson et al., the Okapi weighting —
+    the lexical-retrieval standard TF-IDF graduated into, and the
+    baseline every dense retriever is still benchmarked against):
+    score the whole corpus against a deterministic 3-term query (doc
+    0's top tokens by (tf DESC, term) — data-derived so it exists at
+    every scale) with the textbook formula — idf = ln((N-df+0.5)/
+    (df+0.5)+1), saturation k1 = 1.2, length normalization b = 0.75
+    against the exact corpus average length — and emit the global
+    top-20 with per-doc matched-term counts. Complements
+    ``sim_cosine_topk`` (dense) and ``sim_tfidf_rerank_pairs``
+    (tf-idf): the three retrieval scorers a hybrid search stack runs
+    side by side.
+
+    Exactness: tf/df/dl/N are exact integers; k1 and b are shared
+    decimal TEXT constants; each (doc, term) contribution is one
+    fixed double expression DECIMAL(38,15)-cast before the per-doc
+    sum; ranking compares unrounded doubles with doc_id ties, and
+    only the emitted score rounds.
+
+    Plan/scale: the tf table is the corpus's one data-sized aggregate
+    (shared shape with the tf-idf family); the 3-term query semi-joins
+    tf down to matching postings BEFORE any scoring work (the
+    df/dl/n sides broadcast); the global top-20 is
+    TakeOrderedAndProject. At 100 TB this is postings-list scoring:
+    work ∝ documents containing query terms, not the corpus."""
+    from vector_db_core_spark.functions.text import tokens
+
+    k1 = float(BM25_K1_TXT)
+    b = float(BM25_B_TXT)
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    n = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").cast("bigint").alias("tot")
+    )
+    qt = (
+        tf.where(F.col("doc_id") == 0)
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(3)
+        .select("term")
+    )
+    df = tf.join(F.broadcast(qt), "term").groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + k1 * (
+        1 - b + b * F.col("dl") / (F.col("tot").cast("double") / F.col("n"))
+    )
+    contrib = (idf * (F.col("tf") * (k1 + 1)) / denom).cast("decimal(38,15)")
+    s = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.sum(contrib).cast("double").alias("score"),
+        )
+    )
+    r = s.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP_N)
+    rank = F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id"))
+    return r.select(
+        rank.cast("int").alias("rank"),
+        "doc_id",
+        "n_matched",
+        F.round("score", 6).alias("bm25_score"),
+    )
+
+
 _PHASH_WIDE_SQL = r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
