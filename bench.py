@@ -557,6 +557,8 @@ def main() -> None:
             "streaming_minhash_dedup_instream",
             "streaming_ewma_daily_replay",
             "streaming_cdc_upsert_replay",
+            # round-11: the standing KMV distinct sketch
+            "streaming_kmv_distinct_replay",
         ):
             if name not in queries:
                 continue

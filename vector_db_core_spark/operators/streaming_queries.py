@@ -880,3 +880,98 @@ def streaming_late_data_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.where(F.unix_micros("ts") < cut).write.mode("append").parquet(landing)
     cycle()
     return spark.read.parquet(out)
+
+
+_KMV_STREAM_SQL = """
+WITH h AS (SELECT DISTINCT event_type,
+                  ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|kmv'),
+                                  1, 12))::BIGINT AS hv
+           FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+      FROM h),
+t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM h
+      GROUP BY event_type),
+sk AS (SELECT event_type, CAST(MAX(hv) AS BIGINT) AS hk,
+              CAST(COUNT(*) AS BIGINT) AS n_kept
+       FROM r WHERE rk <= 256 GROUP BY event_type)
+SELECT t.event_type, t.n_distinct,
+       CASE WHEN sk.n_kept < 256 THEN sk.n_kept
+            ELSE CAST(round(255.0 * 281474976710656.0 / sk.hk) AS BIGINT)
+       END AS est_distinct
+FROM t JOIN sk ON sk.event_type = t.event_type
+"""
+
+
+@register("streaming_kmv_distinct_replay", oracle=_KMV_STREAM_SQL)
+def streaming_kmv_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV DISTINCT-COUNT SKETCH maintained BY THE STREAMING ENGINE —
+    the streaming face of ``sketch_kmv_distinct_intersection``: the
+    stream's stateful aggregation holds exactly the distinct
+    (event_type, 48-bit salted-md5) pairs (the same dedup state a
+    streaming ``dropDuplicates`` keeps), and the bounded batch
+    finisher ranks each type's k = 256 smallest hashes and reads the
+    cardinality estimate off the k-th minimum — est = (k-1)*2^48/h(k),
+    or the exact kept count below k. The production narrative: the
+    stream keeps the sketch CURRENT incrementally; any consumer gets
+    a distinct-user estimate without rescanning history (what
+    approx_count_distinct gives per-query, this gives as standing
+    state — and unlike HLL state, KMV state merges across streams
+    AND supports the intersection algebra of its batch sibling).
+
+    Replay-deterministic: distinct-set state is arrival-order
+    independent, so the streamed sketch equals the batch answer and
+    the md5 family keeps the whole estimate under the exact oracle.
+
+    Plan/scale: streaming state is |distinct (type, hash)| rows —
+    the same state the dedup replay holds; the finisher's top-k runs
+    on the drained state table per type. A production stream caps
+    state with a per-type top-k ``applyInPandasWithState`` evictor
+    (state = k hashes per type); the replay keeps the plain
+    aggregation so the oracle stays exact."""
+    stream, root = _replay_events(spark, sf_dir, "kmv")
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|kmv"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    )
+    pairs = stream.select("event_type", hv).groupBy("event_type", "hv").agg(
+        F.count("*").alias("n_seen")
+    )
+    _run_to_memory(pairs, "stream_replay_kmv", root, "complete")
+    state = spark.table("stream_replay_kmv")
+    from pyspark.sql import Window as W
+
+    t = state.groupBy("event_type").agg(F.count("*").alias("n_distinct"))
+    # the sketch side renames its key: a self-join of two derivations
+    # of one memory-sink table trips Spark's attribute dedup
+    # ("Conflicting attributes") — distinct names sidestep it
+    rk = F.row_number().over(W.partitionBy("et").orderBy("hv"))
+    sk = (
+        state.select(F.col("event_type").alias("et"), "hv")
+        .select("et", "hv", rk.alias("rk"))
+        .where(F.col("rk") <= 256)
+        .groupBy("et")
+        .agg(
+            F.max("hv").cast("bigint").alias("hk"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    est = F.when(F.col("n_kept") < 256, F.col("n_kept")).otherwise(
+        F.round(F.lit(255.0) * F.lit(281474976710656.0) / F.col("hk")).cast(
+            "bigint"
+        )
+    )
+    return t.join(sk, t.event_type == sk.et).select(
+        "event_type",
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        est.cast("bigint").alias("est_distinct"),
+    )
