@@ -1087,6 +1087,19 @@ def test_round10_phash_banded_join_plan(spark):
     assert "k#" in plan and "bv#" in plan
 
 
+def test_round11_topk_cuts_are_takeordered(spark):
+    """The two round-11 bounded-cut ops must plan their K-row cuts as
+    TakeOrderedAndProject (per-partition top-K + merge), never a
+    global sort, and BM25 must semi-join the query terms down to
+    matching postings via broadcast before scoring."""
+    plan = _plan_simple(QUERIES["pipeline_review_queue"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    plan = _plan_simple(QUERIES["text_bm25_ranking"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_round11_phash_wide_banded_join_plan(spark):
     """The 63-bit scale twin keeps the 28-bit op's plan shape: band
     equi-join, Arrow decode path, no all-pairs."""
