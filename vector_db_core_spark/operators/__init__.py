@@ -44,7 +44,20 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: grouping/json/... wait for round 12).
 #: Queries oracled AFTER this rotation (round-11 additions) go first
 #: in the ROUND-12 window by the same recompute, then sentinels again
-#: by oldest-last-green family.
+#: by oldest-last-green family. As of end-of-round-11 the expected
+#: round-12 backlog is the 18 round-11 oracled additions (recompute
+#: against the registry at rotation time — this list is a snapshot,
+#: kept in sync as ops land):
+#: multimodal_phash_neardup_wide, pipeline_review_queue,
+#: graph_connected_components, graph_assortativity,
+#: agg_kendall_tau_binned, agg_brown_forsythe_variance,
+#: timeseries_ljung_box, pipeline_mixture_temperature,
+#: text_js_divergence_sources, multimodal_aspect_bucketing,
+#: sim_mmr_diversified_topk, agg_theil_index,
+#: sketch_kmv_distinct_intersection, cohort_km_median_lifetime,
+#: text_bm25_ranking, timeseries_drawdown, profile_column_entropy,
+#: streaming_kmv_distinct_replay — plus whatever the r11 driver
+#: leaves unsampled.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
 #: (tests/test_oracle.py).
