@@ -897,7 +897,8 @@ sk AS (SELECT event_type, CAST(MAX(hv) AS BIGINT) AS hk,
        FROM r WHERE rk <= 256 GROUP BY event_type)
 SELECT t.event_type, t.n_distinct,
        CASE WHEN sk.n_kept < 256 THEN sk.n_kept
-            ELSE CAST(round(255.0 * 281474976710656.0 / sk.hk) AS BIGINT)
+            ELSE CAST(round(CAST(255 AS DOUBLE) * 281474976710656.0 / sk.hk)
+                      AS BIGINT)
        END AS est_distinct
 FROM t JOIN sk ON sk.event_type = t.event_type
 """
