@@ -192,6 +192,9 @@ HEADLINE = [
     "text_bm25_ranking",
     "timeseries_drawdown",
     "profile_column_entropy",
+    # round-11 wave 4
+    "agg_mann_whitney_binned",
+    "timeseries_seasonal_strength",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

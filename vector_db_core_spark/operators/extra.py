@@ -4561,6 +4561,108 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_SEASONAL_STRENGTH_SQL = (
+    "WITH dec AS (" + _SEASONAL_DECOMP_SQL + """),
+f AS (SELECT trend, seasonal, residual FROM dec WHERE trend IS NOT NULL),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(residual AS DECIMAL(38,15))) AS DOUBLE) AS sr,
+             CAST(SUM(CAST(residual * residual AS DECIMAL(38,15)))
+                  AS DOUBLE) AS qr,
+             CAST(SUM(CAST(trend + residual AS DECIMAL(38,15)))
+                  AS DOUBLE) AS st,
+             CAST(SUM(CAST((trend + residual) * (trend + residual)
+                           AS DECIMAL(38,15))) AS DOUBLE) AS qt,
+             CAST(SUM(CAST(seasonal + residual AS DECIMAL(38,15)))
+                  AS DOUBLE) AS ss,
+             CAST(SUM(CAST((seasonal + residual) * (seasonal + residual)
+                           AS DECIMAL(38,15))) AS DOUBLE) AS qs
+      FROM f)
+SELECT n AS n_days_full,
+       round(qr / n - (sr / n) * (sr / n), 6) AS var_residual,
+       CASE WHEN qt / n - (st / n) * (st / n) = 0 THEN NULL
+            ELSE round(greatest(CAST(0 AS DOUBLE),
+                 1 - (qr / n - (sr / n) * (sr / n))
+                     / (qt / n - (st / n) * (st / n))), 6)
+       END AS trend_strength,
+       CASE WHEN qs / n - (ss / n) * (ss / n) = 0 THEN NULL
+            ELSE round(greatest(CAST(0 AS DOUBLE),
+                 1 - (qr / n - (sr / n) * (sr / n))
+                     / (qs / n - (ss / n) * (ss / n))), 6)
+       END AS seasonal_strength
+FROM v
+"""
+)
+
+
+@register("timeseries_seasonal_strength", oracle=_SEASONAL_STRENGTH_SQL)
+def timeseries_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREND AND SEASONAL STRENGTH (Wang, Smith & Hyndman 2006 — the
+    feature pair tsfeatures/forecasting pipelines triage series
+    with): F_T = max(0, 1 - Var(R)/Var(T+R)) and F_S = max(0, 1 -
+    Var(R)/Var(S+R)) over the registered classical decomposition —
+    the one-number summaries that turn
+    ``timeseries_seasonal_decompose``'s full grid into a routing
+    decision (strong seasonality -> seasonal model, strong trend ->
+    trend model, neither -> the series is mostly noise and a mean
+    forecast is honest). Composes the decomposition's DataFrame AND
+    oracle text as a CTE, restricted to full-window rows (trend
+    non-NULL), so the strengths are functions of the registered op's
+    already-round(6) columns — identical by construction.
+
+    Exactness: each sum of values / squares DECIMAL(38,15)-casts one
+    fixed double term (the decomposition's emitted columns) before
+    the order-independent reduction; population variances and the
+    two strength ratios close as fixed double expressions with a
+    NULLIF zero-variance guard and GREATEST clamp stated in both
+    engines (greatest never sees a NULL — its NULL semantics differ
+    across engines); round(6) on emission.
+
+    Plan/scale: everything beyond the decomposition's own grid work
+    is one reduction over the |days|-row grid to a single row."""
+    dec = timeseries_seasonal_decompose(spark, sf_dir).where(
+        F.col("trend").isNotNull()
+    )
+    tr = (F.col("trend") + F.col("residual")).alias("tr")
+    sr_ = (F.col("seasonal") + F.col("residual")).alias("sr_")
+    f = dec.select("trend", "seasonal", "residual", tr, sr_)
+
+    def acc(col, out_s, out_q):
+        c = F.col(col)
+        return [
+            F.sum(c.cast("decimal(38,15)")).cast("double").alias(out_s),
+            F.sum((c * c).cast("decimal(38,15)")).cast("double").alias(out_q),
+        ]
+
+    v = f.agg(
+        F.count("*").alias("n"),
+        *acc("residual", "sr", "qr"),
+        *acc("tr", "st", "qt"),
+        *acc("sr_", "ss", "qs"),
+    )
+    n = F.col("n")
+
+    def var(s, q):
+        return F.col(q) / n - (F.col(s) / n) * (F.col(s) / n)
+
+    vr = var("sr", "qr")
+
+    def strength(s, q):
+        # zero-variance branch stated as an explicit CASE in both
+        # engines (greatest-with-NULL semantics differ across engines)
+        return F.when(
+            var(s, q) == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(F.greatest(F.lit(0.0), 1 - vr / var(s, q)), 6)
+        )
+
+    return v.select(
+        n.alias("n_days_full"),
+        F.round(vr, 6).alias("var_residual"),
+        strength("st", "qt").alias("trend_strength"),
+        strength("ss", "qs").alias("seasonal_strength"),
+    )
+
+
 _WELCH_SQL = """
 WITH base AS (SELECT c.c_mktsegment AS seg,
                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
@@ -5218,6 +5320,124 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_distinct") > 1, F.round(norm, 6))
         .otherwise(F.lit(None).cast("double"))
         .alias("entropy_normalized"),
+    )
+
+
+_MANN_WHITNEY_SQL = """
+WITH x AS (SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END AS in_a,
+                  CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bin
+           FROM orders),
+g AS (SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(in_a) AS BIGINT) AS a
+      FROM x GROUP BY bin),
+w AS (SELECT bin, c, a,
+             COALESCE(SUM(c) OVER (ORDER BY bin
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_before
+      FROM g),
+s AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS n_a,
+             CAST(SUM(CAST(a * (2 * cum_before + c + 1) AS DECIMAL(38,0)))
+                  AS DOUBLE) AS r2,
+             CAST(SUM(CAST(c * c * c - c AS DECIMAL(38,0))) AS DOUBLE) AS ties
+      FROM w)
+SELECT n_a, n - n_a AS n_b,
+       round((r2 - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2, 6) AS u_stat,
+       round(((r2 - CAST(n_a AS DOUBLE) * (n_a + 1))
+              - CAST(n_a AS DOUBLE) * (n - n_a))
+             / (2 * sqrt(CAST(n_a AS DOUBLE) * (n - n_a) / 12.0
+                         * ((n + 1) - ties
+                            / (CAST(n AS DOUBLE) * (n - 1))))), 6) AS z_score,
+       abs(((r2 - CAST(n_a AS DOUBLE) * (n_a + 1))
+            - CAST(n_a AS DOUBLE) * (n - n_a))
+           / (2 * sqrt(CAST(n_a AS DOUBLE) * (n - n_a) / 12.0
+                       * ((n + 1) - ties
+                          / (CAST(n AS DOUBLE) * (n - 1)))))) > 1.96
+         AS reject_95
+FROM s
+"""
+
+
+@register("agg_mann_whitney_binned", oracle=_MANN_WHITNEY_SQL)
+def agg_mann_whitney_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum) on $1,000 VALUE BINS —
+    urgent-or-high orders vs the rest: the DISTRIBUTION-FREE
+    two-sample location test beside the family's parametric Welch t
+    (means) and KS (whole-shape) members — the one analysts reach for
+    when revenue tails make means lie. Binning is the scale move
+    (the ``agg_ks_binned`` / ``agg_kendall_tau_binned`` discipline):
+    exact midranks over raw near-continuous prices would need a
+    data-sized rank (the wall Spearman's two-phase machinery exists
+    for); on the bounded bin grid every midrank is a closed form of
+    the bin histogram — midrank_v = rows-below + (ties+1)/2 — and
+    the tie-corrected normal approximation
+    z = (U - n_a n_b/2) / sqrt(n_a n_b/12 ((n+1) - sum(t^3-t)/n(n-1)))
+    reads entirely off grid marginals. Doubled midranks
+    (2*cum_before + c + 1) keep the rank sum an exact integer — the
+    Spearman rx2 trick.
+
+    Exactness: bin counts, doubled rank sums, and the tie term
+    accumulate in DECIMAL(38,0) (t^3 overflows BIGINT long before
+    100 TB); the U, z, and decision close as fixed double
+    expressions (+ round(6) on emission; the decision compares the
+    unrounded z in both engines).
+
+    Plan/scale: one map-side-combined bin aggregate is the only
+    data-sized work; the cumulative window runs on the ~100-row bin
+    grid; one-row output."""
+    x = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("in_a"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000").alias(
+            "bin"
+        ),
+    )
+    g = x.groupBy("bin").agg(
+        F.count("*").alias("c"), F.sum("in_a").cast("bigint").alias("a")
+    )
+    cum_w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    w = g.select(
+        "bin",
+        "c",
+        "a",
+        F.coalesce(F.sum("c").over(cum_w), F.lit(0)).alias("cum_before"),
+    )
+    r2_term = (
+        F.col("a") * (2 * F.col("cum_before") + F.col("c") + 1)
+    ).cast("decimal(38,0)")
+    tie_term = (
+        F.col("c") * F.col("c") * F.col("c") - F.col("c")
+    ).cast("decimal(38,0)")
+    s = w.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("n_a"),
+        F.sum(r2_term).cast("double").alias("r2"),
+        F.sum(tie_term).cast("double").alias("ties"),
+    )
+    n = F.col("n")
+    na = F.col("n_a").cast("double")
+    nb = (F.col("n") - F.col("n_a")).cast("double")
+    u2 = F.col("r2") - na * (F.col("n_a") + 1)
+    # literally 2*sqrt(var), matching the SQL text character-for-
+    # character in structure (sqrt(4*var) is equal in IEEE but the
+    # catalog's rule is identical stated expressions, not equivalences)
+    z = (u2 - na * nb) / (
+        2
+        * F.sqrt(
+            (na * nb / 12.0)
+            * ((n + 1) - F.col("ties") / (n.cast("double") * (n - 1)))
+        )
+    )
+    return s.select(
+        "n_a",
+        (F.col("n") - F.col("n_a")).alias("n_b"),
+        F.round(u2 / 2, 6).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("reject_95"),
     )
 
 
