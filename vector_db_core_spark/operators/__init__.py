@@ -56,8 +56,9 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: sim_mmr_diversified_topk, agg_theil_index,
 #: sketch_kmv_distinct_intersection, cohort_km_median_lifetime,
 #: text_bm25_ranking, timeseries_drawdown, profile_column_entropy,
-#: streaming_kmv_distinct_replay — plus whatever the r11 driver
-#: leaves unsampled.
+#: streaming_kmv_distinct_replay, agg_mann_whitney_binned,
+#: timeseries_seasonal_strength (20 total) — plus whatever the r11
+#: driver leaves unsampled.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
 #: (tests/test_oracle.py).
