@@ -24,100 +24,89 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
 #: The 50 queries surfaced to the driver's correctness window.
 #:
-#: Round-11 rotation (mechanical, same recompute as r6..r10). Basis:
-#:   covered = union of hash_match rows across CORRECTNESS_r{01..10}.json
-#:           == 242 distinct queries (r10 closed the whole 11-query
-#:              round-9 backlog)
-#:   backlog = [n for n in ORACLE if n not in covered]   # == 24
-#: The 24 backlog entries are exactly the round-10 oracled additions
-#: (registered after the r10 window rotated; the r10 judge
-#: hash-verified all 24 at sf0.01 AND sf0.1). They go FIRST, in the
-#: order pre-enumerated by the r10 rotation note; a green run makes
-#: distinct ever-driver-green == 266/266 for the round-10 registry.
-#: The remaining 26 slots are drift sentinels, same rule as before:
-#: group the 242 covered queries into operator families (name prefix,
-#: TPC-H collapsed to one family; 38 families), take each family's
+#: Round-12 rotation (mechanical, same recompute as r6..r11). Basis:
+#:   covered = union of hash_match rows across CORRECTNESS_r{01..11}.json
+#:           == 266 distinct queries (r11 closed the whole 24-query
+#:              round-10 backlog)
+#:   backlog = [n for n in ORACLE if n not in covered]   # == 20
+#: The 20 backlog entries are exactly the round-11 oracled additions
+#: (registered after the r11 window rotated; the r11 judge
+#: hash-verified all 20 at sf0.01 AND sf0.1). They go FIRST, in the
+#: order pre-enumerated by the r11 rotation note; a green run makes
+#: distinct ever-driver-green == 286/286 for the round-11 registry.
+#: The remaining 30 slots are drift sentinels, same rule as before:
+#: group the 266 covered queries into operator families (name prefix,
+#: TPC-H collapsed to one family; 39 families), take each family's
 #: member whose LAST green row is oldest (min over members of
 #: max(round) per name, tie alphabetical), rank families by that round
-#: ascending (tie alphabetical), keep 26 (the r10-tie tail is
-#: alphabetical: cohort_daily_retention is the 26th; cube/distinct/
-#: grouping/json/... wait for round 12).
-#: Queries oracled AFTER this rotation (round-11 additions) go first
-#: in the ROUND-12 window by the same recompute, then sentinels again
-#: by oldest-last-green family. As of end-of-round-11 the expected
-#: round-12 backlog is the 18 round-11 oracled additions (recompute
-#: against the registry at rotation time — this list is a snapshot,
-#: kept in sync as ops land):
-#: multimodal_phash_neardup_wide, pipeline_review_queue,
-#: graph_connected_components, graph_assortativity,
-#: agg_kendall_tau_binned, agg_brown_forsythe_variance,
-#: timeseries_ljung_box, pipeline_mixture_temperature,
-#: text_js_divergence_sources, multimodal_aspect_bucketing,
-#: sim_mmr_diversified_topk, agg_theil_index,
-#: sketch_kmv_distinct_intersection, cohort_km_median_lifetime,
-#: text_bm25_ranking, timeseries_drawdown, profile_column_entropy,
-#: streaming_kmv_distinct_replay, agg_mann_whitney_binned,
-#: timeseries_seasonal_strength (20 total) — plus whatever the r11
-#: driver leaves unsampled.
+#: ascending (tie alphabetical), keep 30 (the r10-tie tail is
+#: alphabetical: sql_api_nation_revenue is the 30th; subquery/topk/
+#: unpivot plus the r11-green assoc/attribution/case/checksum/cohort/
+#: rfm families wait for round 13).
+#: Queries oracled AFTER this rotation (round-12 additions) go first
+#: in the ROUND-13 window by the same recompute, then sentinels again
+#: by oldest-last-green family. This snapshot is kept in sync as ops
+#: land during round 12 (see the list in tools/rotation.md if present,
+#: else recompute from CORRECTNESS_r*.json as above).
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
 #: (tests/test_oracle.py).
 DRIVER_WINDOW = (
-    # --- 24-query backlog: the round-10 additions, never driver-checked ---
-    "agg_ks_binned",
-    "agg_chi2_independence",
-    "agg_mutual_information",
-    "timeseries_mann_kendall",
-    "rfm_customer_segments",
-    "pipeline_sequence_packing",
-    "graph_kcore_peeling",
-    "cohort_kaplan_meier",
-    "profile_functional_dependencies",
-    "multimodal_byte_packing",
-    "timeseries_cumulative_reach",
-    "text_flesch_readability",
-    "agg_anova_oneway",
-    "agg_hhi_concentration",
-    "pipeline_dedup_token_savings",
-    "graph_jaccard_link_prediction",
-    "graph_link_prediction_seeded",
-    "multimodal_phash_neardup",
-    "timeseries_seasonal_decompose",
-    "attribution_position_based",
-    "pipeline_reservoir_sample",
-    "agg_welch_ttest",
-    "text_source_vocab_overlap",
-    "agg_spearman_rank_corr",
-    # --- 26 drift sentinels: per family the member whose LAST green
+    # --- 20-query backlog: the round-11 additions, never driver-checked ---
+    "multimodal_phash_neardup_wide",
+    "pipeline_review_queue",
+    "graph_connected_components",
+    "graph_assortativity",
+    "agg_kendall_tau_binned",
+    "agg_brown_forsythe_variance",
+    "timeseries_ljung_box",
+    "pipeline_mixture_temperature",
+    "text_js_divergence_sources",
+    "multimodal_aspect_bucketing",
+    "sim_mmr_diversified_topk",
+    "agg_theil_index",
+    "sketch_kmv_distinct_intersection",
+    "cohort_km_median_lifetime",
+    "text_bm25_ranking",
+    "timeseries_drawdown",
+    "profile_column_entropy",
+    "streaming_kmv_distinct_replay",
+    "agg_mann_whitney_binned",
+    "timeseries_seasonal_strength",
+    # --- 30 drift sentinels: per family the member whose LAST green
     # --- row is oldest; families ranked by that round ascending,
-    # --- ties alphabetical. 38 families > 26 slots; cut after the
-    # --- 5th of the 17-way r10 tie (cohort_daily_retention).
-    "join_fuzzy_part_names",            # join, last green r3
-    "ref_pull_point",                   # ref, last green r3
-    "text_tfidf_top_terms",             # text, last green r3
-    "agg_corr_covar_lineitem",          # agg, last green r4
-    "dedup_incremental_minhash",        # dedup, last green r4
-    "pipeline_corpus_curation",         # pipeline, last green r4
-    "scalar_bitwise_functions",         # scalar, last green r4
-    "sim_quantize_embeddings",          # sim, last green r4
-    "streaming_session_counts_replay",  # streaming, last green r4
-    "window_sliding_event_counts",      # window, last green r4
-    "timeseries_active_users",          # timeseries, last green r5
-    "q10_returned_item_customers",      # tpch, last green r5
-    "multimodal_frame_sample",          # multimodal, last green r7
-    "set_union_active_custkeys",        # set, last green r8
-    "sketch_count_min_md5_topk",        # sketch, last green r8
-    "funnel_bounce_rate_daily",         # funnel, last green r9
-    "graph_triangle_clustering",        # graph, last green r9
-    "group_topn_with_ties",             # group, last green r9
-    "profile_embedding_dims",           # profile, last green r9
-    "sql_api_tpch_q4",                  # sql, last green r9
-    "subquery_scalar_above_avg_parts",  # subquery, last green r9
-    "assoc_part_pairs_in_orders",       # assoc, last green r10
-    "attribution_last_touch",           # attribution, last green r10
-    "case_bucketize_orders",            # case, last green r10
-    "checksum_orders_table",            # checksum, last green r10
-    "cohort_daily_retention",           # cohort, last green r10
+    # --- ties alphabetical. 39 families > 30 slots; cut after the
+    # --- 14th of the 17-way r10 tie (sql_api_nation_revenue).
+    "join_outer_order_counts",          # join, last green r3
+    "ref_pullx_range",                  # ref, last green r3
+    "agg_histogram_price_bins",         # agg, last green r4
+    "dedup_ngram_jaccard_pairs",        # dedup, last green r4
+    "pipeline_domain_cap_sample",       # pipeline, last green r4
+    "scalar_date_functions",            # scalar, last green r4
+    "text_bigram_lm",                   # text, last green r4
+    "window_zscore_outliers",           # window, last green r4
+    "sim_tfidf_rerank_pairs",           # sim, last green r5
+    "streaming_append_window_replay",   # streaming, last green r5
+    "timeseries_multi_grain_rollup",    # timeseries, last green r5
+    "q11_important_part_values",        # tpch, last green r5
+    "multimodal_resize_thumbnail",      # multimodal, last green r7
+    "funnel_time_to_convert",           # funnel, last green r9
+    "profile_lineitem_key_skew",        # profile, last green r9
+    "set_except_inactive_custkeys",     # set, last green r9
+    "cube_status_priority",             # cube, last green r10
+    "distinct_market_segments",         # distinct, last green r10
+    "graph_degree_distribution",        # graph, last green r10
+    "group_topk_orders_per_customer",   # group, last green r10
+    "grouping_sets_status_priority",    # grouping, last green r10
+    "json_extract_props",               # json, last green r10
+    "merge_upsert_orders",              # merge, last green r10
+    "pattern_session_sequences",        # pattern, last green r10
+    "pivot_status_by_priority",         # pivot, last green r10
+    "quality_expectations_orders",      # quality, last green r10
+    "rollup_returnflag_status",         # rollup, last green r10
+    "scd2_user_event_intervals",        # scd2, last green r10
+    "sketch_bloom_md5_nonmembers",      # sketch, last green r10
+    "sql_api_nation_revenue",           # sql, last green r10
 )
 
 

@@ -4941,7 +4941,9 @@ ck AS (SELECT a.event_type, CAST(lag.k AS INT) AS k,
                AND b.day = a.day - CAST(lag.k AS INTEGER)
        GROUP BY 1, 2),
 r AS (SELECT ck.event_type, ck.k, st.n,
-             CAST(ck.sk AS DOUBLE) / CAST(c0.s0 AS DOUBLE) AS rho
+             CASE WHEN c0.s0 <> 0
+                  THEN CAST(ck.sk AS DOUBLE) / CAST(c0.s0 AS DOUBLE)
+                  END AS rho
       FROM ck
       JOIN c0 ON c0.event_type = ck.event_type
       JOIN st ON st.event_type = ck.event_type
@@ -4976,7 +4978,12 @@ def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (the ANOVA accumulators' discipline), as does each lag's
     rho^2/(n-k) term before the 7-term fold; one n(n+2)*sum + round(6)
     finish. Series shorter than m lags are excluded in both engines
-    (stated boundary; every fixture series is far longer).
+    (stated boundary; every fixture series is far longer), and a
+    CONSTANT series (s0 = 0) NULLs rho — hence Q — identically in both
+    engines via an explicit zero-denominator CASE/when (the
+    assortativity denominator-guard convention; unguarded, Spark's
+    double /0 NULLs while DuckDB's raises or infs, a silent
+    cross-engine divergence).
 
     Plan/scale: the day grid is the only data-sized reduction (the
     family's shared daily rollup); deviations, c_0, and the 7 lag
@@ -5028,7 +5035,10 @@ def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "k",
             "n",
-            (F.col("sk").cast("double") / F.col("s0").cast("double")).alias("rho"),
+            F.when(
+                F.col("s0") != 0,
+                F.col("sk").cast("double") / F.col("s0").cast("double"),
+            ).alias("rho"),
         )
     )
     term = (F.col("rho") * F.col("rho") / (F.col("n") - F.col("k"))).cast(

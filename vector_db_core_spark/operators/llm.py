@@ -1980,7 +1980,7 @@ def pipeline_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DECODE_FEATURES_SQL = """
-WITH h AS (SELECT doc_id, md5(text) || md5(reverse(text)) AS hx FROM documents),
+WITH h AS (SELECT doc_id, md5(text) || md5(text || '#f2') AS hx FROM documents),
 b AS (SELECT doc_id,
              unnest(list_transform(generate_series(1, 32),
                                    i -> ('0x' || substr(hx, 2*i - 1, 2))::INT)) AS byte
@@ -2008,7 +2008,10 @@ FROM s
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode under the driver's hash gate: every document
     becomes a valid 8×4 grayscale netpbm (P5) image whose raster is
-    the 32 bytes of ``md5(text) || md5(reverse(text))`` — built
+    the 32 bytes of ``md5(text) || md5(text || '#f2')`` (salted-suffix
+    second half, NOT ``md5(reverse(text))`` — Spark's ``reverse()``
+    walks code points while DuckDB's walks grapheme clusters, so a
+    non-ASCII document would silently diverge per engine) — built
     JVM-side with binary concat — then ``extract_features`` runs the
     actual Arrow-batched ``mapInPandas`` → ``image_features`` path
     (header parse, raster decode, per-channel means + 5-bin luminance
@@ -2030,7 +2033,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    hexs = F.concat(F.md5("text"), F.md5(F.reverse(F.col("text"))))
+    hexs = F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("#f2"))))
     payload = F.concat(F.lit(b"P5\n8 4\n255\n"), F.unhex(hexs))
     imgs = docs.select("doc_id", payload.alias("payload"))
     feats = extract_features(imgs, "payload", decoder=image_features)
@@ -3072,7 +3075,7 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RESIZE_THUMB_SQL = """
-WITH h AS (SELECT doc_id, md5(text) || md5(reverse(text)) AS hx FROM documents)
+WITH h AS (SELECT doc_id, md5(text) || md5(text || '#t2') AS hx FROM documents)
 SELECT doc_id,
        4 AS out_width, 2 AS out_height,
        upper(substr(hx, 1, 2) || substr(hx, 5, 2) || substr(hx, 9, 2) ||
@@ -3086,7 +3089,10 @@ FROM h
 def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL raster resize under the hash gate — the thumbnailing pass
     of a media curation pipeline, on the ``multimodal_decode_features``
-    construction: every document becomes the same content-derived 8x4
+    construction (salted-suffix raster ``md5(text) || md5(text ||
+    '#t2')`` — engine-stable on any input, unlike ``reverse()`` whose
+    code-point/grapheme split diverges on non-ASCII text): every
+    document becomes the same content-derived 8x4
     grayscale netpbm, then ``resize_media`` runs the Arrow-batched
     ``mapInPandas`` path with the REAL resizer
     (``functions.multimodal.resize_image``: decode -> nearest-neighbor
@@ -3107,7 +3113,7 @@ def multimodal_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_core_spark.functions.multimodal import resize_image, resize_media
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    hexs = F.concat(F.md5("text"), F.md5(F.reverse(F.col("text"))))
+    hexs = F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("#t2"))))
     imgs = docs.select(
         "doc_id",
         F.concat(F.lit(b"P5\n8 4\n255\n"), F.unhex(hexs)).alias("payload"),
@@ -5280,6 +5286,10 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key = (-rv, vid)
             if best is None or key < best[0]:
                 best = (key, vid, rv, mmr)
+        if best is None:
+            # pool smaller than MMR_K (tiny fixture): emit fewer rows,
+            # exactly like the oracle's empty pick-k CTE
+            break
         picked.append((rank, best[1], best[2], best[3]))
         chosen.append(best[1])
     out = spark.createDataFrame(

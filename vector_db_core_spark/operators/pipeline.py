@@ -2113,15 +2113,17 @@ al AS (SELECT CAST(u.a AS DOUBLE) AS alpha
        FROM UNNEST([0.3, 0.5, 0.7, 1.0]) AS u(a)),
 p AS (SELECT al.alpha, t.source, t.n_tokens,
              CAST(t.n_tokens AS DOUBLE) / tot.total AS pnat,
-             exp(al.alpha * ln(CAST(t.n_tokens AS DOUBLE) / tot.total)) AS pa
+             CASE WHEN t.n_tokens > 0
+                  THEN exp(al.alpha * ln(CAST(t.n_tokens AS DOUBLE) / tot.total))
+                  ELSE 0.0 END AS pa
       FROM t, tot, al),
 z AS (SELECT alpha, CAST(SUM(CAST(pa AS DECIMAL(38,15))) AS DOUBLE) AS za
       FROM p GROUP BY alpha)
 SELECT p.alpha, p.source, p.n_tokens,
        round(p.pnat, 6) AS share_natural,
        round(p.pa / z.za, 6) AS share_temp,
-       round(p.pa / z.za / p.pnat, 6) AS repeat_factor,
-       p.pa / z.za / p.pnat > 4.0 AS over_cap
+       round(p.pa / z.za / NULLIF(p.pnat, 0.0), 6) AS repeat_factor,
+       p.pa / z.za / NULLIF(p.pnat, 0.0) > 4.0 AS over_cap
 FROM p JOIN z ON z.alpha = p.alpha
 """
 
@@ -2146,11 +2148,16 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: token counts are exact integers; p^alpha is stated as
     exp(alpha * ln(p)) LITERALLY in both engines (never a bare pow —
-    same-libm-family discipline as the catalog's ln/exp consumers);
-    each alpha's normalizer sums DECIMAL(38,15)-cast terms
-    (order-independent); shares close as fixed double expressions +
-    round(6), and the over-cap flag compares the unrounded ratio in
-    both engines.
+    same-libm-family discipline as the catalog's ln/exp consumers),
+    GUARDED by ``n_tokens > 0`` on both sides (a zero-token source has
+    p=0: unguarded, DuckDB's ln(0) raises while Spark's F.log(0)
+    returns NULL — the silent cross-engine divergence class; lim
+    p→0 p^alpha = 0 for alpha>0, so both engines state 0 explicitly,
+    and the repeat-factor ratio NULLs its p=0 denominator identically
+    via NULLIF / a when-guard); each alpha's normalizer sums
+    DECIMAL(38,15)-cast terms (order-independent); shares close as
+    fixed double expressions + round(6), and the over-cap flag
+    compares the unrounded ratio in both engines.
 
     Plan/scale: ONE map-side-combined per-source token aggregate is
     the only data-sized work (the shuffle carries one row per
@@ -2176,14 +2183,16 @@ def pipeline_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             pnat.alias("pnat"),
-            F.exp(F.col("alpha") * F.log(pnat)).alias("pa"),
+            F.when(
+                F.col("n_tokens") > 0, F.exp(F.col("alpha") * F.log(pnat))
+            ).otherwise(F.lit(0.0)).alias("pa"),
         )
     )
     z = p.groupBy("alpha").agg(
         F.sum(F.col("pa").cast("decimal(38,15)")).cast("double").alias("za")
     )
     share = F.col("pa") / F.col("za")
-    boost = share / F.col("pnat")
+    boost = share / F.when(F.col("pnat") > 0, F.col("pnat"))
     return p.join(F.broadcast(z), "alpha").select(
         "alpha",
         "source",
