@@ -447,6 +447,43 @@ def main() -> None:
     streaming_times: dict[str, float] = {}
     iterative_times: dict[str, float] = {}
     nb_trio_times: dict[str, float] = {}
+
+    # Host-band attribution (r11 verdict task 7): the driver-run
+    # capture showed 2.4x phantom drift on untouched plans that took a
+    # quiet-host re-run to attribute. Record (a) 1/5/15-min loadavg at
+    # start and end — a loaded host is visible mechanically — and (b) a
+    # page-cache probe: raw-read throughput of the largest fixture
+    # parquet BEFORE Spark starts. Page-cache-warm reads run at memory
+    # bandwidth (GB/s); a cold cache reads at disk speed and the whole
+    # suite pays +4-6s spread thin (BASELINE.md §C).
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
+    cache_probe: dict | None = None
+    try:
+        probe_path = os.path.join(SF_DIR, "lineitem.parquet")
+        nbytes = os.path.getsize(probe_path)
+        t0 = time.perf_counter()
+        with open(probe_path, "rb") as f:
+            while f.read(1 << 22):
+                pass
+        dt = time.perf_counter() - t0
+        mb = nbytes / 1e6
+        mb_s = mb / dt if dt > 0 else float("inf")
+        cache_probe = {
+            "file": "lineitem.parquet",
+            "mb": round(mb, 1),
+            "mb_s": round(mb_s, 0),
+            "warm": mb_s > 800.0,
+        }
+        log(
+            f"bench: cache probe {mb:.0f} MB at {mb_s:.0f} MB/s "
+            f"({'warm' if cache_probe['warm'] else 'COLD'}); "
+            f"loadavg {load_start}"
+        )
+    except OSError as exc:
+        log(f"bench: cache probe failed (continuing): {exc}")
     try:
         spark = get_spark(app_name="vector_db_core_bench")
         spark.sparkContext.setLogLevel("ERROR")
@@ -640,6 +677,10 @@ def main() -> None:
         log(f"bench: setup FAILED: {exc}")
 
     total = round(sum(per_query.values()), 3)
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = None
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -652,6 +693,8 @@ def main() -> None:
         "nb_trio": nb_trio_times,
         "sf": sf_val,
         "n_queries": len(per_query),
+        "loadavg": {"start": load_start, "end": load_end},
+        "cache_probe": cache_probe,
     }
     if errors:
         out["errors"] = errors
@@ -690,6 +733,8 @@ def main() -> None:
             "n_queries": len(per_query),
             "n_errors": len(errors),
             "sections": sections,
+            "loadavg": {"start": load_start, "end": load_end},
+            "cache_warm": cache_probe["warm"] if cache_probe else None,
             "queries": dict(ranked[:keep]),
             "note": f"slowest {min(keep, len(ranked))} of {len(ranked)}"
             " headline rows; full table in BENCH_local.json",
