@@ -195,6 +195,9 @@ HEADLINE = [
     # round-11 wave 4
     "agg_mann_whitney_binned",
     "timeseries_seasonal_strength",
+    # round-12 wave 1
+    "sim_pq_codes_exact",
+    "text_rrf_hybrid_topk",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

@@ -662,6 +662,90 @@ def test_pq_codes_determinism_and_quality(spark):
     assert [r.codes for r in a] == [r.codes for r in b]
 
 
+def test_pq_exact_twin_agrees_with_production_encoder(spark):
+    """The hash-gated twin (sim_pq_codes_exact: seeded codebooks +
+    integer micro-quantized distances) must assign the SAME codes the
+    production Arrow-batched encoder does when that encoder is fed the
+    twin's codebooks — tying the DuckDB-derivable twin to the real
+    assignment path. Micro-quantization at 1e6 can only flip an argmin
+    on a near-exact float tie, which this fixture has none of."""
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark.operators import QUERIES
+    from vector_db_core_spark.operators.llm import (
+        _PQ_K,
+        _PQ_NB,
+        _PQ_SD,
+        _pq_encode,
+        _t,
+    )
+    from pyspark.sql import functions as F
+
+    twin = {
+        r.vec_id: r.codes
+        for r in QUERIES["sim_pq_codes_exact"](spark, SF_ORACLE).collect()
+    }
+    e = _t(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    # codebook (nb, k, sd): centroid cid of block b = seed cid's sub-block b
+    books = np.stack(
+        [
+            np.array([s.v for s in seeds])[:, b * _PQ_SD : (b + 1) * _PQ_SD]
+            for b in range(_PQ_NB)
+        ]
+    )
+    prod = {
+        r.vec_id: ",".join(str(c) for c in r.codes)
+        for r in _pq_encode(spark, e, books).collect()
+    }
+    assert prod == twin
+    spark.catalog.clearCache()
+
+
+def test_rrf_fusion_invariants(spark):
+    """RRF structural pins: dense 1..20 fused ranks; every row carries
+    at least one leg rank and each present leg rank is in 1..20; the
+    score equals the two-term closed form recomputed from the leg
+    ranks; and the fused order is the score order (doc_id ties)."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark.operators import QUERIES
+    from vector_db_core_spark.operators.llm import _RRF_DEPTH, _RRF_K
+
+    rows = sorted(
+        QUERIES["text_rrf_hybrid_topk"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, _RRF_DEPTH + 1))
+    assert all(r.doc_id != 0 for r in rows)  # query doc excluded
+    keys = []
+    for r in rows:
+        assert r.bm25_rank is not None or r.cosine_rank is not None
+        expect = 0.0
+        for leg in (r.bm25_rank, r.cosine_rank):
+            if leg is not None:
+                assert 1 <= leg <= _RRF_DEPTH
+                expect += 1.0 / (_RRF_K + leg)
+        assert abs(r.rrf_score - round(expect, 6)) < 1e-9, r
+        keys.append((-r.rrf_score, r.doc_id))
+    assert keys == sorted(keys)
+    # fusion's point: a doc on BOTH lists outranks same-rank singles —
+    # the top fused row must be a both-lists member if any exists
+    both = [r for r in rows if r.bm25_rank is not None and r.cosine_rank is not None]
+    if both:
+        singles_best = min(
+            (r.rrf_score for r in rows if r not in both), default=0.0
+        )
+        assert max(r.rrf_score for r in both) >= singles_best
+    spark.catalog.clearCache()
+
+
 def test_hashed_span_dedup_equals_exact_twin(spark):
     """The xxhash64-keyed scale twin must emit EXACTLY the pairs and
     counts of the string-keyed exact op at gate scale (a difference

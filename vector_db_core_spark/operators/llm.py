@@ -2156,7 +2156,20 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sample = [r.v for r in e.orderBy("vec_id").limit(2048).collect()]
     books = _train_pq_codebooks(sample, n_blocks=8, k=16)
-    bbooks = spark.sparkContext.broadcast(books)
+    return _pq_encode(spark, e, books)
+
+
+def _pq_encode(spark: SparkSession, e: DataFrame, books) -> DataFrame:
+    """Arrow-batched PQ assignment: encode frame ``e(vec_id, v)``
+    against codebooks ``(n_blocks, k, subdim)``, returning per vector
+    the code word and reconstruction cosine. Shared by the production
+    op (trained codebooks) and the exact twin's agreement pytest
+    (seeded codebooks) so the two paths provably run the SAME
+    vectorized assignment math."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bbooks = spark.sparkContext.broadcast(np.asarray(books, dtype=np.float64))
 
     @pandas_udf("struct<codes: array<int>, recon_cosine: double>")
     def _encode(vs):
@@ -2183,6 +2196,168 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _encode("v").alias("pq"),
     ).select("vec_id", F.col("pq.codes").alias("codes"), F.col("pq.recon_cosine").alias("recon_cosine"))
+
+
+#: The exact PQ twin's geometry: 8 sub-blocks of 8 dims over the 64-d
+#: embedding, 16 centroids per block (one PQ code byte = 4 bits here).
+_PQ_NB = 8
+_PQ_SD = 8
+_PQ_K = 16
+
+_PQ_EXACT_SQL = f"""
+WITH x AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0)
+                                           AS BIGINT)) AS xm
+           FROM embeddings),
+init AS (SELECT vec_id,
+                CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                        vec_id) AS INT) - 1 AS cid
+         FROM embeddings
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
+c AS (SELECT i.cid, x.xm AS cm FROM init i JOIN x ON x.vec_id = i.vec_id),
+nxs AS (SELECT vec_id, CAST(list_sum(list_transform(xm, v -> v * v)) AS BIGINT)
+               AS nx
+        FROM x),
+d AS (SELECT x.vec_id, g.b, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, {_PQ_SD}),
+                  j -> (x.xm[g.b * {_PQ_SD} + j] - c.cm[g.b * {_PQ_SD} + j])
+                     * (x.xm[g.b * {_PQ_SD} + j] - c.cm[g.b * {_PQ_SD} + j])))
+                  AS BIGINT) AS dist,
+             CAST(list_sum(list_transform(generate_series(1, {_PQ_SD}),
+                  j -> x.xm[g.b * {_PQ_SD} + j] * c.cm[g.b * {_PQ_SD} + j]))
+                  AS BIGINT) AS dt,
+             CAST(list_sum(list_transform(generate_series(1, {_PQ_SD}),
+                  j -> c.cm[g.b * {_PQ_SD} + j] * c.cm[g.b * {_PQ_SD} + j]))
+                  AS BIGINT) AS nr
+      FROM x
+      CROSS JOIN c
+      CROSS JOIN UNNEST(generate_series(0, {_PQ_NB - 1})) AS g(b)),
+a AS (SELECT vec_id, b, cid, dist, dt, nr FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id, b
+                                      ORDER BY dist, cid) AS rn FROM d)
+      WHERE rn = 1),
+f AS (SELECT vec_id,
+             string_agg(CAST(cid AS VARCHAR), ',' ORDER BY b) AS codes,
+             CAST(SUM(dist) AS BIGINT) AS quant_error,
+             CAST(SUM(dt) AS BIGINT) AS sdt,
+             CAST(SUM(nr) AS BIGINT) AS snr
+      FROM a GROUP BY vec_id)
+SELECT f.vec_id, f.codes, f.quant_error,
+       CASE WHEN nxs.nx > 0 AND f.snr > 0
+            THEN round(CAST(f.sdt AS DOUBLE)
+                       / (sqrt(CAST(nxs.nx AS DOUBLE))
+                          * sqrt(CAST(f.snr AS DOUBLE))), 6)
+            END AS recon_cosine
+FROM f JOIN nxs ON nxs.vec_id = f.vec_id
+"""
+
+
+@register("sim_pq_codes_exact", oracle=_PQ_EXACT_SQL)
+def sim_pq_codes_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION under the FULL hash gate — the integer
+    twin that closes the catalog's last rows-only family member
+    without a hash-gated relative (``sim_pq_codes`` trains float
+    k-means codebooks, which no DuckDB SQL can replay): the SAME
+    encode geometry (8 sub-blocks x 8 dims, 16 codes per block,
+    Jégou et al. 2011's PQ) but with FIXED SEEDED codebooks — the 16
+    vectors in deterministic md5(vec_id) order (the
+    ``sim_kmeans_lloyd_exact`` seeding device), each contributing its
+    8 sub-vectors as centroid cid of every block — and micro-quantized
+    integer distances, so per-block argmin assignments, the total
+    quantization error, AND the reconstruction cosine are all
+    DuckDB-derivable. Per vector: the 8-code word (comma-joined
+    string — identical tie-break: min squared distance, then lowest
+    cid), exact BIGINT quantization error, and the reconstruction
+    cosine an index maintainer monitors. A pytest feeds these same
+    seeded codebooks (unquantized) through the production op's
+    Arrow-batched encoder and pins code-for-code agreement, tying the
+    twin to the real assignment path.
+
+    Exactness: coordinates micro-quantize at 1e6 (the shared kmeans
+    pin: round-then-cast stated identically in both engines); block
+    distances / dot products / norms are exact BIGINT folds (max
+    ~6.4e13, far under overflow); argmin ties to the lowest cid via
+    min(struct(dist, cid)) == row_number ORDER BY dist, cid; the
+    cosine is one fixed double expression over three exact integers
+    (IEEE sqrt and division are correctly rounded — bit-identical
+    cross-engine) + round(6), NULL-guarded on zero norms in both
+    engines.
+
+    Plan/scale: the 16-row codebook table broadcasts; assignment is a
+    16x row fan-out folded straight back down by one
+    map-side-combined min-struct aggregate per block (8 agg columns,
+    ONE shuffle carrying 16 rows per vector pre-combine, 1 post);
+    vectors never pairwise-join. At 100 TB this is the standard PQ
+    encode shape: model broadcast, map-side assignment, linear scan."""
+    x = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " v -> cast(round(v * 1000000.0, 0) as bigint))"
+        ).alias("xm"),
+    )
+    init = (
+        x.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .withColumn(
+            "cid",
+            (
+                F.row_number().over(
+                    W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+                )
+                - 1
+            ).cast("int"),
+        )
+    )
+    cent = init.join(x, "vec_id").select("cid", F.col("xm").alias("cm"))
+    nx = F.expr(
+        "aggregate(transform(xm, v -> v * v),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+    def fold(b: int, expr: str) -> F.Column:
+        xs = f"slice(xm, {b * _PQ_SD + 1}, {_PQ_SD})"
+        cs = f"slice(cm, {b * _PQ_SD + 1}, {_PQ_SD})"
+        return F.expr(
+            f"aggregate(zip_with({xs}, {cs}, (a, c) -> {expr}),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+
+    pairs = x.withColumn("nx", nx).crossJoin(F.broadcast(cent))
+    best = pairs.groupBy("vec_id").agg(
+        F.min("nx").alias("nx"),
+        *[
+            F.min(
+                F.struct(
+                    fold(b, "(a - c) * (a - c)").alias("dist"),
+                    F.col("cid").alias("cid"),
+                    fold(b, "a * c").alias("dt"),
+                    fold(b, "c * c").alias("nr"),
+                )
+            ).alias(f"m{b}")
+            for b in range(_PQ_NB)
+        ],
+    )
+    sdt = sum(F.col(f"m{b}.dt") for b in range(_PQ_NB))
+    snr = sum(F.col(f"m{b}.nr") for b in range(_PQ_NB))
+    qerr = sum(F.col(f"m{b}.dist") for b in range(_PQ_NB))
+    return best.select(
+        "vec_id",
+        F.concat_ws(
+            ",", *[F.col(f"m{b}.cid").cast("string") for b in range(_PQ_NB)]
+        ).alias("codes"),
+        qerr.cast("bigint").alias("quant_error"),
+        F.when(
+            (F.col("nx") > 0) & (snr > 0),
+            F.round(
+                sdt.cast("double")
+                / (F.sqrt(F.col("nx").cast("double")) * F.sqrt(snr.cast("double"))),
+                6,
+            ),
+        ).alias("recon_cosine"),
+    )
 
 
 # ------------------------------------------------- exact repeated spans
@@ -5307,7 +5482,12 @@ BM25_K1_TXT = "1.2"
 BM25_B_TXT = "0.75"
 BM25_TOP_N = 20
 
-_BM25_SQL = rf"""
+#: Shared BM25 CTE prefix: builds ``s(doc_id, n_matched, score)`` —
+#: the unrounded Okapi scores of every document matching the
+#: deterministic 3-term query. Consumed by ``_BM25_SQL`` (the ranking
+#: op's oracle) and ``_RRF_SQL`` (the fusion op's lexical leg) so the
+#: two oracles provably score identically.
+_BM25_CTE = rf"""
 WITH tok AS (SELECT doc_id,
                     unnest(list_filter(string_split_regex(text, '\s+'),
                                        x -> x <> '')) AS term
@@ -5335,7 +5515,9 @@ s AS (SELECT tf.doc_id,
       JOIN qt ON qt.term = tf.term
       JOIN df ON df.term = tf.term
       JOIN dl ON dl.doc_id = tf.doc_id, n
-      GROUP BY tf.doc_id),
+      GROUP BY tf.doc_id)"""
+
+_BM25_SQL = f"""{_BM25_CTE},
 r AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT {BM25_TOP_N})
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
        doc_id, n_matched, round(score, 6) AS bm25_score
@@ -5343,33 +5525,12 @@ FROM r
 """
 
 
-@register("text_bm25_ranking", oracle=_BM25_SQL)
-def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 DOCUMENT RANKING (Robertson et al., the Okapi weighting —
-    the lexical-retrieval standard TF-IDF graduated into, and the
-    baseline every dense retriever is still benchmarked against):
-    score the whole corpus against a deterministic 3-term query (doc
-    0's top tokens by (tf DESC, term) — data-derived so it exists at
-    every scale) with the textbook formula — idf = ln((N-df+0.5)/
-    (df+0.5)+1), saturation k1 = 1.2, length normalization b = 0.75
-    against the exact corpus average length — and emit the global
-    top-20 with per-doc matched-term counts. Complements
-    ``sim_cosine_topk`` (dense) and ``sim_tfidf_rerank_pairs``
-    (tf-idf): the three retrieval scorers a hybrid search stack runs
-    side by side.
-
-    Exactness: tf/df/dl/N are exact integers; k1 and b are shared
-    decimal TEXT constants; each (doc, term) contribution is one
-    fixed double expression DECIMAL(38,15)-cast before the per-doc
-    sum; ranking compares unrounded doubles with doc_id ties, and
-    only the emitted score rounds.
-
-    Plan/scale: the tf table is the corpus's one data-sized aggregate
-    (shared shape with the tf-idf family); the 3-term query semi-joins
-    tf down to matching postings BEFORE any scoring work (the
-    df/dl/n sides broadcast); the global top-20 is
-    TakeOrderedAndProject. At 100 TB this is postings-list scoring:
-    work ∝ documents containing query terms, not the corpus."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrounded Okapi BM25 scores ``(doc_id, n_matched, score)`` of
+    every document matching the deterministic 3-term query — the
+    Spark replica of the shared ``_BM25_CTE`` prefix, consumed by
+    ``text_bm25_ranking`` (ranking) and ``text_rrf_hybrid_topk``
+    (the fusion op's lexical leg)."""
     from vector_db_core_spark.functions.text import tokens
 
     k1 = float(BM25_K1_TXT)
@@ -5400,7 +5561,7 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - b + b * F.col("dl") / (F.col("tot").cast("double") / F.col("n"))
     )
     contrib = (idf * (F.col("tf") * (k1 + 1)) / denom).cast("decimal(38,15)")
-    s = (
+    return (
         tf.join(F.broadcast(qt), "term")
         .join(F.broadcast(df), "term")
         .join(dl, "doc_id")
@@ -5411,6 +5572,36 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(contrib).cast("double").alias("score"),
         )
     )
+
+
+@register("text_bm25_ranking", oracle=_BM25_SQL)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 DOCUMENT RANKING (Robertson et al., the Okapi weighting —
+    the lexical-retrieval standard TF-IDF graduated into, and the
+    baseline every dense retriever is still benchmarked against):
+    score the whole corpus against a deterministic 3-term query (doc
+    0's top tokens by (tf DESC, term) — data-derived so it exists at
+    every scale) with the textbook formula — idf = ln((N-df+0.5)/
+    (df+0.5)+1), saturation k1 = 1.2, length normalization b = 0.75
+    against the exact corpus average length — and emit the global
+    top-20 with per-doc matched-term counts. Complements
+    ``sim_cosine_topk`` (dense) and ``sim_tfidf_rerank_pairs``
+    (tf-idf): the three retrieval scorers a hybrid search stack runs
+    side by side.
+
+    Exactness: tf/df/dl/N are exact integers; k1 and b are shared
+    decimal TEXT constants; each (doc, term) contribution is one
+    fixed double expression DECIMAL(38,15)-cast before the per-doc
+    sum; ranking compares unrounded doubles with doc_id ties, and
+    only the emitted score rounds.
+
+    Plan/scale: the tf table is the corpus's one data-sized aggregate
+    (shared shape with the tf-idf family); the 3-term query semi-joins
+    tf down to matching postings BEFORE any scoring work (the
+    df/dl/n sides broadcast); the global top-20 is
+    TakeOrderedAndProject. At 100 TB this is postings-list scoring:
+    work ∝ documents containing query terms, not the corpus."""
+    s = _bm25_scored(spark, sf_dir)
     r = s.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP_N)
     rank = F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id"))
     return r.select(
@@ -5418,6 +5609,139 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_matched",
         F.round("score", 6).alias("bm25_score"),
+    )
+
+
+#: Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009
+#: — k=60 is the paper's standard) and per-leg list depth.
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+_RRF_SQL = f"""{_BM25_CTE},
+lex AS (SELECT doc_id, r_lex FROM
+          (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                    AS r_lex
+           FROM s WHERE doc_id <> 0)
+        WHERE r_lex <= {_RRF_DEPTH}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dn AS (SELECT b.vec_id AS doc_id, {_duck_cosine("a.v", "b.v")} AS cs
+       FROM emb a JOIN emb b ON b.vec_id <> 0 WHERE a.vec_id = 0),
+den AS (SELECT doc_id, r_cos FROM
+          (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS INT)
+                    AS r_cos
+           FROM dn)
+        WHERE r_cos <= {_RRF_DEPTH}),
+fus AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_cos,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.r_lex),
+                        CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.r_cos),
+                          CAST(0.0 AS DOUBLE)) AS rrf
+        FROM lex l FULL OUTER JOIN den d ON d.doc_id = l.doc_id),
+top AS (SELECT * FROM fus ORDER BY rrf DESC, doc_id LIMIT {_RRF_DEPTH})
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+       doc_id, r_lex AS bm25_rank, r_cos AS cosine_rank,
+       round(rrf, 6) AS rrf_score
+FROM top
+"""
+
+
+@register("text_rrf_hybrid_topk", oracle=_RRF_SQL)
+def text_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK-FUSION HYBRID RETRIEVAL (Cormack, Clarke &
+    Buettcher 2009, k=60 — the fusion every production hybrid search
+    stack ships): fuse the LEXICAL leg (Okapi BM25 top-20 for the
+    deterministic doc-0 query, via the shared ``_bm25_scored``
+    replica of ``text_bm25_ranking``) with the DENSE leg (exact
+    cosine top-20 of embedding 0 against the corpus,
+    ``sim_cosine_topk``'s scoring) over the shared doc_id == vec_id
+    item space, score(d) = Σ_legs 1/(k + rank_d), and emit the fused
+    top-20 with each leg's rank (NULL where a doc appears in only one
+    list — exactly the case RRF exists for). Completes the retrieval
+    wing: lexical (BM25), dense (cosine), diversified (MMR), and now
+    fused. The query document itself is excluded from both legs
+    (self-retrieval carries no signal).
+
+    Exactness: both legs rank on their own exact contracts (BM25's
+    DECIMAL(38,15)-summed contributions; the pinned cosine fold) with
+    doc_id tie-breaks, so the integer ranks are cross-engine
+    identical; the RRF score is a fixed two-term double expression
+    over those integers (1.0/(60+r), DOUBLE-cast literals — the
+    DuckDB decimal-literal trap), COALESCEd identically across the
+    full outer join; final order compares unrounded doubles with
+    doc_id ties; only the emitted score rounds.
+
+    Plan/scale: each leg is its own op's 100 TB shape (postings-list
+    scoring for BM25; broadcast-query brute-force scan for the dense
+    leg — swap in the IVF/LSH variant above recall scale); the fusion
+    itself joins two ≤20-row lists — constant-sized whatever the
+    corpus, so the whole plan rides on the legs."""
+    rterm = lambda c: F.coalesce(  # noqa: E731 - two-term RRF score
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(c)), F.lit(0.0)
+    )
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .where(F.col("doc_id") != 0)
+        .withColumn(
+            "r_lex",
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), "doc_id"))
+            .cast("int"),
+        )
+        .where(F.col("r_lex") <= _RRF_DEPTH)
+        .select("doc_id", "r_lex")
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("qv"), F.col("v")).alias("cs"),
+        )
+    )
+    # two-phase top-k: local rank caps each partition's survivors
+    # before the single-partition global window (sim_cosine_topk's
+    # scale device)
+    local = W.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("cs").desc(), "doc_id"
+    )
+    den = (
+        scored.withColumn("lrank", F.row_number().over(local))
+        .where(F.col("lrank") <= _RRF_DEPTH)
+        .withColumn(
+            "r_cos",
+            F.row_number()
+            .over(W.orderBy(F.col("cs").desc(), "doc_id"))
+            .cast("int"),
+        )
+        .where(F.col("r_cos") <= _RRF_DEPTH)
+        .select("doc_id", "r_cos")
+    )
+    fus = (
+        lex.join(den, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_cos",
+            (rterm("r_lex") + rterm("r_cos")).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    return fus.select(
+        F.row_number()
+        .over(W.orderBy(F.col("rrf").desc(), "doc_id"))
+        .cast("int")
+        .alias("rank"),
+        "doc_id",
+        F.col("r_lex").alias("bm25_rank"),
+        F.col("r_cos").alias("cosine_rank"),
+        F.round("rrf", 6).alias("rrf_score"),
     )
 
 
