@@ -967,6 +967,43 @@ def test_round11_wave3_invariants(spark):
 
     ent = {r.column_name: r for r in
            QUERIES["profile_column_entropy"](spark, SF_ORACLE).collect()}
+    _check_entropy_profile(ent)
+
+
+def test_bucketed_entropy_twin_bounds_exact(spark):
+    """The 1024-bucket twin must (a) lower-bound the exact profile's
+    entropy per column (collisions only merge mass — data-processing
+    inequality), (b) match it closely where cardinality << buckets,
+    (c) cap its grid at 1024 whatever the column, and (d) hit fewer
+    (or equal) cells than distinct values."""
+    exact = {r.column_name: r for r in
+             QUERIES["profile_column_entropy"](spark, SF_ORACLE).collect()}
+    bkt = {r.column_name: r for r in
+           QUERIES["profile_column_entropy_bucketed"](spark, SF_ORACLE).collect()}
+    assert set(bkt) == set(exact)
+    for col, b in bkt.items():
+        e = exact[col]
+        assert b.n_buckets <= 1024
+        assert b.n_buckets <= e.n_distinct
+        assert b.entropy_bucketed_bits <= e.entropy_bits + 1e-6, col
+        if b.n_buckets == e.n_distinct:
+            # collision-free: bucketing is a bijection on the grid, so
+            # the entropy terms are identical (both sides round(6))
+            assert abs(b.entropy_bucketed_bits - e.entropy_bits) < 1e-9, col
+        else:
+            # observed collision (the fixture has one: o_orderpriority's
+            # 5 values land in 4 buckets) — entropy strictly drops
+            assert b.entropy_bucketed_bits < e.entropy_bits, col
+    # the key-like column saturates toward the grid — its bucketed
+    # entropy must still rank ABOVE every low-cardinality column's
+    low = max(
+        b.entropy_bucketed_bits for c, b in bkt.items() if c != "o_custkey"
+    )
+    assert bkt["o_custkey"].entropy_bucketed_bits > low
+    spark.catalog.clearCache()
+
+
+def _check_entropy_profile(ent):
     assert ent["price_sign"].n_distinct == 1
     assert ent["price_sign"].entropy_normalized is None
     assert ent["price_sign"].entropy_bits == 0.0

@@ -5333,6 +5333,133 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bucketed-entropy grid width: 1024 md5 buckets per column — the cap
+#: that makes the profile's shuffle grid corpus-size-independent.
+_ENT_BUCKETS = 1024
+
+_COL_ENTROPY_BUCKETED_SQL = f"""
+WITH s AS (SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', o_orderpriority FROM orders
+           UNION ALL
+           SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL
+           SELECT 'order_year',
+                  CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR) FROM orders
+           UNION ALL
+           SELECT 'price_sign',
+                  CASE WHEN o_totalprice > 0 THEN 'pos' ELSE 'nonpos' END
+           FROM orders),
+b AS (SELECT col,
+             ('0x' || substr(md5(val || '#ent'), 1, 6))::BIGINT
+               % {_ENT_BUCKETS} AS bkt
+      FROM s),
+c AS (SELECT col, bkt, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY col, bkt),
+c2 AS (SELECT col, n, SUM(n) OVER (PARTITION BY col) AS tot FROM c),
+t AS (SELECT col, CAST(MAX(tot) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(MAX(n) AS BIGINT) AS top_n,
+             CAST(SUM(CAST(
+                 -(CAST(n AS DOUBLE) / tot)
+                   * ln(CAST(n AS DOUBLE) / tot)
+                   / ln(2) AS DECIMAL(38,15))) AS DOUBLE) AS h
+      FROM c2 GROUP BY col)
+SELECT col AS column_name, n_buckets,
+       round(CAST(top_n AS DOUBLE) / tot, 6) AS top_bucket_share,
+       round(h, 6) AS entropy_bucketed_bits
+FROM t
+"""
+
+
+@register("profile_column_entropy_bucketed", oracle=_COL_ENTROPY_BUCKETED_SQL)
+def profile_column_entropy_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED COLUMN-ENTROPY PROFILE — the scale twin of
+    ``profile_column_entropy``, which enumerates each column's exact
+    value grid and therefore carries a data-sized shuffle for
+    key-like columns (o_custkey's grid grows with the corpus —
+    3.2x/decade in the r11 ladder, by design but uncapped). This twin
+    is the production shape: every value hashes into one of 1024 md5
+    buckets (the ``sketch_count_min_md5_topk`` counter-cell device —
+    seeded-suffix md5, identical in both engines), and the profile
+    reads entropy over BUCKET counts. The grid is ≤ 1024 cells per
+    column whatever the corpus, bucketed entropy LOWER-BOUNDS true
+    entropy (collisions merge probability mass — the data-processing
+    inequality), matches the exact profile to within collision noise
+    for low-cardinality columns, and saturation (n_buckets near 1024
+    with entropy near 10 bits) is itself the key-like signal the
+    profiler exists to raise. No cap decision is needed — bucketing
+    everything replaces the approx_count_distinct gate a two-pass
+    design would need.
+
+    Exactness: the bucket id is exact integer arithmetic on a 24-bit
+    md5 prefix (conv/substr stated identically in both engines);
+    bucket counts are exact integers; each -p*log2(p) term
+    DECIMAL(38,15)-casts before the order-independent per-column sum;
+    shares round(6).
+
+    Plan/scale: one stacked explode (5x rows, profiled columns'
+    bytes only) then ONE map-side-combined aggregate whose grid is
+    ≤ 5 * 1024 cells — the combine absorbs the corpus, the exchange
+    carries the grid. |columns| output rows at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("o_custkey").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("order_year").alias("col"),
+                    F.year("o_orderdate").cast("int").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("price_sign").alias("col"),
+                    F.when(F.col("o_totalprice") > 0, F.lit("pos"))
+                    .otherwise(F.lit("nonpos"))
+                    .alias("val"),
+                ),
+            )
+        ).alias("s")
+    ).select(
+        "s.col",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("s.val"), F.lit("#ent"))), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % _ENT_BUCKETS
+        ).alias("bkt"),
+    )
+    c = stacked.groupBy("col", "bkt").agg(F.count("*").alias("n"))
+    tot_w = W.partitionBy("col")
+    p = F.col("n").cast("double") / F.sum("n").over(tot_w)
+    term = (-p * F.log(p) / math.log(2.0)).cast("decimal(38,15)")
+    t = c.select("col", "n", term.alias("term")).groupBy("col").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("top_n"),
+        F.sum("term").cast("double").alias("h"),
+    )
+    return t.select(
+        F.col("col").alias("column_name"),
+        "n_buckets",
+        F.round(F.col("top_n").cast("double") / F.col("tot"), 6).alias(
+            "top_bucket_share"
+        ),
+        F.round("h", 6).alias("entropy_bucketed_bits"),
+    )
+
+
 _MANN_WHITNEY_SQL = """
 WITH x AS (SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                        THEN 1 ELSE 0 END AS in_a,
