@@ -198,6 +198,11 @@ HEADLINE = [
     # round-12 wave 1
     "sim_pq_codes_exact",
     "text_rrf_hybrid_topk",
+    # round-12 wave 2
+    "profile_column_entropy_bucketed",
+    "sim_pq_adc_topk",
+    "cohort_ltv_cumulative",
+    "agg_odds_risk_ratio",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

@@ -1014,6 +1014,54 @@ def _check_entropy_profile(ent):
             assert 0 <= r.entropy_normalized <= 1 + 1e-9
 
 
+def test_round12_wave2_invariants(spark):
+    """Structural pins for the LTV curve and the 2x2 effect sizes:
+    cumulative revenue is non-decreasing along each cohort's age axis
+    and closes to the corpus purchase total; LTV recomputes from its
+    own columns; the odds-ratio cells tile the orders table and the
+    honest independent-generator read holds (OR ~ 1, CI straddling)."""
+    rows = QUERIES["cohort_ltv_cumulative"](spark, SF_ORACLE).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+        assert r.n_users > 0
+        assert abs(
+            r.ltv_per_user - round(r.cum_revenue_cents / 100.0 / r.n_users, 6)
+        ) < 1e-9
+    total = 0
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.week_age)
+        cums = [r.cum_revenue_cents for r in rs]
+        assert cums == sorted(cums), cohort
+        total += cums[-1]
+    import duckdb
+
+    con = duckdb.connect()
+    truth = con.sql(
+        f"SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+        f"FROM '{SF_ORACLE}/events.parquet' WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert total == truth
+
+    orr = QUERIES["agg_odds_risk_ratio"](spark, SF_ORACLE).collect()
+    assert len(orr) == 1
+    r = orr[0]
+    n_orders = con.sql(
+        f"SELECT COUNT(*) FROM '{SF_ORACLE}/orders.parquet'"
+    ).fetchone()[0]
+    cells = (
+        r.n_exposed_big + r.n_exposed_small
+        + r.n_unexposed_big + r.n_unexposed_small
+    )
+    assert cells == n_orders  # the 2x2 tiles the table
+    assert r.or_ci_low < 1.0 < r.or_ci_high  # independent generators
+    assert r.or_ci_low < r.odds_ratio < r.or_ci_high
+    assert abs(
+        r.risk_ratio - round(r.risk_exposed / r.risk_unexposed, 6)
+    ) < 1e-5
+    spark.catalog.clearCache()
+
+
 def test_kmv_sketch_estimates_track_truth(spark):
     """KMV invariants at a scale where ESTIMATION actually engages
     (sf0.1's user sets exceed k=256, unlike the sf0.01 oracle fixture

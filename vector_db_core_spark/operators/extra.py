@@ -1246,6 +1246,105 @@ def cohort_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cohort_ltv_cumulative",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      date_trunc('week', MIN(CAST(ts AS DATE))) AS cohort_week
+               FROM events GROUP BY user_id),
+    cs AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+           FROM f GROUP BY cohort_week),
+    p AS (SELECT f.cohort_week,
+                 CAST((CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE)
+                       - CAST(f.cohort_week AS DATE)) // 7 AS INT) AS week_age,
+                 CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+          FROM events e JOIN f ON f.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+          GROUP BY 1, 2),
+    c AS (SELECT cohort_week, week_age,
+                 CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week
+                                           ORDER BY week_age) AS BIGINT)
+                   AS cum_revenue_cents
+          FROM p)
+    SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+           c.week_age, cs.n_users, c.cum_revenue_cents,
+           round(CAST(c.cum_revenue_cents AS DOUBLE) / 100.0 / cs.n_users, 6)
+             AS ltv_per_user
+    FROM c JOIN cs ON cs.cohort_week = c.cohort_week
+    """,
+)
+def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE LTV CURVE per signup cohort — the revenue companion
+    of the retention grid (``cohort_daily_retention`` counts who comes
+    back; this integrates what they SPEND): users bucket by
+    first-activity ISO week, purchase revenue rolls up per (cohort,
+    weeks-since-cohort) and accumulates along the age axis, and each
+    cell divides by the cohort's size — the LTV-by-age table every
+    payback-period decision reads. Weeks with no purchases emit no
+    row; the running sum at the next present age is still correct
+    (the curve is read as a step function).
+
+    Exactness: revenue is exact cents (round(value*100), the shared
+    cents pin); per-cell sums and the cumulative window are BIGINT
+    (the frame orders on the unique-within-cohort week_age, so the
+    running sum is deterministic at any parallelism); cohort sizes
+    are exact counts; LTV is one fixed double division + round(6);
+    week arithmetic truncates both sides to the same ISO Monday and
+    differences are exact multiples of 7.
+
+    Plan/scale: one user reduction (first day), one join back on
+    user_id (the shuffle the reduction just produced — co-located),
+    one (cohort, age) rollup whose grid is calendar-sized, then a
+    window over the tiny grid. The event scan dominates at any
+    corpus; nothing else is data-sized."""
+    e = _t(spark, sf_dir, "events")
+    f = (
+        e.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("d")).alias("cohort_week"))
+    )
+    cs = f.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.to_date("ts")).alias("w"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("w").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_age"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    cum = W.partitionBy("cohort_week").orderBy("week_age").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = p.select(
+        "cohort_week",
+        "week_age",
+        F.sum("rev_cents").over(cum).cast("bigint").alias("cum_revenue_cents"),
+    )
+    return c.join(F.broadcast(cs), "cohort_week").select(
+        F.col("cohort_week").cast("timestamp_ntz").alias("cohort_week"),
+        "week_age",
+        "n_users",
+        "cum_revenue_cents",
+        F.round(
+            F.col("cum_revenue_cents").cast("double") / 100.0 / F.col("n_users"), 6
+        ).alias("ltv_per_user"),
+    )
+
+
 # ------------------------------------------------------------ trend regression
 @register(
     "agg_linear_regression",
@@ -4797,6 +4896,99 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_stat, 6).alias("t_stat"),
         F.round(welch_df, 6).alias("welch_df"),
         (F.abs(t_stat) > 1.96).alias("reject_equal_means_005"),
+    )
+
+
+@register(
+    "agg_odds_risk_ratio",
+    oracle="""
+    WITH x AS (SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END AS exposed,
+                      CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END
+                        AS outcome
+               FROM orders),
+    t AS (SELECT CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+                 CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+                 CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+                 CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+          FROM x),
+    m AS (SELECT a, b, c, d,
+                 CAST(a AS DOUBLE) / (a + b) AS risk_exposed,
+                 CAST(c AS DOUBLE) / (c + d) AS risk_unexposed,
+                 ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) AS lor,
+                 sqrt(CAST(1.0 AS DOUBLE) / a + CAST(1.0 AS DOUBLE) / b
+                      + CAST(1.0 AS DOUBLE) / c + CAST(1.0 AS DOUBLE) / d)
+                   AS se
+          FROM t)
+    SELECT a AS n_exposed_big, b AS n_exposed_small,
+           c AS n_unexposed_big, d AS n_unexposed_small,
+           round(risk_exposed, 6) AS risk_exposed,
+           round(risk_unexposed, 6) AS risk_unexposed,
+           round(risk_exposed / risk_unexposed, 6) AS risk_ratio,
+           round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+             AS odds_ratio,
+           round(exp(lor - CAST(1.96 AS DOUBLE) * se), 6) AS or_ci_low,
+           round(exp(lor + CAST(1.96 AS DOUBLE) * se), 6) AS or_ci_high
+    FROM m
+    """,
+)
+def agg_odds_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RISK RATIO / ODDS RATIO with a Wald 95% CI — the 2x2 effect-size
+    read the test family doesn't give (chi2/Mann-Whitney say WHETHER
+    association exists; this says HOW BIG): exposure = urgent-or-high
+    priority, outcome = order value above 200k, the four cell counts,
+    both ratios, and exp(ln(OR) ± 1.96·SE) with the standard
+    SE = sqrt(1/a + 1/b + 1/c + 1/d) (Woolf 1955) — the A/B-test and
+    epidemiology staple. On TPC-H's independent generators the honest
+    reading is OR ≈ 1 with the CI straddling it.
+
+    Exactness: the four cells are exact integer sums of 0/1 products
+    (one map-side-combined pass, no conditional aggregates to
+    diverge); every ratio is a fixed double expression over those
+    integers; ln/exp/sqrt follow the catalog's same-libm-family
+    discipline and 1.96 is DOUBLE-cast on the DuckDB side (the
+    decimal-literal trap); round(6) only at emission. Stated
+    invariant: all four cells positive (a zero cell makes lor/SE
+    infinite — the textbook's Haldane +0.5 correction is the
+    production knob; this fixture's cells are all in the thousands).
+
+    Plan/scale: ONE aggregate row from one scan — the cells combine
+    map-side, the shuffle carries four integers; everything after is
+    driver-free scalar algebra inside the same projection."""
+    o = _t(spark, sf_dir, "orders")
+    exposed = (
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    )
+    outcome = (F.col("o_totalprice") > 200000).cast("long")
+    t = o.select(exposed.alias("e"), outcome.alias("y")).agg(
+        F.sum(F.col("e") * F.col("y")).cast("bigint").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y"))).cast("bigint").alias("d"),
+    )
+    risk_e = F.col("a").cast("double") / (F.col("a") + F.col("b"))
+    risk_u = F.col("c").cast("double") / (F.col("c") + F.col("d"))
+    orat = F.col("a").cast("double") * F.col("d") / (
+        F.col("b").cast("double") * F.col("c")
+    )
+    lor = F.log(orat)
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a")
+        + F.lit(1.0) / F.col("b")
+        + F.lit(1.0) / F.col("c")
+        + F.lit(1.0) / F.col("d")
+    )
+    return t.select(
+        F.col("a").alias("n_exposed_big"),
+        F.col("b").alias("n_exposed_small"),
+        F.col("c").alias("n_unexposed_big"),
+        F.col("d").alias("n_unexposed_small"),
+        F.round(risk_e, 6).alias("risk_exposed"),
+        F.round(risk_u, 6).alias("risk_unexposed"),
+        F.round(risk_e / risk_u, 6).alias("risk_ratio"),
+        F.round(orat, 6).alias("odds_ratio"),
+        F.round(F.exp(lor - 1.96 * se), 6).alias("or_ci_low"),
+        F.round(F.exp(lor + 1.96 * se), 6).alias("or_ci_high"),
     )
 
 

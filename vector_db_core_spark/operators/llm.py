@@ -2360,6 +2360,153 @@ def sim_pq_codes_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ADC serving depth.
+_PQ_ADC_TOPK = 20
+
+_PQ_ADC_SQL = f"""
+WITH x AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0)
+                                           AS BIGINT)) AS xm
+           FROM embeddings),
+init AS (SELECT vec_id,
+                CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                        vec_id) AS INT) - 1 AS cid
+         FROM embeddings
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
+c AS (SELECT i.cid, x.xm AS cm FROM init i JOIN x ON x.vec_id = i.vec_id),
+q AS (SELECT xm AS qm FROM x WHERE vec_id = 0),
+d AS (SELECT x.vec_id, g.b, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, {_PQ_SD}),
+                  j -> (x.xm[g.b * {_PQ_SD} + j] - c.cm[g.b * {_PQ_SD} + j])
+                     * (x.xm[g.b * {_PQ_SD} + j] - c.cm[g.b * {_PQ_SD} + j])))
+                  AS BIGINT) AS dist,
+             CAST(list_sum(list_transform(generate_series(1, {_PQ_SD}),
+                  j -> (q.qm[g.b * {_PQ_SD} + j] - c.cm[g.b * {_PQ_SD} + j])
+                     * (q.qm[g.b * {_PQ_SD} + j] - c.cm[g.b * {_PQ_SD} + j])))
+                  AS BIGINT) AS qd
+      FROM x
+      CROSS JOIN q
+      CROSS JOIN c
+      CROSS JOIN UNNEST(generate_series(0, {_PQ_NB - 1})) AS g(b)
+      WHERE x.vec_id <> 0),
+a AS (SELECT vec_id, qd FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id, b
+                                      ORDER BY dist, cid) AS rn FROM d)
+      WHERE rn = 1),
+s AS (SELECT vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+      FROM a GROUP BY vec_id),
+t AS (SELECT x.vec_id,
+             CAST(list_sum(list_transform(generate_series(1, {_PQ_NB * _PQ_SD}),
+                  j -> (x.xm[j] - q.qm[j]) * (x.xm[j] - q.qm[j])))
+                  AS BIGINT) AS true_dist
+      FROM x CROSS JOIN q WHERE x.vec_id <> 0),
+top AS (SELECT s.vec_id, s.adc_dist, t.true_dist
+        FROM s JOIN t ON t.vec_id = s.vec_id
+        ORDER BY s.adc_dist, s.vec_id LIMIT {_PQ_ADC_TOPK})
+SELECT CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS INT) AS rank,
+       vec_id, adc_dist, true_dist
+FROM top
+"""
+
+
+@register("sim_pq_adc_topk", oracle=_PQ_ADC_SQL)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE top-k — the SERVING half of a PQ index
+    (Jégou et al. 2011 §IV: the query stays unquantized; each corpus
+    vector is represented only by its code word, and its distance to
+    the query is the sum over blocks of the query-to-centroid
+    distance of the ASSIGNED centroid — what a real index computes
+    from an 8-entry-per-vector lookup instead of touching raw
+    vectors). Same seeded integer construction as
+    ``sim_pq_codes_exact`` (md5-ordered codebooks, micro-quantized
+    BIGINT distances), query = vector 0, corpus = everything else;
+    emits the ADC top-20 with each hit's TRUE integer distance beside
+    the ADC estimate — the recall-debugging view an index maintainer
+    reads (ADC error = quantization error of the hit). Composed with
+    ``sim_ann_ivf_topk``'s cell partitioning this is IVF-PQ, the
+    standard billion-scale ANN index.
+
+    Exactness: per-block code assignment and the query-to-centroid
+    distances ride the same exact BIGINT folds as the PQ twin; per
+    corpus-block row the min(struct(dist, cid, qd)) CARRIES the
+    assigned centroid's query distance (== row_number ORDER BY dist,
+    cid picking qd), so no LUT join is needed; ADC and true distances
+    are exact integer sums; top-k ties break on vec_id.
+
+    Plan/scale: the 16-row codebook AND the 1-row query broadcast;
+    assignment+lookup is the twin's one map-side-combined aggregate
+    (16 rows per vector pre-combine); the serving read is
+    TakeOrderedAndProject over |corpus| (vec_id, adc) rows. At 100 TB
+    the codes table is precomputed once (the twin) and ADC scans
+    codes — 8 bytes a vector — never embeddings; here both halves run
+    inline so the op is self-contained."""
+    x = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " v -> cast(round(v * 1000000.0, 0) as bigint))"
+        ).alias("xm"),
+    )
+    init = (
+        x.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .withColumn(
+            "cid",
+            (
+                F.row_number().over(
+                    W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+                )
+                - 1
+            ).cast("int"),
+        )
+    )
+    cent = init.join(x, "vec_id").select("cid", F.col("xm").alias("cm"))
+    q = x.where(F.col("vec_id") == 0).select(F.col("xm").alias("qm"))
+
+    def fold(a: str, b: str, lo: int, n: int) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with(slice({a}, {lo}, {n}), slice({b}, {lo}, {n}),"
+            " (u, w) -> (u - w) * (u - w)),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+
+    pairs = (
+        x.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(cent))
+    )
+    best = pairs.groupBy("vec_id").agg(
+        F.min(fold("xm", "qm", 1, _PQ_NB * _PQ_SD)).alias("true_dist"),
+        *[
+            F.min(
+                F.struct(
+                    fold("xm", "cm", b * _PQ_SD + 1, _PQ_SD).alias("dist"),
+                    F.col("cid").alias("cid"),
+                    fold("qm", "cm", b * _PQ_SD + 1, _PQ_SD).alias("qd"),
+                )
+            ).alias(f"m{b}")
+            for b in range(_PQ_NB)
+        ],
+    )
+    adc = sum(F.col(f"m{b}.qd") for b in range(_PQ_NB)).cast("bigint")
+    top = (
+        best.select("vec_id", adc.alias("adc_dist"), "true_dist")
+        .orderBy("adc_dist", "vec_id")
+        .limit(_PQ_ADC_TOPK)
+    )
+    return top.select(
+        F.row_number()
+        .over(W.orderBy("adc_dist", "vec_id"))
+        .cast("int")
+        .alias("rank"),
+        "vec_id",
+        "adc_dist",
+        "true_dist",
+    )
+
+
 # ------------------------------------------------- exact repeated spans
 #: span width in tokens, and the per-span document-frequency cap that
 #: bounds the quadratic pair fanout (C(cap,2)=190 pairs max per span).
