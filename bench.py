@@ -203,6 +203,9 @@ HEADLINE = [
     "sim_pq_adc_topk",
     "cohort_ltv_cumulative",
     "agg_odds_risk_ratio",
+    # round-12 wave 3
+    "text_distinct_ngrams",
+    "timeseries_interarrival_stats",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`
@@ -607,6 +610,8 @@ def main() -> None:
             "streaming_cdc_upsert_replay",
             # round-11: the standing KMV distinct sketch
             "streaming_kmv_distinct_replay",
+            # round-12: incrementally-maintained BM25 postings
+            "streaming_bm25_stats_replay",
         ):
             if name not in queries:
                 continue

@@ -1062,6 +1062,40 @@ def test_round12_wave2_invariants(spark):
     spark.catalog.clearCache()
 
 
+def test_round12_wave3_invariants(spark):
+    """Pins for the wave-3 trio: the streaming-postings BM25 equals
+    the batch ranking ROW FOR ROW (the whole point — incrementally
+    maintained stats, identical scoring path); distinct-n ratios are
+    proper fractions ordered by n (longer grams repeat less); the
+    inter-arrival profile's order statistics nest and gap counts
+    reconcile with per-type event counts."""
+    batch = sorted(map(tuple, QUERIES["text_bm25_ranking"](spark, SF_ORACLE).collect()))
+    streamed = sorted(
+        map(tuple, QUERIES["streaming_bm25_stats_replay"](spark, SF_ORACLE).collect())
+    )
+    assert batch == streamed and len(batch) == 20
+
+    for r in QUERIES["text_distinct_ngrams"](spark, SF_ORACLE).collect():
+        assert r.total_unigrams > 0
+        assert 0 < r.distinct_1 <= r.distinct_2 <= r.distinct_3 <= 1, r
+
+    import duckdb
+
+    con = duckdb.connect()
+    per_type = dict(
+        con.sql(
+            f"SELECT event_type, COUNT(*) FROM '{SF_ORACLE}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    rows = QUERIES["timeseries_interarrival_stats"](spark, SF_ORACLE).collect()
+    assert {r.event_type for r in rows} == set(per_type)
+    for r in rows:
+        assert r.n_gaps == per_type[r.event_type] - 1
+        assert r.min_gap_us / 1e6 <= r.p50_gap_s <= r.p90_gap_s <= r.max_gap_us / 1e6
+        assert r.min_gap_us / 1e6 <= r.mean_gap_s <= r.max_gap_us / 1e6
+    spark.catalog.clearCache()
+
+
 def test_kmv_sketch_estimates_track_truth(spark):
     """KMV invariants at a scale where ESTIMATION actually engages
     (sf0.1's user sets exceed k=256, unlike the sf0.01 oracle fixture

@@ -4900,6 +4900,78 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_interarrival_stats",
+    oracle="""
+    WITH x AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    g AS (SELECT event_type,
+                 us - lag(us) OVER (PARTITION BY event_type ORDER BY us)
+                   AS gap_us
+          FROM x)
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0, 6)
+             AS mean_gap_s,
+           round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s,
+           round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def timeseries_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL-TIME PROFILE per event type — the arrival-process
+    read the daily rollup family can't give (a mean rate hides
+    burstiness; the gap distribution IS the capacity-planning input:
+    p50 vs p90 spread says bursty-vs-steady, max says worst stall).
+    Gaps are consecutive differences of the time-sorted event stream
+    per type, summarized as exact min/max/mean and the interpolated
+    median and p90.
+
+    Exactness: timestamps reduce to exact BIGINT microseconds
+    (epoch_us == the loader's micros contract); the sorted sequence
+    of a value multiset is unique, so consecutive diffs are
+    deterministic even under timestamp ties at any parallelism;
+    min/max/sum are exact integer aggregates; p50/p90 use the shared
+    exact-percentile contract (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` linear interpolation); seconds conversions are
+    single double divisions + round(6). Types with fewer than 2
+    events emit no row (no gaps), identically in both engines.
+
+    Plan/scale: ONE window (the lag) partitioned by event_type —
+    at 5 types this is the honest skew caveat: each type's stream
+    sorts within one task, so at 100 TB you'd sessionize per
+    (type, day) first and stitch boundaries (the gaps-and-islands
+    device) or accept the per-type sort; the closing aggregate is
+    map-side-combined to |types| rows. The exact percentile swaps to
+    approx_percentile at scale per the documented twin policy."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    g = e.select(
+        "event_type",
+        (
+            F.col("us")
+            - F.lag("us").over(W.partitionBy("event_type").orderBy("us"))
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("gap_us") / 1000000.0, 6
+        ).alias("mean_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1000000.0, 6).alias(
+            "p50_gap_s"
+        ),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 1000000.0, 6).alias(
+            "p90_gap_s"
+        ),
+    )
+
+
+@register(
     "agg_odds_risk_ratio",
     oracle="""
     WITH x AS (SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -4093,6 +4093,112 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_distinct_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT source, {_TOKS} AS w FROM documents),
+    g AS (SELECT source,
+                 unnest(list_transform(generate_series(1, len(w) - 2),
+                        i -> array_to_string(w[i:i+2], ' '))) AS tri,
+                 NULL AS uni, NULL AS bi
+          FROM t WHERE len(w) >= 3
+          UNION ALL
+          SELECT source, NULL,
+                 unnest(w), NULL
+          FROM t
+          UNION ALL
+          SELECT source, NULL, NULL,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> array_to_string(w[i:i+1], ' ')))
+          FROM t WHERE len(w) >= 2),
+    s AS (SELECT source,
+                 CAST(COUNT(uni) AS BIGINT) AS n_uni,
+                 CAST(COUNT(DISTINCT uni) AS BIGINT) AS d_uni,
+                 CAST(COUNT(bi) AS BIGINT) AS n_bi,
+                 CAST(COUNT(DISTINCT bi) AS BIGINT) AS d_bi,
+                 CAST(COUNT(tri) AS BIGINT) AS n_tri,
+                 CAST(COUNT(DISTINCT tri) AS BIGINT) AS d_tri
+          FROM g GROUP BY source)
+    SELECT source, n_uni AS total_unigrams,
+           round(CAST(d_uni AS DOUBLE) / NULLIF(n_uni, 0), 6) AS distinct_1,
+           round(CAST(d_bi AS DOUBLE) / NULLIF(n_bi, 0), 6) AS distinct_2,
+           round(CAST(d_tri AS DOUBLE) / NULLIF(n_tri, 0), 6) AS distinct_3
+    FROM s
+    """,
+)
+def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-N DIVERSITY per source (Li et al. 2016, "A
+    Diversity-Promoting Objective Function for Neural Conversation
+    Models" — distinct-1/distinct-2 became the standard corpus- and
+    generation-diversity read): the ratio of DISTINCT n-grams to
+    total n-grams for n = 1, 2, 3, per document source. Low
+    distinct-2/3 flags a templated or self-repeating source (the
+    corpus-level cousin of ``text_repetition_ratio``'s per-document
+    read; MATTR reads within-document diversity — three different
+    questions). Bigrams/trigrams use the shared space-joined shingle
+    construction.
+
+    Exactness: counts and distinct counts are exact integers (one
+    stacked explode; COUNT(col)/COUNT(DISTINCT col) skip the other
+    grams' NULL rows identically in both engines); the ratios are
+    single divisions + round(6). Documents shorter than n emit no
+    n-grams, stated identically via the length guards.
+
+    Plan/scale: the explode is map-side (3x token fan-out); the one
+    shuffle is the per-(source, gram) distinct — high-cardinality and
+    evenly spread (gram keys), the same shape as the vocab builds. At
+    100 TB swap exact distinct for approx_count_distinct per the
+    documented exact/approx twin policy; output is |sources| rows.
+    STRICT windows only (docs shorter than n emit no n-grams) — NOT
+    ``shingles_of_tokens``, whose whole-text fallback for short docs
+    is a similarity-recall device this diversity ratio must not
+    inherit."""
+    from vector_db_core_spark.functions.text import tokens
+
+    t = _t(spark, sf_dir, "documents").select(
+        "source", tokens("text").alias("w")
+    )
+
+    def grams(n: int) -> F.Column:
+        win = F.expr(
+            f"transform(sequence(1, size(w) - {n - 1}),"
+            f" i -> array_join(slice(w, i, {n}), ' '))"
+        )
+        # sequence(1, k) DESCENDS for k < 1 — guard empties explicitly
+        return F.when(F.size("w") >= n, win).otherwise(
+            F.expr("array()").cast("array<string>")
+        )
+
+    uni = t.select("source", F.explode(grams(1)).alias("g")).withColumn(
+        "n", F.lit(1)
+    )
+    bi = t.select("source", F.explode(grams(2)).alias("g")).withColumn(
+        "n", F.lit(2)
+    )
+    tri = t.select("source", F.explode(grams(3)).alias("g")).withColumn(
+        "n", F.lit(3)
+    )
+    s = (
+        uni.unionByName(bi)
+        .unionByName(tri)
+        .groupBy("source", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("tot"),
+            F.countDistinct("g").cast("bigint").alias("dst"),
+        )
+    )
+    ratio = F.round(F.col("dst").cast("double") / F.col("tot"), 6)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("total_unigrams"),
+            F.max(F.when(F.col("n") == 1, ratio)).alias("distinct_1"),
+            F.max(F.when(F.col("n") == 2, ratio)).alias("distinct_2"),
+            F.max(F.when(F.col("n") == 3, ratio)).alias("distinct_3"),
+        )
+    )
+
+
+@register(
     "text_mattr_diversity",
     oracle=r"""
     WITH t AS (SELECT doc_id,
@@ -5680,14 +5786,23 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fusion op's lexical leg)."""
     from vector_db_core_spark.functions.text import tokens
 
-    k1 = float(BM25_K1_TXT)
-    b = float(BM25_B_TXT)
     docs = _t(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
+    return _bm25_scored_from_tf(tf)
+
+
+def _bm25_scored_from_tf(tf: DataFrame) -> DataFrame:
+    """Okapi scoring over an already-materialized postings frame
+    ``tf(doc_id, term, tf)`` — split out so the STREAMING twin
+    (``streaming_bm25_stats_replay``: postings maintained
+    incrementally by the streaming engine) provably scores through
+    the identical code path as the batch op."""
+    k1 = float(BM25_K1_TXT)
+    b = float(BM25_B_TXT)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     n = dl.agg(
         F.count("*").alias("n"), F.sum("dl").cast("bigint").alias("tot")
@@ -5748,7 +5863,12 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     df/dl/n sides broadcast); the global top-20 is
     TakeOrderedAndProject. At 100 TB this is postings-list scoring:
     work ∝ documents containing query terms, not the corpus."""
-    s = _bm25_scored(spark, sf_dir)
+    return _bm25_rank(_bm25_scored(spark, sf_dir))
+
+
+def _bm25_rank(s: DataFrame) -> DataFrame:
+    """Global top-N + dense rank over a scored frame — shared by the
+    batch op and the streaming-postings twin."""
     r = s.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOP_N)
     rank = F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id"))
     return r.select(

@@ -976,3 +976,75 @@ def streaming_kmv_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
         est.cast("bigint").alias("est_distinct"),
     )
+
+
+def _bm25_stream_oracle() -> str:
+    from vector_db_core_spark.operators.llm import _BM25_SQL
+
+    return _BM25_SQL
+
+
+@register("streaming_bm25_stats_replay", oracle=_bm25_stream_oracle())
+def streaming_bm25_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over INCREMENTALLY-MAINTAINED postings — the streaming
+    twin of ``text_bm25_ranking``, and the deployment shape its scale
+    ladder note names: a serving system does not recompute tf/df/dl/N
+    per query, it maintains them as documents arrive. Here the
+    documents fixture lands as 4 files consumed one per trigger, the
+    STREAMING ENGINE maintains the postings state — a
+    ``groupBy(doc_id, term).count()`` aggregation in update mode,
+    exactly the index-maintenance increment — and the final ranking
+    scores the drained postings through the IDENTICAL batch code path
+    (``_bm25_scored_from_tf`` → ``_bm25_rank``), so it carries the
+    batch op's full DuckDB oracle.
+
+    Replay-deterministic: per-(doc, term) counts are arrival-order
+    independent (each emission is monotone in count; the finisher
+    takes max per key, robust to a doc's terms being re-emitted
+    across update-mode batches), and the downstream df/dl/N/top-k
+    algebra is the batch op's exact contract verbatim.
+
+    Plan/scale: streaming state is the postings table itself — the
+    index being built, keyed (doc_id, term), one shuffle per batch;
+    the scoring read is the batch plan over the sink. A production
+    stream would checkpoint the postings to a store sink rather than
+    memory and evict nothing (an index grows); query-time work stays
+    postings-bounded behind the query-term semi-join."""
+    from vector_db_core_spark.functions.text import tokens
+    from vector_db_core_spark.operators.llm import (
+        _bm25_rank,
+        _bm25_scored_from_tf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = f"bm25_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    root = os.path.join(_REPLAY_ROOT, key)
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    docs.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    postings = (
+        stream.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    _run_to_memory(postings, "stream_replay_bm25", root, "update")
+    # land the drained postings as a parquet table before scoring: (a)
+    # the scorer self-joins its tf frame four ways (qt/df/dl), which
+    # trips attribute dedup on a memory-sink lineage (the KMV replay's
+    # "Conflicting attributes" note), and (b) it IS the production
+    # shape — the maintained index checkpoints to a store, queries scan
+    # the store
+    index_path = os.path.join(root, "postings")
+    (
+        spark.table("stream_replay_bm25")
+        .groupBy("doc_id", "term")
+        .agg(F.max("n").alias("tf"))
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    return _bm25_rank(_bm25_scored_from_tf(spark.read.parquet(index_path)))
