@@ -206,6 +206,8 @@ HEADLINE = [
     # round-12 wave 3
     "text_distinct_ngrams",
     "timeseries_interarrival_stats",
+    # round-12 wave 4
+    "quality_freshness_sla",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

@@ -1096,6 +1096,24 @@ def test_round12_wave3_invariants(spark):
     spark.catalog.clearCache()
 
 
+def test_freshness_sla_invariants(spark):
+    """The frontier type (owns the corpus MAX ts) must read lag 0 and
+    no breach; lags are non-negative; stale shares are proper
+    fractions and large on this 30-day fixture (7-day horizon keeps
+    only the last quarter fresh)."""
+    rows = QUERIES["quality_freshness_sla"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    assert min(r.lag_minutes for r in rows) == 0.0
+    frontier = min(rows, key=lambda r: r.lag_minutes)
+    assert not frontier.sla_breached
+    for r in rows:
+        assert r.lag_minutes >= 0
+        assert 0 <= r.stale_7d_share <= 1
+        assert r.stale_7d_share > 0.5  # 30-day span, 7-day horizon
+        assert r.sla_breached == (r.lag_minutes > 60.0)
+    spark.catalog.clearCache()
+
+
 def test_kmv_sketch_estimates_track_truth(spark):
     """KMV invariants at a scale where ESTIMATION actually engages
     (sf0.1's user sets exceed k=256, unlike the sf0.01 oracle fixture

@@ -1202,6 +1202,81 @@ def timeseries_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- data-quality contract
 @register(
+    "quality_freshness_sla",
+    oracle="""
+    WITH x AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    mx AS (SELECT MAX(us) AS now_us FROM x),
+    t AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(MAX(us) AS BIGINT) AS last_us,
+                 CAST(SUM(CASE WHEN us < mx.now_us - 604800000000
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_7d,
+                 MAX(mx.now_us) AS now_us
+          FROM x, mx GROUP BY event_type)
+    SELECT event_type, n_events,
+           CAST(to_timestamp(last_us / 1000000.0) AS TIMESTAMP)
+             AS last_event,
+           round(CAST(now_us - last_us AS DOUBLE) / 60000000.0, 6)
+             AS lag_minutes,
+           round(CAST(n_stale_7d AS DOUBLE) / n_events, 6) AS stale_7d_share,
+           CAST(now_us - last_us AS BIGINT) > 3600000000 AS sla_breached
+    FROM t
+    """,
+)
+def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRESHNESS SLA REPORT per event type — the data-quality check
+    the expectation suite doesn't cover (``quality_expectations``
+    reads VALUES; this reads ARRIVAL: a source whose feed silently
+    stopped passes every value check while going stale): per type the
+    last event time, its lag behind the corpus frontier (MAX ts — the
+    deterministic 'now' anchor a static fixture has; production
+    passes the wall clock), the share of rows older than a 7-day
+    horizon, and a 60-minute SLA breach flag. The monitoring row a
+    pipeline pages on.
+
+    Exactness: timestamps reduce to exact BIGINT microseconds; the
+    frontier and per-type maxima are exact integer MAXes; lag and the
+    stale share are single fixed double expressions + round(6); the
+    breach flag compares exact integers; last_event converts micros
+    back to TIMESTAMP identically in both engines.
+
+    Plan/scale: one map-side-combined aggregate per type plus the
+    one-row frontier broadcast back — two scans (or one with a
+    grouping-sets rewrite), shuffle carries |types| rows. The 7-day
+    horizon and 60-min SLA are the operator's published constants."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    mx = e.agg(F.max("us").alias("now_us"))
+    t = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("us").cast("bigint").alias("last_us"),
+            F.sum(
+                (F.col("us") < F.col("now_us") - F.lit(604800000000)).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_stale_7d"),
+            F.max("now_us").alias("now_us"),
+        )
+    )
+    return t.select(
+        "event_type",
+        "n_events",
+        F.timestamp_micros(F.col("last_us")).alias("last_event"),
+        F.round(
+            (F.col("now_us") - F.col("last_us")).cast("double") / 60000000.0, 6
+        ).alias("lag_minutes"),
+        F.round(
+            F.col("n_stale_7d").cast("double") / F.col("n_events"), 6
+        ).alias("stale_7d_share"),
+        ((F.col("now_us") - F.col("last_us")) > 3600000000).alias("sla_breached"),
+    )
+
+
+@register(
     "quality_expectations_orders",
     oracle="""
     WITH base AS (
