@@ -71,7 +71,7 @@ def reap_at_exit(path: str) -> str:
 _CACHE_LOCK = threading.Lock()  # guards the two dicts below only
 _KEY_LOCKS: dict[str, threading.Lock] = {}
 _PATHS: dict[tuple[str, str], str] = {}
-_BUILD_COUNTS: dict[str, int] = {}
+_BUILD_COUNTS: dict[tuple[str, str], int] = {}
 
 
 def _key_lock(key: str) -> threading.Lock:
@@ -105,16 +105,24 @@ def cached_table(
             )
             builder().write.mode("overwrite").parquet(path)
             with _CACHE_LOCK:
-                _BUILD_COUNTS[key] = _BUILD_COUNTS.get(key, 0) + 1
+                _BUILD_COUNTS[(key, sf_dir)] = (
+                    _BUILD_COUNTS.get((key, sf_dir), 0) + 1
+                )
                 _PATHS[(key, sf_dir)] = path
     return spark.read.parquet(path)
 
 
-def build_count(key: str) -> int:
-    """How many times ``key``'s builder ran in this process (pytest
-    pin: exactly one per (process, key, sf_dir))."""
+def build_count(key: str, sf_dir: str | None = None) -> int:
+    """How many times ``key``'s builder ran in this process — for one
+    fixture when ``sf_dir`` is given, summed across fixtures otherwise
+    (pytest pin: exactly one per (process, key, sf_dir)). Counts are
+    keyed per (key, sf_dir) like ``_PATHS`` — a single-key counter
+    undercounted per-fixture builds in a two-fixture session (r11
+    verdict nit)."""
     with _CACHE_LOCK:
-        return _BUILD_COUNTS.get(key, 0)
+        if sf_dir is not None:
+            return _BUILD_COUNTS.get((key, sf_dir), 0)
+        return sum(n for (k, _), n in _BUILD_COUNTS.items() if k == key)
 
 
 def path_for(key: str, sf_dir: str) -> str | None:
