@@ -2311,30 +2311,56 @@ def sim_pq_codes_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
-    cent = init.join(x, "vec_id").select("cid", F.col("xm").alias("cm"))
-    nx = F.expr(
-        "aggregate(transform(xm, v -> v * v),"
-        " cast(0 as bigint), (acc, v) -> acc + v)"
+    # Per-pair work minimized by the exact integer identity
+    # (a-c)^2 = a^2 + c^2 - 2ac: the squared-norm block vectors xb2 /
+    # cb2 are computed ONCE per vector / per centroid (Spark's
+    # higher-order array functions are CodegenFallback — interpreted —
+    # so each avoided per-pair fold is real time), and the pair side
+    # pays only the 8 dot-product folds. BIGINT algebra is exact, so
+    # the distances — and the hashes — are bit-identical to the
+    # direct (a-c)^2 fold the oracle states.
+    block_sq = F.expr(
+        f"transform(sequence(0, {_PQ_NB - 1}),"
+        f" b -> aggregate(slice(xm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        "  cast(0 as bigint), (acc, v) -> acc + v * v))"
+    )
+    cent = init.join(x, "vec_id").select(
+        "cid",
+        F.col("xm").alias("cm"),
+        block_sq.alias("cb2"),
+    )
+    xv = x.select("vec_id", "xm", block_sq.alias("xb2"))
+    nx = F.expr("aggregate(xb2, cast(0 as bigint), (acc, v) -> acc + v)")
+    # all 8 dot products in ONE array expression, materialized by the
+    # projection below the aggregate — each pair row pays 8 folds
+    # total (was 24: dist+dt+nr folds per block)
+    dots = F.expr(
+        f"transform(sequence(0, {_PQ_NB - 1}),"
+        f" b -> aggregate(zip_with(slice(xm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        f"                         slice(cm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        "                          (a, c) -> a * c),"
+        "  cast(0 as bigint), (acc, v) -> acc + v))"
+    )
+    pairs = (
+        xv.withColumn("nx", nx)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("dots", dots)
     )
 
-    def fold(b: int, expr: str) -> F.Column:
-        xs = f"slice(xm, {b * _PQ_SD + 1}, {_PQ_SD})"
-        cs = f"slice(cm, {b * _PQ_SD + 1}, {_PQ_SD})"
-        return F.expr(
-            f"aggregate(zip_with({xs}, {cs}, (a, c) -> {expr}),"
-            " cast(0 as bigint), (acc, v) -> acc + v)"
-        )
+    def at(col: str, b: int) -> F.Column:
+        return F.element_at(col, b + 1)
 
-    pairs = x.withColumn("nx", nx).crossJoin(F.broadcast(cent))
     best = pairs.groupBy("vec_id").agg(
         F.min("nx").alias("nx"),
         *[
             F.min(
                 F.struct(
-                    fold(b, "(a - c) * (a - c)").alias("dist"),
+                    (at("xb2", b) + at("cb2", b) - 2 * at("dots", b)).alias(
+                        "dist"
+                    ),
                     F.col("cid").alias("cid"),
-                    fold(b, "a * c").alias("dt"),
-                    fold(b, "c * c").alias("nr"),
+                    at("dots", b).alias("dt"),
+                    at("cb2", b).alias("nr"),
                 )
             ).alias(f"m{b}")
             for b in range(_PQ_NB)
@@ -2462,29 +2488,67 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
-    cent = init.join(x, "vec_id").select("cid", F.col("xm").alias("cm"))
-    q = x.where(F.col("vec_id") == 0).select(F.col("xm").alias("qm"))
-
-    def fold(a: str, b: str, lo: int, n: int) -> F.Column:
+    # Per-pair work minimized by (a-c)^2 = a^2 + c^2 - 2ac in exact
+    # BIGINT (the PQ twin's device): xb2 once per vector, cb2 once per
+    # centroid, and the query-to-centroid block distances CQD are a
+    # per-CENTROID constant (the query is fixed) — the 16-row LUT a
+    # real ADC scan precomputes — so each pair row pays only the 8
+    # assignment dot-product folds (Spark HOFs are interpreted; this
+    # is the dominant cost). Same integers, same hashes.
+    def block_sq_of(col: str) -> F.Column:
         return F.expr(
-            f"aggregate(zip_with(slice({a}, {lo}, {n}), slice({b}, {lo}, {n}),"
-            " (u, w) -> (u - w) * (u - w)),"
-            " cast(0 as bigint), (acc, v) -> acc + v)"
+            f"transform(sequence(0, {_PQ_NB - 1}),"
+            f" b -> aggregate(slice({col}, b * {_PQ_SD} + 1, {_PQ_SD}),"
+            "  cast(0 as bigint), (acc, v) -> acc + v * v))"
         )
 
+    q = x.where(F.col("vec_id") == 0).select(F.col("xm").alias("qm"))
+    qd_fold = F.expr(
+        f"transform(sequence(0, {_PQ_NB - 1}),"
+        f" b -> aggregate(zip_with(slice(qm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        f"                         slice(cm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        "                          (u, w) -> (u - w) * (u - w)),"
+        "  cast(0 as bigint), (acc, v) -> acc + v))"
+    )
+    cent = (
+        init.join(x, "vec_id")
+        .select("cid", F.col("xm").alias("cm"))
+        .crossJoin(F.broadcast(q))
+        .select("cid", "cm", block_sq_of("cm").alias("cb2"), qd_fold.alias("cqd"))
+    )
+    true_fold = F.expr(
+        "aggregate(zip_with(xm, qm, (u, w) -> (u - w) * (u - w)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    dots = F.expr(
+        f"transform(sequence(0, {_PQ_NB - 1}),"
+        f" b -> aggregate(zip_with(slice(xm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        f"                         slice(cm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        "                          (a, c) -> a * c),"
+        "  cast(0 as bigint), (acc, v) -> acc + v))"
+    )
     pairs = (
         x.where(F.col("vec_id") != 0)
+        .select("vec_id", "xm", block_sq_of("xm").alias("xb2"))
         .crossJoin(F.broadcast(q))
+        .withColumn("true_dist", true_fold)
         .crossJoin(F.broadcast(cent))
+        .withColumn("dots", dots)
     )
+
+    def at(col: str, b: int) -> F.Column:
+        return F.element_at(col, b + 1)
+
     best = pairs.groupBy("vec_id").agg(
-        F.min(fold("xm", "qm", 1, _PQ_NB * _PQ_SD)).alias("true_dist"),
+        F.min("true_dist").alias("true_dist"),
         *[
             F.min(
                 F.struct(
-                    fold("xm", "cm", b * _PQ_SD + 1, _PQ_SD).alias("dist"),
+                    (at("xb2", b) + at("cb2", b) - 2 * at("dots", b)).alias(
+                        "dist"
+                    ),
                     F.col("cid").alias("cid"),
-                    fold("qm", "cm", b * _PQ_SD + 1, _PQ_SD).alias("qd"),
+                    at("cqd", b).alias("qd"),
                 )
             ).alias(f"m{b}")
             for b in range(_PQ_NB)
