@@ -208,6 +208,7 @@ HEADLINE = [
     "timeseries_interarrival_stats",
     # round-12 wave 4
     "quality_freshness_sla",
+    "sim_ivfpq_topk",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

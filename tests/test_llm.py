@@ -750,6 +750,38 @@ def test_pq_adc_recall_against_true_ranking(spark):
     spark.catalog.clearCache()
 
 
+def test_ivfpq_prunes_and_agrees_with_adc(spark):
+    """IVF-PQ structural pins: dense ranks ordered by ADC distance;
+    hits span at most nprobe=2 cells; n_scanned strictly below the
+    corpus (the pruning IS the op); and on the probed subset the
+    composed index must agree with the unpartitioned ADC scan — every
+    IVF hit that sim_pq_adc_topk also ranked carries the IDENTICAL
+    adc_dist (same codebooks, same codes, same LUT)."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark.operators import QUERIES
+
+    rows = sorted(
+        QUERIES["sim_ivfpq_topk"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, 11))
+    adcs = [r.adc_dist for r in rows]
+    assert adcs == sorted(adcs)
+    assert len({r.cell for r in rows}) <= 2
+    n = rows[0].n_scanned
+    assert all(r.n_scanned == n for r in rows)
+    assert 10 <= n < 499  # pruned: strictly below the 499-vector corpus
+    flat = {
+        r.vec_id: r.adc_dist
+        for r in QUERIES["sim_pq_adc_topk"](spark, SF_ORACLE).collect()
+    }
+    overlap = [r for r in rows if r.vec_id in flat]
+    assert overlap, "probe cells missed every flat-ADC hit"
+    for r in overlap:
+        assert r.adc_dist == flat[r.vec_id], r
+    spark.catalog.clearCache()
+
+
 def test_rrf_fusion_invariants(spark):
     """RRF structural pins: dense 1..20 fused ranks; every row carries
     at least one leg rank and each present leg rank is in 1..20; the

@@ -2571,6 +2571,236 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF probe width and serving depth for the composed index.
+_IVFPQ_NPROBE = 2
+_IVFPQ_TOPK = 10
+
+_IVFPQ_SQL = f"""
+WITH x AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0)
+                                           AS BIGINT)) AS xm
+           FROM embeddings),
+init AS (SELECT vec_id,
+                CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                        vec_id) AS INT) - 1 AS cid
+         FROM embeddings
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
+c AS (SELECT i.cid, x.xm AS cm FROM init i JOIN x ON x.vec_id = i.vec_id),
+q AS (SELECT xm AS qm FROM x WHERE vec_id = 0),
+cd AS (SELECT x.vec_id, c.cid,
+              CAST(list_sum(list_transform(generate_series(1, {_PQ_NB * _PQ_SD}),
+                   j -> (x.xm[j] - c.cm[j]) * (x.xm[j] - c.cm[j])))
+                   AS BIGINT) AS dist
+       FROM x CROSS JOIN c WHERE x.vec_id <> 0),
+cell AS (SELECT vec_id, cid AS cell FROM
+           (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn FROM cd)
+         WHERE rn = 1),
+qcells AS (SELECT c.cid AS cell FROM c CROSS JOIN q
+           ORDER BY CAST(list_sum(list_transform(
+                         generate_series(1, {_PQ_NB * _PQ_SD}),
+                         j -> (q.qm[j] - c.cm[j]) * (q.qm[j] - c.cm[j])))
+                         AS BIGINT), c.cid
+           LIMIT {_IVFPQ_NPROBE}),
+surv AS (SELECT cell.vec_id, cell.cell FROM cell
+         JOIN qcells ON qcells.cell = cell.cell),
+d AS (SELECT s.vec_id, s.cell, g.b, c.cid,
+             CAST(list_sum(list_transform(generate_series(1, {_PQ_SD}),
+                  j -> (x.xm[g.b * {_PQ_SD} + j] - c.cm[g.b * {_PQ_SD} + j])
+                     * (x.xm[g.b * {_PQ_SD} + j] - c.cm[g.b * {_PQ_SD} + j])))
+                  AS BIGINT) AS dist,
+             CAST(list_sum(list_transform(generate_series(1, {_PQ_SD}),
+                  j -> (q.qm[g.b * {_PQ_SD} + j] - c.cm[g.b * {_PQ_SD} + j])
+                     * (q.qm[g.b * {_PQ_SD} + j] - c.cm[g.b * {_PQ_SD} + j])))
+                  AS BIGINT) AS qd
+      FROM surv s
+      JOIN x ON x.vec_id = s.vec_id
+      CROSS JOIN q
+      CROSS JOIN c
+      CROSS JOIN UNNEST(generate_series(0, {_PQ_NB - 1})) AS g(b)),
+a AS (SELECT vec_id, cell, qd FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id, b
+                                      ORDER BY dist, cid) AS rn FROM d)
+      WHERE rn = 1),
+s AS (SELECT vec_id, CAST(MIN(cell) AS INT) AS cell,
+             CAST(SUM(qd) AS BIGINT) AS adc_dist
+      FROM a GROUP BY vec_id),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scanned FROM surv),
+t AS (SELECT x.vec_id,
+             CAST(list_sum(list_transform(generate_series(1, {_PQ_NB * _PQ_SD}),
+                  j -> (x.xm[j] - q.qm[j]) * (x.xm[j] - q.qm[j])))
+                  AS BIGINT) AS true_dist
+      FROM x CROSS JOIN q WHERE x.vec_id <> 0),
+top AS (SELECT s.vec_id, s.cell, s.adc_dist, t.true_dist
+        FROM s JOIN t ON t.vec_id = s.vec_id
+        ORDER BY s.adc_dist, s.vec_id LIMIT {_IVFPQ_TOPK})
+SELECT CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS INT) AS rank,
+       vec_id, cell, adc_dist, true_dist, n.n_scanned
+FROM top, n
+"""
+
+
+@register("sim_ivfpq_topk", oracle=_IVFPQ_SQL)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ COMPOSED — the standard billion-scale ANN index (Jégou
+    et al. 2011; the FAISS IVFPQ shape) under the full hash gate: the
+    16 seeded centroids double as the COARSE quantizer (every corpus
+    vector assigns to its nearest cell by full-vector integer
+    distance), the query probes its nprobe=2 nearest cells, and only
+    the survivors are ADC-scored per block (same micro-quantized
+    construction as ``sim_pq_adc_topk``; plain-vector PQ rather than
+    residual encoding — the standard simplification, stated). Emits
+    the top-10 with each hit's cell, true distance, and the probed
+    candidate count — the pruning evidence (n_scanned ≪ corpus is
+    the whole point of IVF).
+
+    Exactness: coarse assignment, probe selection, per-block codes,
+    and ADC sums are all exact BIGINT folds with (dist, cid)
+    tie-breaks; the candidate count is an exact integer broadcast
+    onto the bounded output.
+
+    Plan/scale: cells and the probe list are 16- and 2-row broadcast
+    tables; coarse assignment is one map-side 16-candidate argmin
+    over the corpus (an index maintains it incrementally — here it
+    runs inline to stay self-contained); the ADC stage touches ONLY
+    probed-cell members (a broadcast semi-join prunes before any
+    block work), so serving cost ∝ corpus/cells × nprobe. This is the
+    geometry that turns a 100 TB scan into a per-query partition
+    read; at real scale the cell becomes the partition key the codes
+    table is written under (partition pruning does the semi-join)."""
+    x = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " v -> cast(round(v * 1000000.0, 0) as bigint))"
+        ).alias("xm"),
+    )
+    init = (
+        x.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_PQ_K)
+        .withColumn(
+            "cid",
+            (
+                F.row_number().over(
+                    W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+                )
+                - 1
+            ).cast("int"),
+        )
+    )
+    q = x.where(F.col("vec_id") == 0).select(F.col("xm").alias("qm"))
+
+    def block_sq_of(col: str) -> F.Column:
+        return F.expr(
+            f"transform(sequence(0, {_PQ_NB - 1}),"
+            f" b -> aggregate(slice({col}, b * {_PQ_SD} + 1, {_PQ_SD}),"
+            "  cast(0 as bigint), (acc, v) -> acc + v * v))"
+        )
+
+    qd_fold = F.expr(
+        f"transform(sequence(0, {_PQ_NB - 1}),"
+        f" b -> aggregate(zip_with(slice(qm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        f"                         slice(cm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        "                          (u, w) -> (u - w) * (u - w)),"
+        "  cast(0 as bigint), (acc, v) -> acc + v))"
+    )
+    qfull = F.expr(
+        "aggregate(zip_with(cm, qm, (u, w) -> (u - w) * (u - w)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    cent = (
+        init.join(x, "vec_id")
+        .select("cid", F.col("xm").alias("cm"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            "cm",
+            block_sq_of("cm").alias("cb2"),
+            qd_fold.alias("cqd"),
+            qfull.alias("qdist"),
+        )
+    )
+    qcells = (
+        cent.orderBy("qdist", "cid").limit(_IVFPQ_NPROBE).select("cid")
+    )
+    dots = F.expr(
+        f"transform(sequence(0, {_PQ_NB - 1}),"
+        f" b -> aggregate(zip_with(slice(xm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        f"                         slice(cm, b * {_PQ_SD} + 1, {_PQ_SD}),"
+        "                          (a, c) -> a * c),"
+        "  cast(0 as bigint), (acc, v) -> acc + v))"
+    )
+    true_fold = F.expr(
+        "aggregate(zip_with(xm, qm, (u, w) -> (u - w) * (u - w)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+    def at(col: str, b: int) -> F.Column:
+        return F.element_at(col, b + 1)
+
+    pairs = (
+        x.where(F.col("vec_id") != 0)
+        .select("vec_id", "xm", block_sq_of("xm").alias("xb2"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("true_dist", true_fold)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("dots", dots)
+    )
+    # full-vector distance to the cell centroid = sum over blocks of
+    # the per-block distances (exact: the blocks tile the vector)
+    full_dist = sum(
+        at("xb2", b) + at("cb2", b) - 2 * at("dots", b) for b in range(_PQ_NB)
+    )
+    best = pairs.groupBy("vec_id").agg(
+        F.min("true_dist").alias("true_dist"),
+        F.min(F.struct(full_dist.alias("fd"), F.col("cid").alias("cid"))).alias(
+            "coarse"
+        ),
+        *[
+            F.min(
+                F.struct(
+                    (at("xb2", b) + at("cb2", b) - 2 * at("dots", b)).alias(
+                        "dist"
+                    ),
+                    F.col("cid").alias("cid"),
+                    at("cqd", b).alias("qd"),
+                )
+            ).alias(f"m{b}")
+            for b in range(_PQ_NB)
+        ],
+    )
+    surv = best.join(
+        F.broadcast(qcells),
+        best["coarse.cid"] == qcells["cid"],
+        "left_semi",
+    )
+    n_scanned = surv.agg(F.count("*").cast("bigint").alias("n_scanned"))
+    adc = sum(F.col(f"m{b}.qd") for b in range(_PQ_NB)).cast("bigint")
+    top = (
+        surv.select(
+            "vec_id",
+            F.col("coarse.cid").cast("int").alias("cell"),
+            adc.alias("adc_dist"),
+            "true_dist",
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(_IVFPQ_TOPK)
+    )
+    return top.crossJoin(F.broadcast(n_scanned)).select(
+        F.row_number()
+        .over(W.orderBy("adc_dist", "vec_id"))
+        .cast("int")
+        .alias("rank"),
+        "vec_id",
+        "cell",
+        "adc_dist",
+        "true_dist",
+        "n_scanned",
+    )
+
+
 # ------------------------------------------------- exact repeated spans
 #: span width in tokens, and the per-span document-frequency cap that
 #: bounds the quadratic pair fanout (C(cap,2)=190 pairs max per span).
