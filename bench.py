@@ -209,6 +209,8 @@ HEADLINE = [
     # round-12 wave 4
     "quality_freshness_sla",
     "sim_ivfpq_topk",
+    # round-12 wave 5
+    "timeseries_holt_winters",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

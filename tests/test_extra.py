@@ -1101,6 +1101,52 @@ def test_round12_wave3_invariants(spark):
     spark.catalog.clearCache()
 
 
+def test_holt_winters_matches_python_recurrence(spark):
+    """Re-run the integer Holt-Winters recurrence in pure Python from
+    the raw daily-cents series (independent of both engines' fold
+    machinery) and require bit-identical level/trend/seasonal/forecast
+    on every row; also the structural reads: day-1 state is (v, 0, 0)
+    and the forecast always equals l + b + next-slot seasonal."""
+    import duckdb
+
+    def tdiv10(v):
+        q, r = divmod(abs(v), 10)
+        return q if v >= 0 else -q
+
+    con = duckdb.connect()
+    daily = con.sql(
+        f"SELECT event_type, CAST(ts AS DATE) AS day,"
+        f" SUM(CAST(round(value * 100) AS BIGINT)) AS cents"
+        f" FROM '{SF_ORACLE}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for et, day, cents in daily:
+        series.setdefault(et, []).append((day, cents))
+    expect = {}
+    for et, rows_ in series.items():
+        l = b = 0
+        seas = [0] * 7
+        for n, (day, v) in enumerate(rows_):
+            idx = n % 7
+            if n == 0:
+                l, b, s = v, 0, 0
+            else:
+                l_new = tdiv10(3 * (v - seas[idx]) + 7 * (l + b) + 5)
+                b_new = tdiv10(2 * (l_new - l) + 8 * b + 5)
+                s = tdiv10(3 * (v - l_new) + 7 * seas[idx] + 5)
+                l, b = l_new, b_new
+            f = l + b + seas[(n + 1) % 7]
+            seas[idx] = s
+            expect[(et, day)] = (l / 100.0, b / 100.0, s / 100.0, f / 100.0)
+    out = QUERIES["timeseries_holt_winters"](spark, SF_ORACLE).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        key = (r.event_type, r.day.date())
+        l, b, s, f = expect[key]
+        assert (r.level, r.trend, r.seasonal, r.forecast_next) == (l, b, s, f), r
+    spark.catalog.clearCache()
+
+
 def test_freshness_sla_invariants(spark):
     """The frontier type (owns the corpus MAX ts) must read lag 0 and
     no breach; lags are non-negative; stale shares are proper

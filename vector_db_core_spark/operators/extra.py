@@ -2571,6 +2571,154 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hw_sql() -> str:
+    """Unrolled Holt-Winters recurrence as a DuckDB recursive CTE —
+    expressions repeated textually (the _HOLT_SQL device) rather than
+    relying on lateral alias reuse."""
+    sidx = "r.seas[((o.rn - 1) % 7) + 1]"
+    lnew = f"((3 * (o.cents - {sidx}) + 7 * (r.l + r.b) + 5) // 10)"
+    bnew = f"((2 * ({lnew} - r.l) + 8 * r.b + 5) // 10)"
+    snew = f"((3 * (o.cents - {lnew}) + 7 * {sidx} + 5) // 10)"
+    return f"""
+WITH RECURSIVE
+d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+o AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS INT) AS rn
+      FROM d),
+r AS (
+  SELECT event_type, day, cents, rn,
+         cents AS l, CAST(0 AS BIGINT) AS b,
+         [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS seas,
+         CAST(0 AS BIGINT) AS s_here
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.cents, o.rn,
+         {lnew} AS l,
+         {bnew} AS b,
+         list_transform(r.seas,
+                        (v, i) -> CASE WHEN i = ((o.rn - 1) % 7) + 1
+                                       THEN {snew} ELSE v END) AS seas,
+         {snew} AS s_here
+  FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       cents / 100.0 AS daily_value,
+       l / 100.0 AS level,
+       b / 100.0 AS trend,
+       s_here / 100.0 AS seasonal,
+       (l + b + seas[(rn % 7) + 1]) / 100.0 AS forecast_next
+FROM r
+"""
+
+
+@register("timeseries_holt_winters", oracle=_hw_sql())
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS ADDITIVE (triple exponential smoothing, alpha=0.3
+    / beta=0.2 / gamma=0.3, weekly period m=7): per event type the
+    level + trend + 7-slot seasonal state fold over the daily series
+    and the one-step-ahead forecast l' + b' + s[next] — the seasonal
+    completion of ``timeseries_holt_linear`` (Holt tracks a local
+    trend; HW also tracks the day-of-week shape a revenue series
+    actually has; ``timeseries_seasonal_decompose`` reads the same
+    structure descriptively, this one forecasts with it). State is
+    ZERO-INITIALIZED seasonal with l0 = first value, b0 = 0 — a
+    deterministic burn-in variant, stated (a production fit seeds
+    seasonals from the first cycle's means; the recurrence is
+    identical after week one either way).
+
+    Exactness: the recurrence is quantized to integer cents like Holt
+    and the streaming EWMA — l' = (3(v-s)+7(l+b)+5)//10, b' =
+    (2(l'-l)+8b+5)//10, s' = (3(v-l')+7s+5)//10, the smoothing
+    constants as rationals with half-round folded into truncating
+    division (``_tdiv10`` == DuckDB ``//``, either sign) — so the
+    fold is bit-identical at any parallelism and the oracle replays
+    the IDENTICAL recurrence in a recursive CTE carrying the seasonal
+    array as list state. The forecast reads the NEXT slot, which this
+    step never writes (next ≠ current mod 7), so pre-update state is
+    correct in both engines.
+
+    Plan/scale: identical to Holt — the daily pre-aggregation is the
+    one data-sized shuffle; each type's bounded calendar-day series
+    folds inside one ``F.aggregate`` with a struct accumulator whose
+    seasonal array updates via an index-aware ``transform``; nothing
+    sequential leaves the executor."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    series = d.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.unix_date("day").alias("di"), "cents"))
+        ).alias("s")
+    )
+    out_t = (
+        "struct<l:bigint,b:bigint,n:int,seas:array<bigint>,"
+        "out:array<struct<di:int,cents:bigint,l:bigint,b:bigint,"
+        "sh:bigint,f:bigint>>>"
+    )
+    init = F.named_struct(
+        F.lit("l"), F.lit(0).cast("long"),
+        F.lit("b"), F.lit(0).cast("long"),
+        F.lit("n"), F.lit(0).cast("int"),
+        F.lit("seas"), F.expr("array_repeat(cast(0 as bigint), 7)"),
+        F.lit("out"),
+        F.expr(
+            "CAST(array() AS array<struct<di:int,cents:bigint,l:bigint,"
+            "b:bigint,sh:bigint,f:bigint>>)"
+        ),
+    ).cast(out_t)
+
+    def step(acc, x):
+        first = acc["n"] == 0
+        idx = acc["n"] % 7  # 0-based slot of THIS observation
+        s_at = F.element_at(acc["seas"], idx + 1)
+        l_new = F.when(first, x["cents"]).otherwise(
+            _tdiv10(3 * (x["cents"] - s_at) + 7 * (acc["l"] + acc["b"]) + 5)
+        )
+        b_new = F.when(first, F.lit(0).cast("long")).otherwise(
+            _tdiv10(2 * (l_new - acc["l"]) + 8 * acc["b"] + 5)
+        )
+        s_new = F.when(first, F.lit(0).cast("long")).otherwise(
+            _tdiv10(3 * (x["cents"] - l_new) + 7 * s_at + 5)
+        )
+        seas_new = F.transform(
+            acc["seas"],
+            lambda v, i: F.when(i == idx, s_new).otherwise(v),
+        )
+        nxt = F.element_at(acc["seas"], ((acc["n"] + 1) % 7) + 1)
+        row = F.struct(
+            x["di"].alias("di"),
+            x["cents"].alias("cents"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_new.alias("sh"),
+            (l_new + b_new + nxt).alias("f"),
+        )
+        return F.named_struct(
+            F.lit("l"), l_new,
+            F.lit("b"), b_new,
+            F.lit("n"), acc["n"] + 1,
+            F.lit("seas"), seas_new,
+            F.lit("out"), F.concat(acc["out"], F.array(row)),
+        ).cast(out_t)
+
+    folded = series.select(
+        "event_type",
+        F.aggregate("s", init, step)["out"].alias("out"),
+    )
+    r = folded.select("event_type", F.explode("out").alias("r"))
+    return r.select(
+        "event_type",
+        F.date_from_unix_date(F.col("r.di")).cast("timestamp").alias("day"),
+        (F.col("r.cents") / F.lit(100.0)).alias("daily_value"),
+        (F.col("r.l") / F.lit(100.0)).alias("level"),
+        (F.col("r.b") / F.lit(100.0)).alias("trend"),
+        (F.col("r.sh") / F.lit(100.0)).alias("seasonal"),
+        (F.col("r.f") / F.lit(100.0)).alias("forecast_next"),
+    )
+
+
 @register(
     "timeseries_rolling_median",
     oracle="""
