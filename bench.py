@@ -211,6 +211,7 @@ HEADLINE = [
     "sim_ivfpq_topk",
     # round-12 wave 5
     "timeseries_holt_winters",
+    "timeseries_residual_anomalies",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

@@ -1147,6 +1147,27 @@ def test_holt_winters_matches_python_recurrence(spark):
     spark.catalog.clearCache()
 
 
+def test_residual_anomalies_consistent_with_decompose(spark):
+    """The anomaly op must reuse the decomposition contract exactly:
+    every flagged purchase-day residual equals the decompose op's
+    residual for that day (same arithmetic, different grouping
+    breadth); all flags sit beyond 2 sigma; and the scored count is
+    the full-window day count (30-day fixture minus 6 edge days)."""
+    dec = {
+        r.day: r.residual
+        for r in QUERIES["timeseries_seasonal_decompose"](spark, SF_ORACLE).collect()
+        if r.residual is not None
+    }
+    rows = QUERIES["timeseries_residual_anomalies"](spark, SF_ORACLE).collect()
+    assert rows, "2-sigma tail empty — threshold or variance broken"
+    for r in rows:
+        assert abs(r.resid_z) > 2.0
+        assert r.n_scored == 24, r
+        if r.event_type == "purchase":
+            assert abs(r.residual - dec[r.day]) < 1e-6, r
+    spark.catalog.clearCache()
+
+
 def test_freshness_sla_invariants(spark):
     """The frontier type (owns the corpus MAX ts) must read lag 0 and
     no breach; lags are non-negative; stale shares are proper

@@ -46,7 +46,7 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: Queries oracled AFTER this rotation (round-12 additions) go first
 #: in the ROUND-13 window by the same recompute, then sentinels again
 #: by oldest-last-green family. As of end-of-round-12 the expected
-#: round-13 backlog is the 12 round-12 oracled additions (this list
+#: round-13 backlog is the 13 round-12 oracled additions (this list
 #: is a snapshot, kept in sync as ops land; recompute from
 #: CORRECTNESS_r*.json as above):
 #: sim_pq_codes_exact, text_rrf_hybrid_topk,
@@ -54,7 +54,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: cohort_ltv_cumulative, agg_odds_risk_ratio,
 #: streaming_bm25_stats_replay, text_distinct_ngrams,
 #: timeseries_interarrival_stats, quality_freshness_sla,
-#: sim_ivfpq_topk, timeseries_holt_winters
+#: sim_ivfpq_topk, timeseries_holt_winters,
+#: timeseries_residual_anomalies
 #: — plus whatever the r12 driver leaves unsampled.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica

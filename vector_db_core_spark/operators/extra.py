@@ -4808,6 +4808,146 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_RESID_ANOM_SQL = """
+WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS win_sum,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS win_n,
+             CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT)
+               AS weekday
+      FROM d),
+t AS (SELECT event_type, day, weekday, cents,
+             CASE WHEN win_n = 7
+                  THEN CAST(cents AS DOUBLE) / 100.0
+                       - CAST(win_sum AS DOUBLE) / 700.0 END AS detrended
+      FROM w),
+s AS (SELECT *,
+             CAST(SUM(CAST(detrended AS DECIMAL(27,15)))
+                    OVER (PARTITION BY event_type, weekday) AS DOUBLE)
+             / SUM(CASE WHEN detrended IS NOT NULL THEN 1 END)
+                 OVER (PARTITION BY event_type, weekday) AS seasonal
+      FROM t),
+r AS (SELECT event_type, day, cents, detrended - seasonal AS resid
+      FROM s WHERE detrended IS NOT NULL),
+st AS (SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(resid AS DECIMAL(27,15))) AS DOUBLE) AS sr,
+              CAST(SUM(CAST(resid * resid AS DECIMAL(38,15))) AS DOUBLE)
+                AS sq
+       FROM r GROUP BY event_type),
+z AS (SELECT r.event_type, r.day, r.cents, r.resid, st.n,
+             (r.resid - st.sr / st.n)
+             / sqrt(st.sq / st.n - (st.sr / st.n) * (st.sr / st.n)) AS rz
+      FROM r JOIN st ON st.event_type = r.event_type)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
+       round(resid, 6) AS residual,
+       round(rz, 6) AS resid_z,
+       n AS n_scored
+FROM z WHERE abs(rz) > 2.0
+"""
+
+
+@register("timeseries_residual_anomalies", oracle=_RESID_ANOM_SQL)
+def timeseries_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-Z ANOMALY FLAGS — the alerting consumer of the
+    decomposition family (``timeseries_seasonal_decompose`` publishes
+    the split; this op WATCHES it, across all five event types): days
+    whose decomposition residual sits beyond 2 population-sigma of the
+    type's residual distribution, the standard seasonal-aware anomaly
+    recipe (CUSUM reads level shifts; z-scoring raw values confuses
+    weekly rhythm with anomaly — detrend + deseasonalize first, THEN
+    threshold). Emits only the flagged days with their residual,
+    z-score, and the scored-day count (edge days without a full
+    centered window are excluded from scoring, stated — same edge
+    policy as the decomposition).
+
+    Exactness: the decomposition arithmetic is the decompose op's
+    contract verbatim (integer daily cents, fixed double trend,
+    DECIMAL-absorbed seasonal means, all per event type); the
+    residual moments accumulate in DECIMAL(27,15)/DECIMAL(38,15)
+    before one fixed double mean/variance/z expression; the flag
+    compares the unrounded |z| to the 2.0 literal in both engines;
+    round(6)/round(2) only at emission.
+
+    Plan/scale: the daily rollup is the one data-sized shuffle;
+    trend/seasonal windows and the residual-moment aggregate all run
+    on the |types| x |days| grid; output is the anomaly list (a few
+    rows per month of calendar on null data — by construction the
+    2-sigma tail)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    ww = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(ww).cast("bigint").alias("win_sum"),
+        F.count("*").over(ww).cast("bigint").alias("win_n"),
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("bigint")
+        .alias("weekday"),
+    )
+    full = F.col("win_n") == 7
+    t = w.select(
+        "event_type",
+        "day",
+        "weekday",
+        "cents",
+        F.when(
+            full,
+            F.col("cents").cast("double") / 100.0
+            - F.col("win_sum").cast("double") / 700.0,
+        ).alias("detrended"),
+    )
+    wp = W.partitionBy("event_type", "weekday")
+    seasonal = F.sum(F.col("detrended").cast("decimal(27,15)")).over(wp).cast(
+        "double"
+    ) / F.sum(F.when(F.col("detrended").isNotNull(), 1)).over(wp)
+    r = (
+        t.select(
+            "event_type",
+            "day",
+            "cents",
+            (F.col("detrended") - seasonal).alias("resid"),
+        )
+        .where(F.col("resid").isNotNull())
+    )
+    st = r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("resid").cast("decimal(27,15)")).cast("double").alias("sr"),
+        F.sum((F.col("resid") * F.col("resid")).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    mean = F.col("sr") / F.col("n")
+    std = F.sqrt(F.col("sq") / F.col("n") - mean * mean)
+    z = r.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        "cents",
+        "resid",
+        ((F.col("resid") - mean) / std).alias("rz"),
+        "n",
+    )
+    return z.where(F.abs(F.col("rz")) > 2.0).select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("value"),
+        F.round("resid", 6).alias("residual"),
+        F.round("rz", 6).alias("resid_z"),
+        F.col("n").alias("n_scored"),
+    )
+
+
 _SEASONAL_STRENGTH_SQL = (
     "WITH dec AS (" + _SEASONAL_DECOMP_SQL + """),
 f AS (SELECT trend, seasonal, residual FROM dec WHERE trend IS NOT NULL),
