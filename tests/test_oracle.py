@@ -84,19 +84,19 @@ def test_results_partition_independent(name, spark):
 #: moment the driver deposited the round's own report (its all-green
 #: rows emptied the "backlog"), so the basis round is now pinned
 #: explicitly and bumped at each rotation.
-ROTATION_BASIS_MAX_ROUND = 11
+ROTATION_BASIS_MAX_ROUND = 12
 
 
 def test_driver_window_is_first_50_all_new_and_oracled():
     """The driver hash-checks the first 50 registry entries; pin the
-    round-12 rotation invariants: the curated window IS the
+    round-13 rotation invariants: the curated window IS the
     iteration-order prefix, every slot is oracled (no rows-only entry
     burning a hash-check slot — the round-3 sim_ann_lsh_topk lesson),
     and the window = the full never-driver-checked backlog FIRST
     followed by drift-sentinel REPEATS (each green in some prior
-    round, re-checked on purpose). Basis: CORRECTNESS_r{01..11} (266
-    distinct hash-green); backlog = the 20 round-11 additions.
-    Reports from later rounds (the driver deposits CORRECTNESS_r12+
+    round, re-checked on purpose). Basis: CORRECTNESS_r{01..12} (286
+    distinct hash-green); backlog = the 13 round-12 additions.
+    Reports from later rounds (the driver deposits CORRECTNESS_r13+
     into this worktree) are excluded on purpose — they postdate the
     rotation and must not alter its invariants."""
     import glob
@@ -123,7 +123,7 @@ def test_driver_window_is_first_50_all_new_and_oracled():
     assert already_green, "correctness reports missing — rotation basis gone"
     flags = [n in already_green for n in DRIVER_WINDOW]
     backlog = [n for n, green in zip(DRIVER_WINDOW, flags) if not green]
-    assert len(backlog) == 20, backlog
+    assert len(backlog) == 13, backlog
     # backlog first, sentinels after — no interleaving
     assert flags == sorted(flags), "backlog entries must precede sentinels"
     # the window's backlog must BE the whole oracled backlog that

@@ -24,98 +24,99 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 
 #: The 50 queries surfaced to the driver's correctness window.
 #:
-#: Round-12 rotation (mechanical, same recompute as r6..r11). Basis:
-#:   covered = union of hash_match rows across CORRECTNESS_r{01..11}.json
-#:           == 266 distinct queries (r11 closed the whole 24-query
-#:              round-10 backlog)
-#:   backlog = [n for n in ORACLE if n not in covered]   # == 20
-#: The 20 backlog entries are exactly the round-11 oracled additions
-#: (registered after the r11 window rotated; the r11 judge
-#: hash-verified all 20 at sf0.01 AND sf0.1). They go FIRST, in the
-#: order pre-enumerated by the r11 rotation note; a green run makes
-#: distinct ever-driver-green == 286/286 for the round-11 registry.
-#: The remaining 30 slots are drift sentinels, same rule as before:
-#: group the 266 covered queries into operator families (name prefix,
+#: Round-13 rotation (mechanical, same recompute as r6..r12). Basis:
+#:   covered = union of hash_match rows across CORRECTNESS_r{01..12}.json
+#:           == 286 distinct queries (r12 closed the whole 20-query
+#:              round-11 backlog)
+#:   backlog = [n for n in ORACLE if n not in covered]   # == 13
+#: The 13 backlog entries are exactly the round-12 oracled additions
+#: (registered after the r12 window rotated; the r12 judge
+#: hash-verified all 13 at sf0.01 AND sf0.1). They go FIRST, in
+#: registry iteration order; a green run makes distinct
+#: ever-driver-green == 299/299 for the round-12 registry.
+#: The remaining 37 slots are drift sentinels, same rule as before:
+#: group the 286 covered queries into operator families (name prefix,
 #: TPC-H collapsed to one family; 39 families), take each family's
 #: member whose LAST green row is oldest (min over members of
 #: max(round) per name, tie alphabetical), rank families by that round
-#: ascending (tie alphabetical), keep 30 (the r10-tie tail is
-#: alphabetical: sql_api_nation_revenue is the 30th; subquery/topk/
-#: unpivot plus the r11-green assoc/attribution/case/checksum/cohort/
-#: rfm families wait for round 13).
-#: Queries oracled AFTER this rotation (round-12 additions) go first
-#: in the ROUND-13 window by the same recompute, then sentinels again
-#: by oldest-last-green family. As of end-of-round-12 the expected
-#: round-13 backlog is the 13 round-12 oracled additions (this list
-#: is a snapshot, kept in sync as ops land; recompute from
+#: ascending (tie alphabetical), keep 37 (the r12-tie tail is
+#: alphabetical: quality_expectations_orders is the 37th; rollup and
+#: scd2 wait for round 14).
+#: Queries oracled AFTER this rotation (round-13 additions) go first
+#: in the ROUND-14 window by the same recompute, then sentinels again
+#: by oldest-last-green family. As of end-of-round-13 the expected
+#: round-14 backlog is the round-13 oracled additions (this list is a
+#: snapshot, kept in sync as ops land; recompute from
 #: CORRECTNESS_r*.json as above):
-#: sim_pq_codes_exact, text_rrf_hybrid_topk,
-#: profile_column_entropy_bucketed, sim_pq_adc_topk,
-#: cohort_ltv_cumulative, agg_odds_risk_ratio,
-#: streaming_bm25_stats_replay, text_distinct_ngrams,
-#: timeseries_interarrival_stats, quality_freshness_sla,
-#: sim_ivfpq_topk, timeseries_holt_winters,
-#: timeseries_residual_anomalies
-#: — plus whatever the r12 driver leaves unsampled.
+#: text_distinct_ngrams_approx, sim_ivfpq_partitioned_topk,
+#: streaming_ivf_cells_replay, timeseries_interarrival_stitched,
+#: graph_bridge_edges, agg_cramers_v, timeseries_theta_forecast,
+#: text_keyword_cooccurrence, pipeline_dedup_priority_survivors,
+#: agg_quantile_bands_exact, sim_random_projection_energy,
+#: cohort_stickiness_dau_mau, quality_uniqueness_report,
+#: window_session_gaps, scalar_trig_functions, text_hapax_ratio,
+#: streaming_topk_hashtags_replay, multimodal_exif_orientation_norm,
+#: agg_log_odds_monroe, pipeline_token_budget_packing
+#: — plus whatever the r13 driver leaves unsampled.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
 #: (tests/test_oracle.py).
 DRIVER_WINDOW = (
-    # --- 20-query backlog: the round-11 additions, never driver-checked ---
-    "multimodal_phash_neardup_wide",
-    "pipeline_review_queue",
-    "graph_connected_components",
-    "graph_assortativity",
-    "agg_kendall_tau_binned",
-    "agg_brown_forsythe_variance",
-    "timeseries_ljung_box",
-    "pipeline_mixture_temperature",
-    "text_js_divergence_sources",
-    "multimodal_aspect_bucketing",
-    "sim_mmr_diversified_topk",
-    "agg_theil_index",
-    "sketch_kmv_distinct_intersection",
-    "cohort_km_median_lifetime",
-    "text_bm25_ranking",
-    "timeseries_drawdown",
-    "profile_column_entropy",
-    "streaming_kmv_distinct_replay",
-    "agg_mann_whitney_binned",
-    "timeseries_seasonal_strength",
-    # --- 30 drift sentinels: per family the member whose LAST green
+    # --- 13-query backlog: the round-12 additions, never driver-checked ---
+    "sim_pq_codes_exact",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
+    "text_distinct_ngrams",
+    "text_rrf_hybrid_topk",
+    "cohort_ltv_cumulative",
+    "timeseries_holt_winters",
+    "timeseries_residual_anomalies",
+    "timeseries_interarrival_stats",
+    "agg_odds_risk_ratio",
+    "profile_column_entropy_bucketed",
+    "streaming_bm25_stats_replay",
+    "quality_freshness_sla",
+    # --- 37 drift sentinels: per family the member whose LAST green
     # --- row is oldest; families ranked by that round ascending,
-    # --- ties alphabetical. 39 families > 30 slots; cut after the
-    # --- 14th of the 17-way r10 tie (sql_api_nation_revenue).
-    "join_outer_order_counts",          # join, last green r3
-    "ref_pullx_range",                  # ref, last green r3
-    "agg_histogram_price_bins",         # agg, last green r4
-    "dedup_ngram_jaccard_pairs",        # dedup, last green r4
-    "pipeline_domain_cap_sample",       # pipeline, last green r4
-    "scalar_date_functions",            # scalar, last green r4
-    "text_bigram_lm",                   # text, last green r4
-    "window_zscore_outliers",           # window, last green r4
-    "sim_tfidf_rerank_pairs",           # sim, last green r5
-    "streaming_append_window_replay",   # streaming, last green r5
-    "timeseries_multi_grain_rollup",    # timeseries, last green r5
-    "q11_important_part_values",        # tpch, last green r5
-    "multimodal_resize_thumbnail",      # multimodal, last green r7
-    "funnel_time_to_convert",           # funnel, last green r9
-    "profile_lineitem_key_skew",        # profile, last green r9
-    "set_except_inactive_custkeys",     # set, last green r9
-    "cube_status_priority",             # cube, last green r10
-    "distinct_market_segments",         # distinct, last green r10
-    "graph_degree_distribution",        # graph, last green r10
-    "group_topk_orders_per_customer",   # group, last green r10
-    "grouping_sets_status_priority",    # grouping, last green r10
-    "json_extract_props",               # json, last green r10
-    "merge_upsert_orders",              # merge, last green r10
-    "pattern_session_sequences",        # pattern, last green r10
-    "pivot_status_by_priority",         # pivot, last green r10
-    "quality_expectations_orders",      # quality, last green r10
-    "rollup_returnflag_status",         # rollup, last green r10
-    "scd2_user_event_intervals",        # scd2, last green r10
-    "sketch_bloom_md5_nonmembers",      # sketch, last green r10
-    "sql_api_nation_revenue",           # sql, last green r10
+    # --- ties alphabetical. 39 families > 37 slots; cut after the
+    # --- 8th of the 10-way r12 tie (quality_expectations_orders).
+    "join_range_price_bands",               # join, last green r3
+    "agg_linear_regression",                # agg, last green r4
+    "pipeline_normalize_text",              # pipeline, last green r4
+    "scalar_hash_functions",                # scalar, last green r4
+    "text_fingerprint",                     # text, last green r4
+    "dedup_cluster_survivors",              # dedup, last green r5
+    "ref_snapshot_asof",                    # ref, last green r5
+    "streaming_interval_left_outer_replay", # streaming, last green r5
+    "q12_late_shipment_priority",           # tpch, last green r5
+    "window_range_trailing_7d",             # window, last green r5
+    "sim_hard_negatives",                   # sim, last green r7
+    "multimodal_doc_embedding_join",        # multimodal, last green r8
+    "timeseries_ewma_daily_value",          # timeseries, last green r8
+    "funnel_view_click_purchase",           # funnel, last green r10
+    "graph_pagerank_exact",                 # graph, last green r10
+    "profile_orders_columns",               # profile, last green r10
+    "set_intersect_custkeys",               # set, last green r10
+    "subquery_exists_priority_counts",      # subquery, last green r10
+    "topk_orders_by_price",                 # topk, last green r10
+    "unpivot_nation_measures",              # unpivot, last green r10
+    "assoc_part_pairs_in_orders",           # assoc, last green r11
+    "attribution_last_touch",               # attribution, last green r11
+    "case_bucketize_orders",                # case, last green r11
+    "checksum_orders_table",                # checksum, last green r11
+    "cohort_daily_retention",               # cohort, last green r11
+    "group_topn_with_ties",                 # group, last green r11
+    "rfm_customer_segments",                # rfm, last green r11
+    "sketch_count_min_md5_topk",            # sketch, last green r11
+    "sql_api_tpch_q4",                      # sql, last green r11
+    "cube_status_priority",                 # cube, last green r12
+    "distinct_market_segments",             # distinct, last green r12
+    "grouping_sets_status_priority",        # grouping, last green r12
+    "json_extract_props",                   # json, last green r12
+    "merge_upsert_orders",                  # merge, last green r12
+    "pattern_session_sequences",            # pattern, last green r12
+    "pivot_status_by_priority",             # pivot, last green r12
+    "quality_expectations_orders",          # quality, last green r12
 )
 
 
