@@ -1700,3 +1700,76 @@ def test_spearman_matches_numpy_midranks(spark):
     assert abs(got.spearman_rho - want) < 1e-6, (got.spearman_rho, want)
     assert got.spearman_rho > 0.5  # the monotone-link fixture reading
     spark.catalog.clearCache()
+
+
+def test_odds_ratio_zero_cell_haldane_matches_oracle(spark, tmp_path):
+    """The 2x2 zero-cell boundary (r12 verdict task 2): with b = 0
+    (every exposed order is a big order) the uncorrected form is
+    ln(inf)/div-0 — DuckDB raises, Spark emits Infinity. Both engines
+    must now apply the conditional Haldane-Anscombe +0.5 and agree
+    bit-for-bit on a synthetic fixture that trips the boundary."""
+    import duckdb
+
+    from tests.oracle_util import compare_spark_duck
+    from vector_db_core_spark.operators import ORACLE
+
+    rows = (
+        [("1-URGENT", 250000.0)] * 3      # a = 3 exposed, big
+        + [("3-MEDIUM", 250000.0)] * 2    # c = 2 unexposed, big
+        + [("3-MEDIUM", 100000.0)] * 5    # d = 5 unexposed, small
+    )                                     # b = 0 exposed, small
+    df = spark.createDataFrame(
+        rows, "o_orderpriority STRING, o_totalprice DOUBLE"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = QUERIES["agg_odds_risk_ratio"](spark, str(tmp_path))
+    (r,) = got.collect()
+    # Haldane: OR = (3.5 * 5.5) / (0.5 * 2.5), finite CI around it
+    assert r.n_exposed_small == 0
+    assert abs(r.odds_ratio - 15.4) < 1e-9
+    assert 0 < r.or_ci_low < r.odds_ratio < r.or_ci_high < float("inf")
+    assert r.risk_exposed == 1.0
+    assert abs(r.risk_ratio - 3.5) < 1e-9
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"'{tmp_path}/orders.parquet/*.parquet'"
+    )
+    duck = con.sql(ORACLE["agg_odds_risk_ratio"])
+    assert compare_spark_duck(got, duck) == []
+    con.close()
+
+
+def test_residual_anomalies_zero_variance_emits_nothing(spark, tmp_path):
+    """A constant daily series has zero residual variance: the
+    variance > 0 z-guard (r12 advice) must make BOTH engines emit
+    zero anomaly rows — unguarded, DuckDB's sqrt(tiny negative)
+    raises Out of Range while Spark's NaN z satisfies |z| > 2 and
+    EMITS every scored day."""
+    import datetime
+
+    import duckdb
+
+    from tests.oracle_util import compare_spark_duck
+    from vector_db_core_spark.operators import ORACLE
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 12) + datetime.timedelta(days=i),
+         1, "view", 1.0, "{}")
+        for i in range(21)
+    ]
+    sf = _write_events_fixture(spark, tmp_path, rows)
+    got = QUERIES["timeseries_residual_anomalies"](spark, sf)
+    assert got.collect() == []
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    duck = con.sql(ORACLE["timeseries_residual_anomalies"])
+    assert compare_spark_duck(got, duck) == []
+    con.close()

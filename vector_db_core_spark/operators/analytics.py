@@ -1214,8 +1214,7 @@ def timeseries_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                  MAX(mx.now_us) AS now_us
           FROM x, mx GROUP BY event_type)
     SELECT event_type, n_events,
-           CAST(to_timestamp(last_us / 1000000.0) AS TIMESTAMP)
-             AS last_event,
+           make_timestamp(last_us) AS last_event,
            round(CAST(now_us - last_us AS DOUBLE) / 60000000.0, 6)
              AS lag_minutes,
            round(CAST(n_stale_7d AS DOUBLE) / n_events, 6) AS stale_7d_share,
@@ -1238,7 +1237,12 @@ def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier and per-type maxima are exact integer MAXes; lag and the
     stale share are single fixed double expressions + round(6); the
     breach flag compares exact integers; last_event converts micros
-    back to TIMESTAMP identically in both engines.
+    back to TIMESTAMP identically in both engines — via
+    ``make_timestamp(BIGINT)`` (exact micros -> naive TIMESTAMP) on
+    the DuckDB side, matching Spark's ``timestamp_micros`` directly:
+    the earlier ``CAST(to_timestamp(us/1e6) AS TIMESTAMP)`` form was
+    the catalog's only TIMESTAMPTZ-producing expression and shifted
+    with the DuckDB session timezone (r12 advice).
 
     Plan/scale: one map-side-combined aggregate per type plus the
     one-row frontier broadcast back — two scans (or one with a

@@ -4842,8 +4842,10 @@ st AS (SELECT event_type,
                 AS sq
        FROM r GROUP BY event_type),
 z AS (SELECT r.event_type, r.day, r.cents, r.resid, st.n,
-             (r.resid - st.sr / st.n)
-             / sqrt(st.sq / st.n - (st.sr / st.n) * (st.sr / st.n)) AS rz
+             CASE WHEN st.sq / st.n - (st.sr / st.n) * (st.sr / st.n) > 0
+                  THEN (r.resid - st.sr / st.n)
+                       / sqrt(st.sq / st.n - (st.sr / st.n) * (st.sr / st.n))
+             END AS rz
       FROM r JOIN st ON st.event_type = r.event_type)
 SELECT event_type, CAST(day AS TIMESTAMP) AS day,
        round(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
@@ -4874,7 +4876,12 @@ def timeseries_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     residual moments accumulate in DECIMAL(27,15)/DECIMAL(38,15)
     before one fixed double mean/variance/z expression; the flag
     compares the unrounded |z| to the 2.0 literal in both engines;
-    round(6)/round(2) only at emission.
+    round(6)/round(2) only at emission. The z expression is guarded
+    on variance > 0 in BOTH engines (the ljung_box s0 discipline,
+    r12 advice): a constant residual stream's variance can cancel to
+    a tiny negative double, where DuckDB's sqrt raises Out of Range
+    while Spark yields NaN and |NaN| > 2 EMITS rows — guarded, both
+    engines flag nothing.
 
     Plan/scale: the daily rollup is the one data-sized shuffle;
     trend/seasonal windows and the residual-moment aggregate all run
@@ -4929,13 +4936,13 @@ def timeseries_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("sq"),
     )
     mean = F.col("sr") / F.col("n")
-    std = F.sqrt(F.col("sq") / F.col("n") - mean * mean)
+    var = F.col("sq") / F.col("n") - mean * mean
     z = r.join(F.broadcast(st), "event_type").select(
         "event_type",
         "day",
         "cents",
         "resid",
-        ((F.col("resid") - mean) / std).alias("rz"),
+        F.when(var > 0, (F.col("resid") - mean) / F.sqrt(var)).alias("rz"),
         "n",
     )
     return z.where(F.abs(F.col("rz")) > 2.0).select(
@@ -5272,21 +5279,31 @@ def timeseries_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame
                  CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
                  CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
           FROM x),
+    h AS (SELECT a, b, c, d,
+                 CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                      THEN CAST(0.5 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS ha
+          FROM t),
     m AS (SELECT a, b, c, d,
-                 CAST(a AS DOUBLE) / (a + b) AS risk_exposed,
-                 CAST(c AS DOUBLE) / (c + d) AS risk_unexposed,
-                 ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) AS lor,
-                 sqrt(CAST(1.0 AS DOUBLE) / a + CAST(1.0 AS DOUBLE) / b
-                      + CAST(1.0 AS DOUBLE) / c + CAST(1.0 AS DOUBLE) / d)
-                   AS se
-          FROM t)
+                 CASE WHEN a + b > 0
+                      THEN CAST(a AS DOUBLE) / (a + b) END AS risk_exposed,
+                 CASE WHEN c + d > 0
+                      THEN CAST(c AS DOUBLE) / (c + d) END AS risk_unexposed,
+                 (a + ha) * (d + ha) / ((b + ha) * (c + ha)) AS oratio,
+                 ln((a + ha) * (d + ha) / ((b + ha) * (c + ha))) AS lor,
+                 sqrt(CAST(1.0 AS DOUBLE) / (a + ha)
+                      + CAST(1.0 AS DOUBLE) / (b + ha)
+                      + CAST(1.0 AS DOUBLE) / (c + ha)
+                      + CAST(1.0 AS DOUBLE) / (d + ha)) AS se
+          FROM h)
     SELECT a AS n_exposed_big, b AS n_exposed_small,
            c AS n_unexposed_big, d AS n_unexposed_small,
            round(risk_exposed, 6) AS risk_exposed,
            round(risk_unexposed, 6) AS risk_unexposed,
-           round(risk_exposed / risk_unexposed, 6) AS risk_ratio,
-           round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
-             AS odds_ratio,
+           CASE WHEN risk_unexposed > 0
+                THEN round(risk_exposed / risk_unexposed, 6)
+           END AS risk_ratio,
+           round(oratio, 6) AS odds_ratio,
            round(exp(lor - CAST(1.96 AS DOUBLE) * se), 6) AS or_ci_low,
            round(exp(lor + CAST(1.96 AS DOUBLE) * se), 6) AS or_ci_high
     FROM m
@@ -5307,10 +5324,17 @@ def agg_odds_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge); every ratio is a fixed double expression over those
     integers; ln/exp/sqrt follow the catalog's same-libm-family
     discipline and 1.96 is DOUBLE-cast on the DuckDB side (the
-    decimal-literal trap); round(6) only at emission. Stated
-    invariant: all four cells positive (a zero cell makes lor/SE
-    infinite — the textbook's Haldane +0.5 correction is the
-    production knob; this fixture's cells are all in the thousands).
+    decimal-literal trap); round(6) only at emission. Boundary
+    (r12-verdict task 2): a zero cell makes lor/SE infinite — DuckDB
+    raises on ln(0)/div-0 where Spark NULLs, so BOTH engines now
+    apply the conditional Haldane-Anscombe correction (+0.5 to all
+    four cells iff any cell is zero; Haldane 1956, Anscombe 1956) to
+    the odds-based quantities, and the risk columns are CASE-guarded
+    on empty margins (risk_ratio NULL when the unexposed risk is 0).
+    On this fixture every cell is in the thousands, so the correction
+    term is exactly 0.0 and emitted values are unchanged; the
+    zero-cell path is pytest-pinned on a synthetic 2x2 through both
+    engines (tests/test_extra.py).
 
     Plan/scale: ONE aggregate row from one scan — the cells combine
     map-side, the shuffle carries four integers; everything after is
@@ -5326,17 +5350,28 @@ def agg_odds_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((1 - F.col("e")) * F.col("y")).cast("bigint").alias("c"),
         F.sum((1 - F.col("e")) * (1 - F.col("y"))).cast("bigint").alias("d"),
     )
-    risk_e = F.col("a").cast("double") / (F.col("a") + F.col("b"))
-    risk_u = F.col("c").cast("double") / (F.col("c") + F.col("d"))
-    orat = F.col("a").cast("double") * F.col("d") / (
-        F.col("b").cast("double") * F.col("c")
+    ha = F.when(
+        (F.col("a") == 0)
+        | (F.col("b") == 0)
+        | (F.col("c") == 0)
+        | (F.col("d") == 0),
+        F.lit(0.5),
+    ).otherwise(F.lit(0.0))
+    t = t.withColumn("ha", ha)
+    aa, bb = F.col("a") + F.col("ha"), F.col("b") + F.col("ha")
+    cc, dd = F.col("c") + F.col("ha"), F.col("d") + F.col("ha")
+    risk_e = F.when(
+        F.col("a") + F.col("b") > 0,
+        F.col("a").cast("double") / (F.col("a") + F.col("b")),
     )
+    risk_u = F.when(
+        F.col("c") + F.col("d") > 0,
+        F.col("c").cast("double") / (F.col("c") + F.col("d")),
+    )
+    orat = aa * dd / (bb * cc)
     lor = F.log(orat)
     se = F.sqrt(
-        F.lit(1.0) / F.col("a")
-        + F.lit(1.0) / F.col("b")
-        + F.lit(1.0) / F.col("c")
-        + F.lit(1.0) / F.col("d")
+        F.lit(1.0) / aa + F.lit(1.0) / bb + F.lit(1.0) / cc + F.lit(1.0) / dd
     )
     return t.select(
         F.col("a").alias("n_exposed_big"),
@@ -5345,7 +5380,7 @@ def agg_odds_risk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_unexposed_small"),
         F.round(risk_e, 6).alias("risk_exposed"),
         F.round(risk_u, 6).alias("risk_unexposed"),
-        F.round(risk_e / risk_u, 6).alias("risk_ratio"),
+        F.when(risk_u > 0, F.round(risk_e / risk_u, 6)).alias("risk_ratio"),
         F.round(orat, 6).alias("odds_ratio"),
         F.round(F.exp(lor - 1.96 * se), 6).alias("or_ci_low"),
         F.round(F.exp(lor + 1.96 * se), 6).alias("or_ci_high"),
