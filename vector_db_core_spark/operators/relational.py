@@ -549,7 +549,17 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function panel (concat/substring/upper/lower/trim/lpad/
-    length/regexp_extract/replace/split) — per-row codegen, no shuffle."""
+    length/regexp_extract/replace/split) — per-row codegen, no shuffle.
+
+    Exactness: REVERSE assumes ASCII input — Spark reverses UTF-8
+    code points while DuckDB reverses grapheme clusters, so a
+    combining sequence or astral character in ``p_name`` would
+    diverge (the same boundary the md5-raster derivations were
+    hardened against in r11). The fixture's ``p_name``/``p_brand``/
+    ``p_type`` are ASCII by construction and pinned so
+    (tests/test_fixture_schema.py::test_string_fixture_columns_are_ascii);
+    a non-ASCII fixture would fail that pin before it could silently
+    shift this panel's hashes."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
