@@ -667,7 +667,10 @@ def test_pq_exact_twin_agrees_with_production_encoder(spark):
     integer micro-quantized distances) must assign the SAME codes the
     production Arrow-batched encoder does when that encoder is fed the
     twin's codebooks — tying the DuckDB-derivable twin to the real
-    assignment path. Micro-quantization at 1e6 can only flip an argmin
+    assignment path. Since r13 both sides literally run the SAME
+    numpy kernel (_pq_block_dists — float64 here, int64 in the twin),
+    so this test pins the kernel's dtype-independence end to end.
+    Micro-quantization at 1e6 can only flip an argmin
     on a near-exact float tie, which this fixture has none of."""
     import numpy as np
 
