@@ -2669,7 +2669,12 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.true_dist").alias("true_dist"),
         )
     )
-    surv = scored.where(F.col("cell").isin([int(c) for c in probe]))
+    # two consumers (the candidate count and the top-k) would re-run
+    # the scoring UDF over the corpus; the survivor set is the small
+    # post-prune slice (corpus/cells x nprobe), so cache IT — the
+    # n_scanned broadcast job is the materialization, and the top-k
+    # reads the cache (the k-core two-action discipline)
+    surv = scored.where(F.col("cell").isin([int(c) for c in probe])).persist()
     n_scanned = surv.agg(F.count("*").cast("bigint").alias("n_scanned"))
     top = surv.orderBy("adc_dist", "vec_id").limit(_IVFPQ_TOPK)
     return top.crossJoin(F.broadcast(n_scanned)).select(
