@@ -785,6 +785,44 @@ def test_ivfpq_prunes_and_agrees_with_adc(spark):
     spark.catalog.clearCache()
 
 
+def test_ivfpq_partitioned_prunes_partitions_and_matches_inline(spark):
+    """The serving-layout variant (r12-verdict task 5): the
+    cell-partitioned codes table's probe must be answered by PARQUET
+    PARTITION PRUNING — the executed plan's codes-table scan carries
+    ``PartitionFilters: [cell IN (a,b)]`` with exactly nprobe=2 cells
+    and a ReadSchema WITHOUT the pruned-away cell column — and the
+    result must be row-identical to the inline ``sim_ivfpq_topk``
+    (same kernel, same LUT, same oracle)."""
+    import os
+    import re
+
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark import scratch
+    from vector_db_core_spark.operators import QUERIES
+
+    df = QUERIES["sim_ivfpq_partitioned_topk"](spark, SF_ORACLE)
+    got = sorted(map(tuple, df.collect()))
+    inline = sorted(map(tuple, QUERIES["sim_ivfpq_topk"](spark, SF_ORACLE).collect()))
+    assert got == inline
+    # the scratch table is genuinely partitioned: one dir per cell
+    path = scratch.path_for("ivfpq_codes", SF_ORACLE)
+    assert path is not None
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(cell_dirs) > 2  # pruning has something to prune
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    seg = next(
+        seg for seg in plan.split("\n\n") if "vdbc_ivfpq_codes" in seg
+    )
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", seg)
+    assert m, seg
+    assert len(m.group(1).split(",")) == 2  # exactly nprobe partitions
+    spark.catalog.clearCache()
+
+
 def test_rrf_fusion_invariants(spark):
     """RRF structural pins: dense 1..20 fused ranks; every row carries
     at least one leg rank and each present leg rank is in 1..20; the
