@@ -785,6 +785,36 @@ def test_ivfpq_prunes_and_agrees_with_adc(spark):
     spark.catalog.clearCache()
 
 
+def test_distinct_ngrams_approx_within_error_bound(spark):
+    """The linear-counting twin must sit within 2% relative error of
+    the exact distinct-n ratios at gate scale (load factor ~0.16 at
+    sf0.01 trigrams -> sub-1% expected; 2% is a comfortable
+    deterministic bound for the fixed md5 grid), with identical
+    total_unigrams — the exact/approx twin policy's measurable-error
+    discipline."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark.operators import QUERIES
+
+    exact = {
+        r.source: r
+        for r in QUERIES["text_distinct_ngrams"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r.source: r
+        for r in QUERIES["text_distinct_ngrams_approx"](spark, SF_ORACLE).collect()
+    }
+    assert set(approx) == set(exact)
+    for src, a in approx.items():
+        e = exact[src]
+        assert a.total_unigrams == e.total_unigrams, src
+        for col in ("distinct_1", "distinct_2", "distinct_3"):
+            av, ev = getattr(a, col), getattr(e, col)
+            assert (av is None) == (ev is None), (src, col)
+            if ev is not None:
+                assert abs(av - ev) / ev <= 0.02, (src, col, av, ev)
+    spark.catalog.clearCache()
+
+
 def test_ivfpq_partitioned_prunes_partitions_and_matches_inline(spark):
     """The serving-layout variant (r12-verdict task 5): the
     cell-partitioned codes table's probe must be answered by PARQUET

@@ -4507,6 +4507,126 @@ def text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Linear-counting grid width for the distinct-n approx twin.
+_LC_M = 65536
+
+_DISTINCT_NGRAMS_APPROX_SQL = f"""
+WITH t AS (SELECT source, {_TOKS} AS w FROM documents),
+g AS (SELECT source, 1 AS n, unnest(w) AS gr FROM t
+      UNION ALL
+      SELECT source, 2,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                    i -> array_to_string(w[i:i+1], ' ')))
+      FROM t WHERE len(w) >= 2
+      UNION ALL
+      SELECT source, 3,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> array_to_string(w[i:i+2], ' ')))
+      FROM t WHERE len(w) >= 3),
+b AS (SELECT source, n,
+             ('0x' || substr(md5(gr || '|lcng'), 1, 4))::INT AS bkt,
+             COUNT(*) AS c
+      FROM g GROUP BY 1, 2, 3),
+s AS (SELECT source, n,
+             CAST(COUNT(*) AS BIGINT) AS occupied,
+             CAST(SUM(c) AS BIGINT) AS tot
+      FROM b GROUP BY 1, 2),
+e AS (SELECT source, n, tot,
+             CASE WHEN occupied < {_LC_M}
+                  THEN -CAST({_LC_M} AS DOUBLE)
+                       * ln((CAST({_LC_M} AS DOUBLE) - occupied)
+                            / CAST({_LC_M} AS DOUBLE))
+             END AS est_d
+      FROM s)
+SELECT source,
+       MAX(CASE WHEN n = 1 THEN tot END) AS total_unigrams,
+       round(MAX(CASE WHEN n = 1 THEN est_d / tot END), 6) AS distinct_1,
+       round(MAX(CASE WHEN n = 2 THEN est_d / tot END), 6) AS distinct_2,
+       round(MAX(CASE WHEN n = 3 THEN est_d / tot END), 6) AS distinct_3
+FROM e GROUP BY source
+"""
+
+
+@register("text_distinct_ngrams_approx", oracle=_DISTINCT_NGRAMS_APPROX_SQL)
+def text_distinct_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-N DIVERSITY, the SCALE TWIN (r12-verdict task 4):
+    ``text_distinct_ngrams``'s per-(source, gram) exact distinct is
+    vocab-sized by definition — its ladder slope (3.3x/decade) IS the
+    vocabulary growth. This twin replaces the exact distinct with
+    LINEAR PROBABILISTIC COUNTING (Whang, Vander-Zanden & Taylor
+    1990): hash every gram into a fixed m={_LC_M}-bucket md5 grid,
+    count OCCUPIED buckets per (source, n), and estimate
+    D = -m * ln(empty fraction). Same output shape as the exact op
+    (total unigrams + distinct-1/2/3 ratios), estimates in place of
+    exact ratios.
+
+    Exactness (the md5-bucket device, the
+    ``profile_column_entropy_bucketed`` precedent — Spark's native
+    ``approx_count_distinct`` HLL has no DuckDB analog, so the
+    estimator itself is re-expressed in shared primitives): buckets
+    are the first 4 hex digits of salted md5 (16 bits = the grid,
+    engine-stable); occupied counts and totals are exact integers;
+    the estimator is one fixed double expression over two integers
+    (m CAST AS DOUBLE on the DuckDB side — the decimal-literal
+    trap) + round(6); a saturated grid (occupied == m) emits NULL in
+    both engines rather than ln(0).
+
+    Plan/scale: ONE aggregation pass — groupBy (source, n, bucket)
+    map-side-combines the 3x token fan-out straight down to a grid
+    BOUNDED at |sources| x 3 x m rows regardless of corpus size (the
+    exact twin's shuffle grows with the vocabulary; this one never
+    does), then |sources| x 3 estimator rows. Accuracy is a load
+    question: at ~30k distinct trigrams per source (~sf1) the load is
+    0.5 and the estimator sits within ~1%; the pytest pins approx vs
+    exact within 2% at gate scale. At true 100 TB loads you widen m
+    or swap in approx_count_distinct (HLL) — the same plan shape with
+    a mergeable sketch, stated."""
+    from vector_db_core_spark.functions.text import tokens
+
+    t = _t(spark, sf_dir, "documents").select(
+        "source", tokens("text").alias("w")
+    )
+
+    def grams(n: int) -> F.Column:
+        win = F.expr(
+            f"transform(sequence(1, size(w) - {n - 1}),"
+            f" i -> array_join(slice(w, i, {n}), ' '))"
+        )
+        return F.when(F.size("w") >= n, win).otherwise(
+            F.expr("array()").cast("array<string>")
+        )
+
+    stack = None
+    for n in (1, 2, 3):
+        part = t.select(
+            "source", F.lit(n).alias("n"), F.explode(grams(n)).alias("gr")
+        )
+        stack = part if stack is None else stack.unionByName(part)
+    bkt = F.conv(
+        F.substring(F.md5(F.concat(F.col("gr"), F.lit("|lcng"))), 1, 4), 16, 10
+    ).cast("int")
+    b = stack.groupBy("source", "n", bkt.alias("bkt")).agg(
+        F.count("*").alias("c")
+    )
+    s = b.groupBy("source", "n").agg(
+        F.count("*").cast("bigint").alias("occupied"),
+        F.sum("c").cast("bigint").alias("tot"),
+    )
+    m = F.lit(float(_LC_M))
+    est_d = F.when(
+        F.col("occupied") < _LC_M,
+        -m * F.log((m - F.col("occupied")) / m),
+    )
+    e = s.select("source", "n", "tot", est_d.alias("est_d"))
+    ratio = F.round(F.col("est_d") / F.col("tot"), 6)
+    return e.groupBy("source").agg(
+        F.max(F.when(F.col("n") == 1, F.col("tot"))).alias("total_unigrams"),
+        F.max(F.when(F.col("n") == 1, ratio)).alias("distinct_1"),
+        F.max(F.when(F.col("n") == 2, ratio)).alias("distinct_2"),
+        F.max(F.when(F.col("n") == 3, ratio)).alias("distinct_3"),
+    )
+
+
 @register(
     "text_mattr_diversity",
     oracle=r"""
