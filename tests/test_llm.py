@@ -785,6 +785,28 @@ def test_ivfpq_prunes_and_agrees_with_adc(spark):
     spark.catalog.clearCache()
 
 
+def test_streaming_ivf_cells_matches_batch_row_for_row(spark):
+    """The streaming-maintained cell index must serve the probe query
+    IDENTICALLY to the inline batch op — same seeded codebook, same
+    Arrow assignment kernel, same serving path (the whole point:
+    incrementally maintained index, batch-identical answers; the
+    streaming BM25 recipe applied to the dense leg)."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_core_spark.operators import QUERIES
+
+    batch = sorted(
+        map(tuple, QUERIES["sim_ivfpq_topk"](spark, SF_ORACLE).collect())
+    )
+    streamed = sorted(
+        map(
+            tuple,
+            QUERIES["streaming_ivf_cells_replay"](spark, SF_ORACLE).collect(),
+        )
+    )
+    assert batch == streamed and len(batch) == 10
+    spark.catalog.clearCache()
+
+
 def test_distinct_ngrams_approx_within_error_bound(spark):
     """The linear-counting twin must sit within 2% relative error of
     the exact distinct-n ratios at gate scale (load factor ~0.16 at

@@ -2774,7 +2774,23 @@ def sim_ivfpq_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = scratch.cached_table(
         spark, "ivfpq_codes", sf_dir, build, partition_by=("cell",)
     )
-    probed = codes.where(F.col("cell").isin([int(c) for c in probe]))
+    return _ivfpq_serve_from_codes(codes, x, qm, cqd, probe)
+
+
+def _ivfpq_serve_from_codes(codes, x, qm, cqd, probe) -> DataFrame:
+    """THE IVF-PQ serving read, shared verbatim by the partitioned
+    batch op and the streaming cell-maintenance replay so both
+    provably score through one code path: probe-filter the codes
+    table (partition pruning when the table is cell-partitioned),
+    ADC-score via the embedded 16x8 LUT literals (8 ``element_at``
+    lookups per stored code word — pure codegen, no raw vectors),
+    count the pruned candidates, take the top-k, and rerank-fetch
+    true distances for just those k rows from the embeddings frame
+    ``x``. Emits the ``_IVFPQ_SQL`` shape."""
+    probed = codes.where(
+        (F.col("vec_id") != 0)
+        & F.col("cell").isin([int(c) for c in probe])
+    )
     lut_cols = [
         F.array(*[F.lit(int(v)).cast("bigint") for v in cqd[b]])
         for b in range(_PQ_NB)

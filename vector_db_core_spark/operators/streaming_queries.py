@@ -1048,3 +1048,127 @@ def streaming_bm25_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(index_path)
     )
     return _bm25_rank(_bm25_scored_from_tf(spark.read.parquet(index_path)))
+
+def _ivfpq_stream_oracle() -> str:
+    from vector_db_core_spark.operators.llm import _IVFPQ_SQL
+
+    return _IVFPQ_SQL
+
+
+@register("streaming_ivf_cells_replay", oracle=_ivfpq_stream_oracle())
+def streaming_ivf_cells_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over a STREAMING-MAINTAINED cell index — the dense-leg
+    analog of ``streaming_bm25_stats_replay`` (r12-verdict task 6),
+    completing "the index is maintained, not recomputed" for BOTH
+    retrieval legs: the embeddings fixture lands as 4 files consumed
+    one per trigger; each arriving vector is coarse-assigned to its
+    seeded cell and PQ-encoded inside the stream (the SAME
+    ``_pq_block_dists`` Arrow kernel as every batch PQ op — an
+    index's quantizers are trained before ingestion starts, so the
+    16-seed codebook is a legitimate pre-stream model); the STREAMING
+    ENGINE maintains the index as update-mode state keyed
+    (vec_id, cell, codes) — the upsert an ANN index performs per
+    arriving vector — and the probe query is served from the drained
+    index through the IDENTICAL batch serving path
+    (``_ivfpq_serve_from_codes``), so it carries the batch op's full
+    DuckDB oracle verbatim and a row-identity pytest against
+    ``sim_ivfpq_topk``.
+
+    Replay-deterministic: cell and code assignment are pure functions
+    of the vector and the fixed codebook (arrival-order independent);
+    the finisher dedups on the state key; serving is the batch
+    contract verbatim.
+
+    Plan/scale: streaming state is the index being built — one row
+    per vector, nothing evicted by design (an index grows; production
+    checkpoints to a store sink, here it lands as the codes parquet
+    exactly like the BM25 postings). Per-batch work is the map-side
+    Arrow assignment + one state upsert; query-time work is the
+    serving read over cell-pruned candidates."""
+    import numpy as np
+
+    from vector_db_core_spark.operators.llm import (
+        _IVFPQ_NPROBE,
+        _PQ_K,
+        _PQ_NB,
+        _PQ_SD,
+        _ivfpq_serve_from_codes,
+        _pq_block_dists,
+        _pq_int_inputs,
+    )
+
+    x, cb = _pq_int_inputs(spark, sf_dir)
+    (qrow,) = x.where(F.col("vec_id") == 0).select("xm").collect()
+    qm = np.asarray(qrow.xm, dtype=np.int64)
+    cqd = _pq_block_dists(qm.reshape(1, _PQ_NB, _PQ_SD), cb)[0]
+    qfull = cqd.sum(axis=0)
+    probe = sorted(range(_PQ_K), key=lambda c: (qfull[c], c))[:_IVFPQ_NPROBE]
+    bcb = spark.sparkContext.broadcast(cb)
+
+    key = f"ivfcells_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    root = os.path.join(_REPLAY_ROOT, key)
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cell: int, codes: string>")
+    def _assign(vs):
+        import pandas as pd
+
+        cbv = bcb.value
+        nb, k, sd = cbv.shape
+        xi = np.array(
+            [np.asarray(v, dtype=np.int64) for v in vs], dtype=np.int64
+        )
+        n = xi.shape[0]
+        d2 = _pq_block_dists(xi.reshape(n, nb, sd), cbv)
+        return pd.DataFrame(
+            {
+                "cell": d2.sum(axis=1).argmin(axis=1).astype("int32"),
+                "codes": [
+                    ",".join(map(str, c)) for c in d2.argmin(axis=2)
+                ],
+            }
+        )
+
+    # micro-quantization stays a SPARK expression inside the stream
+    # (round-half-up — np.rint would round half-even and silently
+    # break the shared integer contract on an exact .5 tie)
+    xm = F.expr(
+        "transform(cast(embedding as array<double>),"
+        " v -> cast(round(v * 1000000.0, 0) as bigint))"
+    )
+    assigned = stream.select("vec_id", _assign(xm).alias("s")).select(
+        "vec_id", F.col("s.cell").alias("cell"), F.col("s.codes").alias("codes")
+    )
+    index_state = assigned.groupBy("vec_id", "cell", "codes").agg(
+        F.count("*").alias("n_upserts")
+    )
+    _run_to_memory(index_state, "stream_replay_ivf", root, "update")
+    index_path = os.path.join(root, "codes")
+    (
+        spark.table("stream_replay_ivf")
+        .select("vec_id", "cell", "codes")
+        .distinct()
+        .select(
+            "vec_id",
+            F.expr("transform(split(codes, ','), x -> cast(x as int))").alias(
+                "codes"
+            ),
+            "cell",
+        )
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    return _ivfpq_serve_from_codes(
+        spark.read.parquet(index_path), x, qm, cqd, probe
+    )
+
