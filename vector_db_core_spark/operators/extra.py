@@ -6508,3 +6508,412 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (n * F.col("syy").cast("double") - sy * sy)
     )
     return s.select("n", F.round(num / den, 6).alias("spearman_rho"))
+
+
+_CRAMERS_MATRIX_SQL = """
+WITH raw AS (
+    SELECT 'p_brand|p_type' AS pair, p_brand AS a, p_type AS b FROM part
+    UNION ALL
+    SELECT 'p_brand|p_size', p_brand, CAST(p_size AS VARCHAR) FROM part
+    UNION ALL
+    SELECT 'p_type|p_size', p_type, CAST(p_size AS VARCHAR) FROM part
+    UNION ALL
+    SELECT 'l_returnflag|l_linestatus', l_returnflag, l_linestatus
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_orderstatus|o_orderpriority', o_orderstatus, o_orderpriority
+    FROM orders),
+cells AS (SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS n_ij
+          FROM raw GROUP BY 1, 2, 3),
+m AS (SELECT *,
+             SUM(n_ij) OVER (PARTITION BY pair, a) AS rt,
+             SUM(n_ij) OVER (PARTITION BY pair, b) AS ct,
+             SUM(n_ij) OVER (PARTITION BY pair) AS n
+      FROM cells),
+s AS (SELECT pair,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+             SUM(CAST(
+                 (n_ij - CAST(rt AS DOUBLE) * ct / n)
+                 * (n_ij - CAST(rt AS DOUBLE) * ct / n)
+                 / (CAST(rt AS DOUBLE) * ct / n)
+                 AS DECIMAL(27,15))) AS chi2_acc
+      FROM m GROUP BY pair)
+SELECT pair, n, r, c, (r - 1) * (c - 1) AS dof,
+       round(CAST(chi2_acc AS DOUBLE), 6) AS chi2,
+       round(sqrt(CAST(chi2_acc AS DOUBLE)
+                  / (n * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM s
+"""
+
+
+@register("agg_cramers_v", oracle=_CRAMERS_MATRIX_SQL)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V ASSOCIATION MATRIX over categorical column PAIRS —
+    the categorical analog of a correlation matrix and the profiling
+    read feature selection starts from (``agg_chi2_independence``
+    tests ONE pair chosen in advance; a profiler wants every
+    candidate pair ranked by effect size in one pass). One row per
+    pair with the contingency dimensions, chi2 and V; TPC-H's
+    independent generators put most pairs near V=0, which is itself
+    the correct read (the pytest pins it), while the
+    returnflag|linestatus pair is structurally associated (status
+    derives from ship/receipt dates that also drive returnability).
+
+    Exactness: the ``agg_chi2_independence`` contract verbatim, per
+    pair — exact integer cells and marginals, each cell's (O-E)^2/E
+    stated in the same operation order in both engines, DECIMAL-cast
+    before the order-independent sum, one double finish + round(6).
+
+    Plan/scale: the three part pairs ride ONE scan — each row is
+    melted to (pair, a, b) structs (a 3x row fan-out into a map-side-
+    combined aggregate, NOT three scans; the r10 chi2 plan-audit
+    lesson); the widest grid (type x size) is a few thousand cells,
+    so every window and the final reduction run on bounded frames. At
+    100 TB the only data-sized work is the melt aggregate; adding
+    pairs widens the melt array, never adds scans."""
+    p = _t(spark, sf_dir, "part").select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p_brand|p_type").alias("pair"),
+                    F.col("p_brand").alias("a"),
+                    F.col("p_type").alias("b"),
+                ),
+                F.struct(
+                    F.lit("p_brand|p_size").alias("pair"),
+                    F.col("p_brand").alias("a"),
+                    F.col("p_size").cast("string").alias("b"),
+                ),
+                F.struct(
+                    F.lit("p_type|p_size").alias("pair"),
+                    F.col("p_type").alias("a"),
+                    F.col("p_size").cast("string").alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.pair", "p.a", "p.b")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.lit("l_returnflag|l_linestatus").alias("pair"),
+        F.col("l_returnflag").alias("a"),
+        F.col("l_linestatus").alias("b"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("o_orderstatus|o_orderpriority").alias("pair"),
+        F.col("o_orderstatus").alias("a"),
+        F.col("o_orderpriority").alias("b"),
+    )
+    cells = (
+        p.unionByName(li)
+        .unionByName(o)
+        .groupBy("pair", "a", "b")
+        .agg(F.count("*").alias("n_ij"))
+    )
+    m = cells.select(
+        "pair",
+        "a",
+        "b",
+        "n_ij",
+        F.sum("n_ij").over(W.partitionBy("pair", "a")).alias("rt"),
+        F.sum("n_ij").over(W.partitionBy("pair", "b")).alias("ct"),
+        F.sum("n_ij").over(W.partitionBy("pair")).alias("n"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = (F.col("n_ij") - e) * (F.col("n_ij") - e) / e
+    s = m.groupBy("pair").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("a").cast("bigint").alias("r"),
+        F.countDistinct("b").cast("bigint").alias("c"),
+        F.sum(term.cast("decimal(27,15)")).alias("chi2_acc"),
+    )
+    chi2 = F.col("chi2_acc").cast("double")
+    mind = F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+    return s.select(
+        "pair",
+        "n",
+        "r",
+        "c",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.col("n") * mind)), 6).alias("cramers_v"),
+    )
+
+
+@register(
+    "cohort_stickiness_dau_mau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT 'month' AS grain,
+                        strftime(ts, '%Y-%m') AS period,
+                        CAST(ts AS DATE) AS day,
+                        user_id
+        FROM events
+        UNION ALL
+        SELECT DISTINCT 'week',
+                        CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR),
+                        CAST(ts AS DATE),
+                        user_id
+        FROM events)
+    SELECT grain, period,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS user_days,
+           round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT day), 6)
+             AS avg_dau,
+           round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT day)
+                 / COUNT(DISTINCT user_id), 6) AS stickiness
+    FROM ud
+    GROUP BY grain, period
+    """,
+)
+def cohort_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU AND DAU/WAU STICKINESS — the engagement-frequency
+    ratio product analytics leads with (MAU says how many came;
+    DAU/MAU says how OFTEN the ones who came come back: 1.0 = daily
+    habit, ~1/days = once-a-period drive-by). Both grains in one
+    output: per calendar month and per ISO week (Monday-truncated in
+    both engines), avg_dau = mean daily distinct users over days WITH
+    activity; stickiness divides it by the period's distinct users.
+
+    Exactness: one DISTINCT (grain, period, day, user) frame makes
+    all three counts exact integers from the same source —
+    sum-of-daily-DAU equals the frame's row count per period by
+    construction, so avg_dau needs no second pass; two double
+    divisions + round(6). Calendar math is the engines' shared
+    Gregorian date cast and Monday week-truncation (Spark
+    date_trunc('week') == DuckDB date_trunc('week')); the fixture's
+    naive-micros timestamps see no timezone.
+
+    Plan/scale: each event row melts to its two (grain, period)
+    memberships (a 2x fan-out into ONE distinct — not two scans);
+    the shuffle carries distinct user-days per grain (bounded by
+    users x days x 2, not events), then a map-side-combined period
+    aggregate. At 100 TB the distinct is the same pre-aggregation
+    every retention op pays, and the COUNT(DISTINCT ...) pairs over
+    the frame expand under Spark's expand operator, all combinable."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("month").alias("grain"),
+                        F.date_format("ts", "yyyy-MM").alias("period"),
+                    ),
+                    F.struct(
+                        F.lit("week").alias("grain"),
+                        F.date_trunc("week", F.col("ts"))
+                        .cast("date")
+                        .cast("string")
+                        .alias("period"),
+                    ),
+                )
+            ).alias("g"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .select("g.grain", "g.period", "day", "user_id")
+        .distinct()
+    )
+    return ud.groupBy("grain", "period").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users"),
+        F.countDistinct("day").cast("bigint").alias("n_days"),
+        F.count("*").cast("bigint").alias("user_days"),
+        F.round(F.count("*").cast("double") / F.countDistinct("day"), 6).alias(
+            "avg_dau"
+        ),
+        F.round(
+            F.count("*").cast("double")
+            / F.countDistinct("day")
+            / F.countDistinct("user_id"),
+            6,
+        ).alias("stickiness"),
+    )
+
+
+@register(
+    "window_session_gaps",
+    oracle="""
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us,
+                 CASE WHEN epoch_us(ts)
+                           - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY epoch_us(ts))
+                           > 1800000000
+                      OR lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY epoch_us(ts)) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+               FROM events),
+    s AS (SELECT user_id, us,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM t),
+    sess AS (SELECT user_id, sid,
+                    MIN(us) AS start_us, MAX(us) AS end_us
+             FROM s GROUP BY user_id, sid),
+    g AS (SELECT user_id,
+                 start_us - lag(end_us) OVER (PARTITION BY user_id
+                                              ORDER BY sid) AS gap_us
+          FROM sess),
+    b AS (SELECT CASE WHEN gap_us < 3600000000 THEN '1_under_1h'
+                      WHEN gap_us < 21600000000 THEN '2_1h_to_6h'
+                      WHEN gap_us < 86400000000 THEN '3_6h_to_24h'
+                      WHEN gap_us < 604800000000 THEN '4_1d_to_7d'
+                      ELSE '5_over_7d' END AS gap_band,
+                 gap_us
+          FROM g WHERE gap_us IS NOT NULL),
+    a AS (SELECT gap_band,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+          FROM b GROUP BY gap_band)
+    SELECT gap_band, n_gaps,
+           round(CAST(n_gaps AS DOUBLE) / SUM(n_gaps) OVER (), 6) AS share,
+           round(CAST(sum_gap_us AS DOUBLE) / n_gaps / 3600000000.0, 6)
+             AS mean_gap_h
+    FROM a
+    """,
+)
+def window_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-SESSION GAP DISTRIBUTION — the re-engagement-latency read
+    BETWEEN the sessions ``window_session_user_activity`` builds
+    (session stats say what happens inside a visit; the gap between a
+    session's end and the user's NEXT session start is the
+    return-frequency signal notification/retention work optimizes).
+    Sessions use the same 30-minute inactivity rule; gaps are banded
+    into the product-standard buckets (<1h, 1-6h, 6-24h, 1-7d, >7d)
+    with counts, share, and mean gap hours per band.
+
+    Exactness: all sessionization arithmetic is exact BIGINT
+    microseconds (the interarrival contract); band edges are integer
+    literal compares; counts and gap sums are exact integers; share
+    and mean are single double divisions + round(6). Band labels are
+    prefix-numbered so ordering is lexicographic in both engines.
+
+    Plan/scale: two windows partitioned by user_id (the lag-break and
+    the running session id reuse ONE sort — same partitioning and
+    ordering, Spark plans a single exchange+sort), then a
+    map-side-combined (user, sid) aggregate, a lag over the
+    sessions-per-user frame (orders of magnitude smaller than
+    events), and a 5-row band aggregate. Per-user streams are the
+    natural partition at 100 TB — millions of small user partitions,
+    no global sort anywhere; the share divisor is a window sum over
+    the 5-row band frame, not a second pass."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    wu = W.partitionBy("user_id").orderBy("us")
+    brk = F.when(
+        (F.col("us") - F.lag("us").over(wu) > 1_800_000_000)
+        | F.lag("us").over(wu).isNull(),
+        1,
+    ).otherwise(0)
+    s = e.select(
+        "user_id",
+        "us",
+        F.sum(brk).over(wu.rowsBetween(W.unboundedPreceding, 0)).alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.min("us").alias("start_us"), F.max("us").alias("end_us")
+    )
+    g = sess.select(
+        "user_id",
+        (
+            F.col("start_us")
+            - F.lag("end_us").over(W.partitionBy("user_id").orderBy("sid"))
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    band = (
+        F.when(F.col("gap_us") < 3_600_000_000, "1_under_1h")
+        .when(F.col("gap_us") < 21_600_000_000, "2_1h_to_6h")
+        .when(F.col("gap_us") < 86_400_000_000, "3_6h_to_24h")
+        .when(F.col("gap_us") < 604_800_000_000, "4_1d_to_7d")
+        .otherwise("5_over_7d")
+    )
+    b = g.select(band.alias("gap_band"), "gap_us")
+    a = b.groupBy("gap_band").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+    )
+    return a.select(
+        "gap_band",
+        "n_gaps",
+        F.round(
+            F.col("n_gaps").cast("double")
+            / F.sum("n_gaps").over(W.partitionBy()),
+            6,
+        ).alias("share"),
+        F.round(
+            F.col("sum_gap_us").cast("double")
+            / F.col("n_gaps")
+            / 3_600_000_000.0,
+            6,
+        ).alias("mean_gap_h"),
+    )
+
+
+@register(
+    "agg_quantile_bands_exact",
+    oracle="""
+    WITH th AS (SELECT quantile_cont(o_totalprice,
+                        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts
+                FROM orders),
+    b AS (SELECT CAST(len(list_filter(th.ts, t -> o.o_totalprice > t))
+                      AS INT) AS band,
+                 o.o_totalprice AS v
+          FROM orders o, th)
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(v), 2) AS min_price,
+           round(MAX(v), 2) AS max_price,
+           CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM b
+    GROUP BY band
+    """,
+)
+def agg_quantile_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DECILE BANDING of order value — the histogram-on-exact-
+    quantile-edges read (NTILE assigns by row rank and splits ties
+    arbitrarily across bands; banding by the exact decile THRESHOLDS
+    puts every equal value in the same band, which is what pricing /
+    segmentation logic needs: 'the top decile BY VALUE', not 'the
+    top tenth of rows'). Each order's band is the count of decile
+    thresholds strictly below its value (0..9); per band: count,
+    min/max, exact cents sum.
+
+    Exactness: the nine thresholds come from the shared exact-
+    percentile contract (Spark ``percentile`` array == DuckDB
+    ``quantile_cont`` list, linear interpolation); band assignment is
+    a strict double comparison against those exact doubles —
+    identical in both engines because the thresholds themselves are
+    identical doubles; counts are integers, the money sum rides the
+    round(x*100)-BIGINT cents contract, min/max are exact value picks
+    rounded for display.
+
+    Plan/scale: one aggregate produces the 9-element threshold array
+    (exact percentile concentrates per-group values — here ONE group;
+    at 100 TB swap approx_percentile per the twin policy, same plan
+    shape), broadcast-joined back onto the scan (Catalyst plans the
+    1-row cross join as BroadcastNestedLoopJoin — no shuffle of
+    orders); the band aggregate is map-side-combined to 10 rows."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    th = o.agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(x / 10.0) for x in range(1, 10)]),
+        ).alias("ts")
+    )
+    b = o.join(F.broadcast(th)).select(
+        F.size(
+            F.filter("ts", lambda t: F.col("o_totalprice") > t)
+        ).alias("band"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return b.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("v"), 2).alias("min_price"),
+        F.round(F.max("v"), 2).alias("max_price"),
+        F.sum(F.round(F.col("v") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

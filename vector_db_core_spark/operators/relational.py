@@ -634,6 +634,59 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_trig_functions",
+    oracle="""
+    SELECT event_id,
+           round(sin(value / 100.0), 6) AS sin_t,
+           round(cos(value / 100.0), 6) AS cos_t,
+           round(tan(value / 1000.0), 6) AS tan_u,
+           round(asin(value / 1000.0), 6) AS asin_u,
+           round(acos(value / 1000.0), 6) AS acos_u,
+           round(atan(value / 100.0), 6) AS atan_t,
+           round(atan2(value, 100.0), 6) AS atan2_v,
+           round((exp(2 * value / 100.0) - 1)
+                 / (exp(2 * value / 100.0) + 1), 6) AS tanh_t,
+           round(degrees(value / 1000.0), 6) AS deg_u,
+           round(radians(value), 6) AS rad_v
+    FROM events
+    """,
+)
+def scalar_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / inverse-trig / hyperbolic scalar panel
+    (sin/cos/tan/asin/acos/atan/atan2/tanh/degrees/radians) — the
+    remaining math-function family beside ``scalar_math_functions``.
+
+    Exactness: every argument is DELIBERATELY range-bounded (value/100
+    in [0,~5], value/1000 in [0,0.5] for the inverse functions' domain
+    and tan's singularity) so each result is O(1) and the engines'
+    libm implementations (JVM fdlibm vs C libm, both <=1 ulp) differ
+    by at most ~1e-16 absolute — six decimal places below the shared
+    round(6) display contract. No unbounded tan and no large-argument
+    reduction anywhere. The oracle spells tanh as its exp identity
+    (this DuckDB build ships no tanh); the identity's few-ulp error at
+    |result|<=1 is likewise ~1e-15, invisible at round(6).
+
+    Plan/scale: pure per-row projection — whole-stage codegen, no
+    shuffle, no state; identical at any scale."""
+    e = _t(spark, sf_dir, "events")
+    t = F.col("value") / 100.0
+    u = F.col("value") / 1000.0
+    return e.select(
+        "event_id",
+        F.round(F.sin(t), 6).alias("sin_t"),
+        F.round(F.cos(t), 6).alias("cos_t"),
+        F.round(F.tan(u), 6).alias("tan_u"),
+        F.round(F.asin(u), 6).alias("asin_u"),
+        F.round(F.acos(u), 6).alias("acos_u"),
+        F.round(F.atan(t), 6).alias("atan_t"),
+        F.round(F.atan2(F.col("value"), F.lit(100.0)), 6).alias("atan2_v"),
+        F.round(F.tanh(t), 6).alias("tanh_t"),
+        F.round(F.degrees(u), 6).alias("deg_u"),
+        F.round(F.radians(F.col("value")), 6).alias("rad_v"),
+    )
+
+
+@register(
     "json_extract_props",
     oracle="""
     SELECT event_id, event_type,
