@@ -6667,3 +6667,283 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_HAPAX_SQL = rf"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY source, token)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_ratio,
+       round(CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS sichel_s
+FROM cnt
+GROUP BY source
+"""
+
+
+@register("text_hapax_ratio", oracle=_HAPAX_SQL)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA PROFILE per source — the vocabulary-growth read
+    beside MATTR/Zipf in the text-quality family (Baayen 2001: the
+    share of once-occurring words tracks productive vocabulary; a
+    source whose hapax ratio collapses is template/boilerplate text,
+    one whose ratio stays near 1 is noise or ID-like strings — both
+    route to different curation actions). Per source: token count,
+    vocabulary size, hapax (freq 1) and dis legomena (freq 2) counts,
+    hapax/vocab ratio and Sichel's S = dis/vocab.
+
+    Exactness: the shared whitespace-token contract; all counts exact
+    integers from one (source, token) frequency frame; two double
+    divisions + round(6).
+
+    Plan/scale: ONE map-side-combined (source, token) count — the
+    same aggregate every tf/idf op pays, shuffling distinct types,
+    not token instances — then a map-side-combined source rollup
+    with conditional sums. Vocab-sized like the exact distinct-n op;
+    the same linear-counting device (``text_distinct_ngrams_approx``)
+    is the documented swap if the type table itself is the bottleneck
+    at 100 TB — frequency-BAND counts bucket the same way."""
+    from vector_db_core_spark.functions.text import tokens
+
+    cnt = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    one = F.when(F.col("n") == 1, 1).otherwise(0)
+    two = F.when(F.col("n") == 2, 1).otherwise(0)
+    return cnt.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum(one).cast("bigint").alias("hapax"),
+        F.sum(two).cast("bigint").alias("dis"),
+        F.round(F.sum(one).cast("double") / F.count("*"), 6).alias(
+            "hapax_ratio"
+        ),
+        F.round(F.sum(two).cast("double") / F.count("*"), 6).alias("sichel_s"),
+    )
+
+
+LOG_ODDS_GROUP = "src0"
+LOG_ODDS_ALPHA0 = 1000.0
+LOG_ODDS_TOP_K = 20
+
+_LOG_ODDS_SQL = rf"""
+WITH tok AS (SELECT CASE WHEN source = '{LOG_ODDS_GROUP}' THEN 1 ELSE 0 END
+                      AS grp,
+                    unnest({_TOKS}) AS token
+             FROM documents),
+cnt AS (SELECT token,
+               CAST(SUM(grp) AS BIGINT) AS y1,
+               CAST(SUM(1 - grp) AS BIGINT) AS y2
+        FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(y1) AS BIGINT) AS n1,
+               CAST(SUM(y2) AS BIGINT) AS n2,
+               CAST(SUM(y1) + SUM(y2) AS BIGINT) AS nb
+        FROM cnt),
+z AS (SELECT c.token, c.y1, c.y2,
+             ln((c.y1 + {LOG_ODDS_ALPHA0} * (c.y1 + c.y2)
+                        / CAST(t.nb AS DOUBLE))
+                / (t.n1 + {LOG_ODDS_ALPHA0}
+                   - c.y1 - {LOG_ODDS_ALPHA0} * (c.y1 + c.y2)
+                            / CAST(t.nb AS DOUBLE)))
+             - ln((c.y2 + {LOG_ODDS_ALPHA0} * (c.y1 + c.y2)
+                          / CAST(t.nb AS DOUBLE))
+                  / (t.n2 + {LOG_ODDS_ALPHA0}
+                     - c.y2 - {LOG_ODDS_ALPHA0} * (c.y1 + c.y2)
+                              / CAST(t.nb AS DOUBLE))) AS delta,
+             sqrt(1.0 / (c.y1 + {LOG_ODDS_ALPHA0} * (c.y1 + c.y2)
+                                / CAST(t.nb AS DOUBLE))
+                  + 1.0 / (c.y2 + {LOG_ODDS_ALPHA0} * (c.y1 + c.y2)
+                                  / CAST(t.nb AS DOUBLE))) AS se
+      FROM cnt c, tot t),
+r AS (SELECT token, y1, y2,
+             round(delta, 6) AS log_odds_delta,
+             round(delta / se, 6) AS z_score
+      FROM z)
+SELECT token, y1 AS n_group, y2 AS n_rest, log_odds_delta, z_score
+FROM (SELECT *, row_number() OVER (ORDER BY z_score DESC, token) AS rk
+      FROM r)
+WHERE rk <= {LOG_ODDS_TOP_K}
+"""
+
+
+@register("agg_log_odds_monroe", oracle=_LOG_ODDS_SQL)
+def agg_log_odds_monroe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"FIGHTIN' WORDS" LOG-ODDS with informative Dirichlet prior
+    (Monroe, Colaresi & Quinn 2008) — WHICH tokens distinguish one
+    source from the rest of the corpus, the distribution-level drift
+    ops (``pipeline_unigram_drift_kl``) can't name (KL says THAT the
+    mixes differ; the z-scored log-odds ranks the words responsible,
+    shrunk toward the corpus prior so rare words don't dominate the
+    way raw PMI lets them). Group = '{LOG_ODDS_GROUP}' vs all other
+    sources; prior alpha_w = a0 * p_w with p_w the token's corpus
+    share and a0 = {LOG_ODDS_ALPHA0}; top-{LOG_ODDS_TOP_K} tokens by
+    z = delta / sqrt(1/(y1+a_w) + 1/(y2+a_w)).
+
+    Exactness: token counts are exact integers; the prior, delta and
+    se are fixed double expressions stated in the same operation
+    order in both engines (the corpus share p_w divides by nb CAST to
+    double first); z and delta round(6) BEFORE the top-k order, so
+    the ordering key (z_score DESC, token) compares identical rounded
+    doubles — deterministic rank across engines, the
+    ``text_source_vocab_overlap`` top-k discipline.
+
+    Plan/scale: ONE (token) count aggregate with conditional sums
+    (grp melts to 0/1 — no second scan for the rest-group), a 1-row
+    total broadcast onto the type table, and a top-k
+    TakeOrderedAndProject over vocab-sized input. At 100 TB the type
+    table is the same aggregate the tf/idf family pays; nothing else
+    is data-sized."""
+    from vector_db_core_spark.functions.text import tokens
+
+    grp = F.when(F.col("source") == LOG_ODDS_GROUP, 1).otherwise(0)
+    cnt = (
+        _t(spark, sf_dir, "documents")
+        .select(grp.alias("grp"), F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("grp").cast("bigint").alias("y1"),
+            F.sum(1 - F.col("grp")).cast("bigint").alias("y2"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("y1").cast("bigint").alias("n1"),
+        F.sum("y2").cast("bigint").alias("n2"),
+        (F.sum("y1") + F.sum("y2")).cast("bigint").alias("nb"),
+    )
+    a0 = F.lit(LOG_ODDS_ALPHA0)
+    j = cnt.join(F.broadcast(tot))
+    aw = a0 * (F.col("y1") + F.col("y2")) / F.col("nb").cast("double")
+    delta = F.log(
+        (F.col("y1") + aw) / (F.col("n1") + a0 - F.col("y1") - aw)
+    ) - F.log((F.col("y2") + aw) / (F.col("n2") + a0 - F.col("y2") - aw))
+    se = F.sqrt(1.0 / (F.col("y1") + aw) + 1.0 / (F.col("y2") + aw))
+    r = j.select(
+        "token",
+        F.col("y1").alias("n_group"),
+        F.col("y2").alias("n_rest"),
+        F.round(delta, 6).alias("log_odds_delta"),
+        F.round(delta / se, 6).alias("z_score"),
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.col("z_score").desc(), F.col("token").asc())
+    )
+    return (
+        r.select("*", rk.alias("rk"))
+        .where(F.col("rk") <= LOG_ODDS_TOP_K)
+        .drop("rk")
+    )
+
+
+COOCC_VOCAB_K = 50
+COOCC_MIN_SUPPORT = 5
+
+_COOCC_SQL = rf"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token
+             FROM documents),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token),
+top AS (SELECT token, df
+        FROM (SELECT token, df,
+                     row_number() OVER (ORDER BY df DESC, token) AS rk
+              FROM df)
+        WHERE rk <= {COOCC_VOCAB_K}),
+inc AS (SELECT t.doc_id, t.token
+        FROM tok t JOIN top ON t.token = top.token),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+p AS (SELECT a.token AS t1, b.token AS t2, CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2)
+SELECT t1, t2, n_both, da.df AS df1, db.df AS df2,
+       round(ln(CAST(n_both AS DOUBLE) * nd.n
+                / (da.df * CAST(db.df AS DOUBLE))), 6) AS pmi
+FROM p
+JOIN top da ON da.token = p.t1
+JOIN top db ON db.token = p.t2, nd
+WHERE n_both >= {COOCC_MIN_SUPPORT}
+"""
+
+
+@register("text_keyword_cooccurrence", oracle=_COOCC_SQL)
+def text_keyword_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD CO-OCCURRENCE PMI over the corpus top-{COOCC_VOCAB_K}
+    vocabulary — which frequent terms appear in the SAME documents
+    more than their individual frequencies predict (Church & Hanks
+    1990's pointwise mutual information at document granularity): the
+    topic-structure read between the per-source vocabulary map
+    (``text_source_vocab_overlap``) and per-pair document similarity
+    (a high-PMI term pair is a topic signature; a full grid of
+    near-zero PMI says the corpus has no co-occurrence structure).
+    PMI = ln(n_both * N / (df1 * df2)) over document-level incidence,
+    pairs with support >= {COOCC_MIN_SUPPORT}.
+
+    Exactness: document frequencies and pair supports are exact
+    integers over the shared token contract (per-doc distinct
+    tokens); the vocabulary is a deterministic top-k by (df DESC,
+    token); PMI is one double expression stated in the same operation
+    order in both engines + round(6).
+
+    Plan/scale: the (token) df count and per-doc incidence are the
+    data-sized stages (both map-side-combined / semi-joined against
+    the broadcast {COOCC_VOCAB_K}-row vocabulary); pair generation is
+    per-doc and BOUNDED — each doc contributes at most C({COOCC_VOCAB_K},2)
+    pairs from its sorted present-vocabulary array (array pair
+    expansion, NOT a row self-join: no second incidence shuffle, no
+    join of the corpus against itself), straight into a map-side-
+    combined pair count whose key space is also C({COOCC_VOCAB_K},2).
+    The oracle spells the same pairs as a relational self-join —
+    identical multiset. At 100 TB everything scales with corpus scan
+    + bounded grids."""
+    from vector_db_core_spark.functions.text import distinct_tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(distinct_tokens("text")).alias("token")
+    )
+    dfc = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    rk = F.row_number().over(W.orderBy(F.col("df").desc(), F.col("token")))
+    top = dfc.select("token", "df", rk.alias("rk")).where(
+        F.col("rk") <= COOCC_VOCAB_K
+    )
+    inc = toks.join(F.broadcast(top.select("token")), "token")
+    arr = inc.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("token")).alias("ts")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size("ts")),
+                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+            ),
+        )
+    )
+    p = (
+        arr.select(F.explode(pair_structs).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= COOCC_MIN_SUPPORT)
+    )
+    nd = _t(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    da = top.select(F.col("token").alias("t1"), F.col("df").alias("df1"))
+    db = top.select(F.col("token").alias("t2"), F.col("df").alias("df2"))
+    pmi = F.log(
+        F.col("n_both").cast("double")
+        * F.col("n")
+        / (F.col("df1") * F.col("df2").cast("double"))
+    )
+    return (
+        p.join(F.broadcast(da), "t1")
+        .join(F.broadcast(db), "t2")
+        .join(F.broadcast(nd))
+        .select("t1", "t2", "n_both", "df1", "df2", F.round(pmi, 6).alias("pmi"))
+    )
