@@ -3452,3 +3452,139 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_credits"),
         F.round(F.sum(credit).cast("double"), 6).alias("attributed_value"),
     )
+
+
+_UNIQUENESS_SQL = """
+WITH m AS (
+    SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', o_orderstatus FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_cents',
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+    FROM orders),
+c AS (SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS n
+      FROM m GROUP BY column_name, val),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY column_name
+                                ORDER BY (val IS NULL), n DESC, val) AS rk
+      FROM c)
+SELECT column_name,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN val IS NULL THEN n ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(SUM(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_distinct,
+       round(CAST(SUM(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(n), 6) AS uniqueness,
+       MAX(CASE WHEN rk = 1 THEN val END) AS top_value,
+       round(CAST(MAX(CASE WHEN rk = 1 THEN n END) AS DOUBLE) / SUM(n), 6)
+         AS top_share
+FROM r
+GROUP BY column_name
+"""
+
+
+@register("quality_uniqueness_report", oracle=_UNIQUENESS_SQL)
+def quality_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COLUMN UNIQUENESS / NULL / TOP-VALUE PROFILE of the orders
+    table — the data-quality scan every warehouse profiler leads with
+    (keys should read uniqueness ~1.0, enums should read a short
+    top-value ladder, and a column whose top value suddenly owns 60%
+    of rows is the upstream-default-value incident
+    ``quality_expectations_orders`` then alerts on). One row per
+    profiled column: row/null/distinct counts, distinct share, the
+    modal value and its share. Money profiles as exact cents and the
+    date as its DATE string so the melt is type-stable.
+
+    Exactness: every value melts to a canonical string (integer casts,
+    DATE cast, round(x*100) cents — all engine-identical formats;
+    doubles are never stringified raw); counts are exact integers;
+    the modal value is a deterministic (count DESC, value) pick; two
+    double divisions + round(6).
+
+    Plan/scale: ONE scan melted 6-wide into a map-side-combined
+    (column, value) count — the profiler never shuffles rows, only
+    distinct (column, value) pairs; the rank window and final rollup
+    share the count's partitioning on column_name after a grid-sized
+    exchange. Key-like columns make the pair grid corpus-sized —
+    at 100 TB you profile those with approx_count_distinct and a
+    count-min top-k instead (the documented sketch family), same
+    plan shape."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderkey").alias("column_name"),
+                    F.col("o_orderkey").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("column_name"),
+                    F.col("o_custkey").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus").alias("column_name"),
+                    F.col("o_orderstatus").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("column_name"),
+                    F.col("o_orderpriority").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_orderdate").alias("column_name"),
+                    F.col("o_orderdate").cast("date").cast("string").alias("val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice_cents").alias("column_name"),
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("bigint")
+                    .cast("string")
+                    .alias("val"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.column_name", "s.val")
+    c = m.groupBy("column_name", "val").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    # NULL vals rank last EXPLICITLY (Spark sorts nulls first in ASC,
+    # DuckDB last — the flag removes the engine default from the key)
+    rk = F.row_number().over(
+        W.partitionBy("column_name").orderBy(
+            F.col("val").isNull().cast("int"),
+            F.col("n").desc(),
+            F.col("val"),
+        )
+    )
+    r = c.select("*", rk.alias("rk"))
+    return r.groupBy("column_name").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.round(
+            F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("n"),
+            6,
+        ).alias("uniqueness"),
+        F.max(F.when(F.col("rk") == 1, F.col("val"))).alias("top_value"),
+        F.round(
+            F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("top_share"),
+    )

@@ -2454,3 +2454,219 @@ def pipeline_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.where(F.col("rank") <= EVAL_SAMPLE_K).select(
         "source", "rank", "doc_id", "tag"
     )
+
+
+DEDUP_PRIORITY_PREFIX = 8
+DEDUP_PRIORITY_SOURCES = ("src0", "src1", "src2")
+
+_DEDUP_PRIORITY_SQL = rf"""
+WITH k AS (SELECT doc_id, source, n_chars,
+                  CASE WHEN source IN ('src0', 'src1', 'src2')
+                       THEN 0 ELSE 1 END AS src_rank,
+                  array_to_string(
+                      (list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''))[1:{DEDUP_PRIORITY_PREFIX}],
+                      ' ') AS prefix_key
+           FROM documents),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY prefix_key
+                                ORDER BY src_rank, n_chars DESC, doc_id)
+               AS rk
+      FROM k)
+SELECT prefix_key,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+         AS survivor_doc_id,
+       MAX(CASE WHEN rk = 1 THEN source END) AS survivor_source,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_saved
+FROM r
+GROUP BY prefix_key
+HAVING COUNT(*) > 1
+"""
+
+
+@register("pipeline_dedup_priority_survivors", oracle=_DEDUP_PRIORITY_SQL)
+def pipeline_dedup_priority_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCE-PRECEDENCE DEDUP — the multi-feed merge rule
+    (``dedup_cluster_survivors`` keeps the highest-QUALITY member of
+    a similarity cluster; ingestion pipelines more often keep the
+    copy from the most-TRUSTED feed, falling back to longest-then-
+    stable-id): groups key on the leading {DEDUP_PRIORITY_PREFIX}-token
+    span (the 'same article, different footer' fingerprint between
+    exact-hash and LSH dedup in the family's precision ladder),
+    survivor = first by (curated-source rank, n_chars DESC, doc_id)
+    where sources {DEDUP_PRIORITY_SOURCES} outrank the rest. One row
+    per multi-member group: survivor identity, members dropped, and
+    the chars the drop saves.
+
+    Exactness: the prefix key is the shared token contract joined
+    with single spaces (deterministic on both engines); the survivor
+    ordering is a total order (doc_id last); all outputs are exact
+    integers/strings — no floats anywhere.
+
+    Plan/scale: ONE shuffle on the prefix key; the row_number window
+    and the group aggregate share its partitioning (one exchange,
+    pytest-class plan shape); group sizes are duplicate-family-sized.
+    At 100 TB the key is a short string hash-distributed like every
+    content-hash dedup in the family; the HAVING keeps output
+    proportional to duplication, not corpus."""
+    from pyspark.sql import Window as W
+
+    from vector_db_core_spark.functions.text import tokens
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("source").isin(*DEDUP_PRIORITY_SOURCES), 0)
+        .otherwise(1)
+        .alias("src_rank"),
+        F.concat_ws(
+            " ", F.slice(tokens("text"), 1, DEDUP_PRIORITY_PREFIX)
+        ).alias("prefix_key"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("prefix_key").orderBy(
+            "src_rank", F.col("n_chars").desc(), "doc_id"
+        )
+    )
+    r = d.select("*", rk.alias("rk"))
+    return (
+        r.groupBy("prefix_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("survivor_doc_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("source"))).alias(
+                "survivor_source"
+            ),
+            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_saved"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+
+
+PACK_BUDGET_TOKENS = 64
+PACK_BUCKETS = (16, 32, 64)
+
+_TOKEN_BUDGET_PACKING_SQL = rf"""
+WITH t AS (SELECT doc_id,
+                  CAST((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+                       % 8 AS INT) AS shard_id,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+b AS (SELECT doc_id, shard_id, n_tokens,
+             CASE WHEN n_tokens <= 16 THEN 16
+                  WHEN n_tokens <= 32 THEN 32
+                  WHEN n_tokens <= 64 THEN 64
+                  ELSE -1 END AS bucket
+      FROM t),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY shard_id, bucket
+                                ORDER BY doc_id) - 1 AS rnk
+      FROM b WHERE bucket > 0)
+SELECT doc_id, shard_id, n_tokens, bucket,
+       CAST(rnk // ({PACK_BUDGET_TOKENS} // bucket) AS BIGINT) AS seq_id,
+       CAST(rnk % ({PACK_BUDGET_TOKENS} // bucket) AS BIGINT) AS slot,
+       CAST((rnk % ({PACK_BUDGET_TOKENS} // bucket)) * bucket AS BIGINT)
+         AS offset,
+       CAST(bucket - n_tokens AS BIGINT) AS pad_tokens
+FROM r
+UNION ALL
+SELECT doc_id, shard_id, n_tokens, bucket,
+       NULL, NULL, NULL, NULL
+FROM b WHERE bucket < 0
+"""
+
+
+@register("pipeline_token_budget_packing", oracle=_TOKEN_BUDGET_PACKING_SQL)
+def pipeline_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED NO-STRADDLE PACKING — the third member of the
+    packing family: ``pipeline_pack_sequences`` and
+    ``pipeline_sequence_packing`` both let a document STRADDLE its
+    sequence boundary (rollover packing); attention-mask-free
+    training wants each document whole, so this op rounds every
+    document up to a length bucket ({PACK_BUCKETS}) and packs
+    budget/bucket same-bucket documents per {PACK_BUDGET_TOKENS}-token
+    sequence — the T5-style bucketed recipe whose pad waste is
+    bounded by the bucket ladder (<= 2x worst case, vs unbounded for
+    naive pad-to-max). Documents over the budget are emitted with
+    bucket -1 and NULL placement: the truncate/segment decision
+    belongs to chunking, and silently dropping them would misreport
+    coverage. Per doc: bucket, sequence id, slot, token offset, pad.
+
+    Exactness: token counts, bucket edges, ranks and div/mod
+    placement are all exact integers; within-(shard, bucket) order is
+    doc_id — a total order, so placement is reproducible across
+    engines and parallelism. NULL placement survives the gate's
+    repr-compare because both engines emit true NULLs.
+
+    Plan/scale: one corpus scan; ONE shuffle on (shard_id, bucket) —
+    the same md5 shard key as the packing family (8 here, thousands
+    at 100 TB) times the bucket ladder, so every partition's
+    row_number runs in its own task; placement is pure arithmetic on
+    the rank, no second pass, no state. Straddle-free packing costs
+    pad (reported per doc) instead of the sequential bin state a
+    next-fit packer would need — that trade IS the scale story."""
+    from pyspark.sql import Window as W
+
+    from vector_db_core_spark.functions.text import tokens
+
+    shard = F.expr(
+        "CAST((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1)"
+        " % 8 AS INT)"
+    )
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        shard.alias("shard_id"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    bucket = (
+        F.when(F.col("n_tokens") <= 16, 16)
+        .when(F.col("n_tokens") <= 32, 32)
+        .when(F.col("n_tokens") <= 64, 64)
+        .otherwise(-1)
+    )
+    b = t.select("*", bucket.alias("bucket"))
+    fit = b.where(F.col("bucket") > 0)
+    over = b.where(F.col("bucket") < 0)
+    rnk = (
+        F.row_number().over(
+            W.partitionBy("shard_id", "bucket").orderBy("doc_id")
+        )
+        - 1
+    )
+    # integer div/mod on BOTH engines — CAST(double AS BIGINT) would
+    # round in DuckDB and truncate in Spark (the cents-contract trap)
+    cap = (F.lit(PACK_BUDGET_TOKENS) / F.col("bucket")).cast("bigint")
+    slot = F.col("rnk") % cap
+    placed = fit.select("*", rnk.alias("rnk")).select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        "bucket",
+        ((F.col("rnk") - slot) / cap).cast("bigint").alias("seq_id"),
+        slot.cast("bigint").alias("slot"),
+        (slot * F.col("bucket")).cast("bigint").alias("offset"),
+        (F.col("bucket") - F.col("n_tokens")).cast("bigint").alias("pad_tokens"),
+    )
+    overflow = over.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        "bucket",
+        F.lit(None).cast("bigint").alias("seq_id"),
+        F.lit(None).cast("bigint").alias("slot"),
+        F.lit(None).cast("bigint").alias("offset"),
+        F.lit(None).cast("bigint").alias("pad_tokens"),
+    )
+    return placed.unionByName(overflow)
