@@ -6917,3 +6917,208 @@ def agg_quantile_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+_THETA_SQL = """
+WITH RECURSIVE
+d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+o AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS BIGINT) AS rn
+      FROM d),
+a AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rn) AS BIGINT) AS sx,
+             CAST(SUM(rn * rn) AS BIGINT) AS sxx,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(rn * cents) AS BIGINT) AS sxy
+      FROM o GROUP BY event_type),
+p AS (SELECT event_type, n, sx, sy,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den
+      FROM a),
+z AS (SELECT o.event_type, o.rn, p.n, p.num, p.den, p.sy, p.sx,
+             2 * o.cents * p.n * p.den
+             - (p.sy * p.den - p.num * p.sx)
+             - p.n * p.num * o.rn AS zt
+      FROM o JOIN p USING (event_type)),
+r AS (
+  SELECT event_type, rn, n, num, den, sy, sx, zt, zt AS s
+  FROM z WHERE rn = 1
+  UNION ALL
+  SELECT z.event_type, z.rn, z.n, z.num, z.den, z.sy, z.sx, z.zt,
+         (z.zt + r.s + 1) // 2 AS s
+  FROM z JOIN r ON z.event_type = r.event_type AND z.rn = r.rn + 1)
+SELECT event_type,
+       n AS n_days,
+       CASE WHEN den > 0
+            THEN round(CAST(num AS DOUBLE) / den / 100.0, 6) END
+         AS slope_daily,
+       CASE WHEN den > 0
+            THEN round(CAST(sy * den - num * sx AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * den) / 100.0, 6) END
+         AS intercept,
+       CASE WHEN den > 0
+            THEN round(CAST(s AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * den) / 100.0, 6) END
+         AS ses_theta2_last,
+       CASE WHEN den > 0
+            THEN round(CAST((sy * den - num * sx) + n * num * (n + 1) + s
+                            AS DOUBLE)
+                       / (2.0 * n * den) / 100.0, 6) END AS forecast_1,
+       CASE WHEN den > 0
+            THEN round(CAST((sy * den - num * sx) + n * num * (n + 2) + s
+                            AS DOUBLE)
+                       / (2.0 * n * den) / 100.0, 6) END AS forecast_2,
+       CASE WHEN den > 0
+            THEN round(CAST((sy * den - num * sx) + n * num * (n + 3) + s
+                            AS DOUBLE)
+                       / (2.0 * n * den) / 100.0, 6) END AS forecast_3
+FROM r WHERE rn = n
+"""
+
+
+def _tdiv2(c):
+    """Truncate-toward-zero division by 2 (the ``_tdiv10`` device),
+    composable inside ``F.aggregate`` lambdas; matches DuckDB ``//``
+    for either sign."""
+    aa = F.abs(c)
+    t = ((aa - aa % 2).cast("double") / 2).cast("long")
+    return F.when(c < 0, -t).otherwise(t)
+
+
+@register("timeseries_theta_forecast", oracle=_THETA_SQL)
+def timeseries_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-METHOD FORECAST (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner and still the default statistical baseline
+    forecasting benchmarks are judged against): per event type, the
+    theta-0 line IS the OLS linear trend of the daily series and the
+    theta-2 line (2*y - line) doubles the local curvature; SES
+    (alpha=0.5) smooths the theta-2 line and the h-step forecast
+    averages the two — trend extrapolation anchored by a smoothed
+    local level. Output per type: fitted slope/intercept, last SES
+    state, and the h=1..3 forecasts in daily dollars.
+
+    Exactness (the Holt-family integer discipline, pushed through a
+    RATIONAL line): the OLS slope num/den and intercept are ratios of
+    exact BIGINT sums over (rn, cents); the theta-2 series is kept in
+    the EXACT integer scale z*(n*den) — ``2*c*n*den - (sy*den-num*sx)
+    - n*num*rn`` — so the SES recursion ``s' = (z + s + 1) // 2``
+    (alpha=1/2 with half-up fold) is pure BIGINT and bit-identical at
+    any parallelism; every output is ONE double division of exact
+    integers + round(6). Magnitude bound: |z_scaled| <~ cents_max *
+    n^5/6 — int64-safe to ~thousands of daily points per type at this
+    fixture's magnitudes (a DECIMAL(38) accumulator is the documented
+    swap for longer series). den=0 (a single-day series) yields NULL
+    forecasts identically in both engines, never a division error.
+
+    Plan/scale: daily pre-aggregation (map-side combined, ONE
+    data-sized shuffle); per-type OLS sums are a second grid-sized
+    aggregate broadcast back; the SES fold runs INSIDE codegen via
+    ``array_sort(collect_list)`` + ``F.aggregate`` over the bounded
+    daily series (the ``timeseries_holt_linear`` shape — series
+    length is calendar days, not events). The oracle runs the
+    identical recurrence as a recursive CTE."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    o = d.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    a = o.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rn").cast("bigint").alias("sx"),
+        F.sum(F.col("rn") * F.col("rn")).cast("bigint").alias("sxx"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.col("rn") * F.col("cents")).cast("bigint").alias("sxy"),
+    )
+    p = a.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    z = o.join(F.broadcast(p), "event_type").select(
+        "event_type",
+        "rn",
+        "n",
+        "num",
+        "den",
+        "sy",
+        "sx",
+        (
+            2 * F.col("cents") * F.col("n") * F.col("den")
+            - (F.col("sy") * F.col("den") - F.col("num") * F.col("sx"))
+            - F.col("n") * F.col("num") * F.col("rn")
+        ).alias("zt"),
+    )
+    series = z.groupBy("event_type", "n", "num", "den", "sy", "sx").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rn").alias("rn"), "zt"))
+        ).alias("s")
+    )
+    acc_t = "struct<s:bigint,first:boolean>"
+    init = F.named_struct(
+        F.lit("s"), F.lit(0).cast("long"), F.lit("first"), F.lit(True)
+    ).cast(acc_t)
+
+    def step(acc, x):
+        s_new = F.when(acc["first"], x["zt"]).otherwise(
+            _tdiv2(x["zt"] + acc["s"] + 1)
+        )
+        return F.named_struct(
+            F.lit("s"), s_new, F.lit("first"), F.lit(False)
+        ).cast(acc_t)
+
+    folded = series.select(
+        "event_type",
+        "n",
+        "num",
+        "den",
+        "sy",
+        "sx",
+        F.aggregate("s", init, step)["s"].alias("s"),
+    )
+    nden = F.col("n").cast("double") * F.col("den")
+    lin0 = F.col("sy") * F.col("den") - F.col("num") * F.col("sx")
+
+    def fc(h: int) -> F.Column:
+        line = lin0 + F.col("n") * F.col("num") * (F.col("n") + h)
+        return F.when(
+            F.col("den") > 0,
+            F.round(
+                (line + F.col("s")).cast("double")
+                / (F.lit(2.0) * F.col("n") * F.col("den"))
+                / 100.0,
+                6,
+            ),
+        )
+
+    return folded.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(
+            F.col("den") > 0,
+            F.round(F.col("num").cast("double") / F.col("den") / 100.0, 6),
+        ).alias("slope_daily"),
+        F.when(
+            F.col("den") > 0,
+            F.round(lin0.cast("double") / nden / 100.0, 6),
+        ).alias("intercept"),
+        F.when(
+            F.col("den") > 0,
+            F.round(F.col("s").cast("double") / nden / 100.0, 6),
+        ).alias("ses_theta2_last"),
+        fc(1).alias("forecast_1"),
+        fc(2).alias("forecast_2"),
+        fc(3).alias("forecast_3"),
+    )

@@ -6947,3 +6947,224 @@ def text_keyword_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nd))
         .select("t1", "t2", "n_both", "df1", "df2", F.round(pmi, 6).alias("pmi"))
     )
+
+
+RPE_PLANES = 8
+RPE_DIM = 64
+
+
+def _rpe_signs() -> list:
+    """Seeded Rademacher sign matrix (RPE_PLANES x RPE_DIM): +1 when
+    the first md5 nibble of 'rpe|plane|dim' is <= '7' — the same
+    deterministic-hash device as the sign-LSH planes, reproducible in
+    any engine/process with no RNG."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"rpe|{j}|{d}".encode()).hexdigest()[0] <= "7"
+            else -1
+            for d in range(RPE_DIM)
+        ]
+        for j in range(RPE_PLANES)
+    ]
+
+
+def _rpe_sql() -> str:
+    signs = _rpe_signs()
+    projs = []
+    for j, row in enumerate(signs):
+        terms = " ".join(
+            f"{'+' if s > 0 else '-'} m[{d + 1}]" for d, s in enumerate(row)
+        )
+        projs.append(f"({terms.lstrip('+ ')}) AS p{j}")
+    psq = " + ".join(f"p{j} * p{j}" for j in range(RPE_PLANES))
+    nsq = " + ".join(f"m[{d + 1}] * m[{d + 1}]" for d in range(RPE_DIM))
+    return f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                                AS BIGINT)) AS m
+           FROM embeddings),
+p AS (SELECT vec_id, label, {', '.join(projs)}, ({nsq}) AS normsq
+      FROM e),
+r AS (SELECT label,
+             CASE WHEN normsq > 0
+                  THEN (CAST({psq} AS DOUBLE) / {RPE_PLANES}.0)
+                       / CAST(normsq AS DOUBLE) END AS ratio
+      FROM p)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       round(CAST(SUM(CAST(ratio AS DECIMAL(27,15))) AS DOUBLE)
+             / COUNT(ratio), 6) AS mean_energy_ratio,
+       round(MIN(ratio), 6) AS min_energy_ratio,
+       round(MAX(ratio), 6) AS max_energy_ratio
+FROM r
+GROUP BY label
+"""
+
+
+@register("sim_random_projection_energy", oracle=_rpe_sql())
+def sim_random_projection_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS ENERGY-PRESERVATION PROFILE — how well
+    the {RPE_PLANES}-plane seeded Rademacher projection (the
+    sign-LSH family's plane construction, Achlioptas 2003's database-
+    friendly JL variant) preserves each vector's squared norm:
+    ratio = (sum_j p_j^2 / k) / ||v||^2, whose expectation is exactly
+    1 for Rademacher planes. Per label: vector count and the
+    mean/min/max ratio — the pre-flight check that tells you whether
+    k projection dims are enough BEFORE you build the LSH/BRP index
+    on them (a label whose min ratio collapses has structure the
+    planes miss; widen k).
+
+    Exactness: embeddings micro-quantize to BIGINT (the shared 1e6
+    contract); each projection is an EXPLICIT +/- integer sum over
+    the {RPE_DIM} dims (the sign matrix is md5-seeded, generated once
+    and inlined as literals in BOTH engines — no RNG, no HOF fold);
+    squared sums stay integer (|p_j| <= 64 * 5e6 keeps p^2 sums well
+    inside int64); the ratio is one fixed double expression guarded
+    by normsq > 0, DECIMAL-accumulated for the order-independent
+    mean, round(6) everywhere.
+
+    Plan/scale: pure map-side projection arithmetic inside
+    whole-stage codegen (512 add/sub terms — wide but flat; vectors
+    never shuffle), then ONE map-side-combined label aggregate. At
+    100 TB this is a single scan at memory bandwidth; the same shape
+    as the ANN family's map-side scoring."""
+    signs = _rpe_signs()
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+        ).alias("m"),
+    )
+    projs = []
+    for j, row in enumerate(signs):
+        p = None
+        for d, s in enumerate(row):
+            term = F.element_at("m", d + 1)
+            term = term if s > 0 else -term
+            p = term if p is None else p + term
+        projs.append(p.alias(f"p{j}"))
+    nsq = None
+    for d in range(RPE_DIM):
+        t = F.element_at("m", d + 1) * F.element_at("m", d + 1)
+        nsq = t if nsq is None else nsq + t
+    p = e.select("vec_id", "label", *projs, nsq.alias("normsq"))
+    psq = None
+    for j in range(RPE_PLANES):
+        t = F.col(f"p{j}") * F.col(f"p{j}")
+        psq = t if psq is None else psq + t
+    ratio = F.when(
+        F.col("normsq") > 0,
+        (psq.cast("double") / float(RPE_PLANES))
+        / F.col("normsq").cast("double"),
+    )
+    r = p.select("label", ratio.alias("ratio"))
+    return r.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("ratio").cast("decimal(27,15)")).cast("double")
+            / F.count("ratio"),
+            6,
+        ).alias("mean_energy_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_energy_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_energy_ratio"),
+    )
+
+
+_EXIF_ORIENT_SQL = """
+WITH x AS (SELECT doc_id,
+                  CAST((instr('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                       % 8 + 1 AS INT) AS orientation,
+                  CAST(640 + (doc_id % 5) * 160 AS INT) AS raw_w,
+                  CAST(480 + (doc_id % 3) * 120 AS INT) AS raw_h
+           FROM documents)
+SELECT doc_id, orientation,
+       CASE orientation
+            WHEN 1 THEN 'identity'      WHEN 2 THEN 'flip_horizontal'
+            WHEN 3 THEN 'rotate_180'    WHEN 4 THEN 'flip_vertical'
+            WHEN 5 THEN 'transpose'     WHEN 6 THEN 'rotate_90_cw'
+            WHEN 7 THEN 'transverse'    ELSE 'rotate_270_cw' END
+         AS transform,
+       raw_w, raw_h,
+       CASE WHEN orientation >= 5 THEN raw_h ELSE raw_w END AS norm_w,
+       CASE WHEN orientation >= 5 THEN raw_w ELSE raw_h END AS norm_h,
+       orientation >= 5 AS dims_swapped,
+       orientation IN (2, 4, 5, 7) AS mirrored
+FROM x
+"""
+
+
+@register("multimodal_exif_orientation_norm", oracle=_EXIF_ORIENT_SQL)
+def multimodal_exif_orientation_norm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXIF ORIENTATION NORMALIZATION manifest — the metadata-side
+    half of image ingestion (a training pipeline must rotate/mirror
+    pixels AND swap the stored width/height for orientations 5-8
+    before any aspect-ratio bucketing or resize math; feeding raw
+    EXIF dims into ``multimodal_aspect_bucketing`` silently puts every
+    rotated photo in the wrong bucket). Per image: the EXIF
+    orientation code (1-8), its canonical transform name, raw and
+    normalized dims, and the swap/mirror flags downstream ops branch
+    on. The pixel-side transform belongs to the stubbed decoder in
+    ``functions/multimodal.py`` (the declared media boundary — the
+    fixture carries no real JPEG bytes); THIS op is the real
+    Spark-side metadata plumbing that runs identically on real EXIF
+    columns.
+
+    Exactness: orientation and dims derive deterministically from
+    doc_id (md5-nibble mod 8 + 1 — the shared seeded-hash device;
+    arithmetic dims), the transform ladder is the EXIF standard's
+    fixed CASE, and every output is an integer/string/boolean — no
+    floats anywhere.
+
+    Plan/scale: pure per-row projection in whole-stage codegen; no
+    shuffle, no state. On a real corpus the orientation column
+    arrives from the EXIF parser and this plan is unchanged."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    orient = (
+        (
+            F.expr(
+                "instr('0123456789abcdef',"
+                " substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"
+            )
+            % 8
+            + 1
+        )
+        .cast("int")
+        .alias("orientation")
+    )
+    x = d.select(
+        "doc_id",
+        orient,
+        (640 + (F.col("doc_id") % 5) * 160).cast("int").alias("raw_w"),
+        (480 + (F.col("doc_id") % 3) * 120).cast("int").alias("raw_h"),
+    )
+    name = (
+        F.when(F.col("orientation") == 1, "identity")
+        .when(F.col("orientation") == 2, "flip_horizontal")
+        .when(F.col("orientation") == 3, "rotate_180")
+        .when(F.col("orientation") == 4, "flip_vertical")
+        .when(F.col("orientation") == 5, "transpose")
+        .when(F.col("orientation") == 6, "rotate_90_cw")
+        .when(F.col("orientation") == 7, "transverse")
+        .otherwise("rotate_270_cw")
+    )
+    swap = F.col("orientation") >= 5
+    return x.select(
+        "doc_id",
+        "orientation",
+        name.alias("transform"),
+        "raw_w",
+        "raw_h",
+        F.when(swap, F.col("raw_h")).otherwise(F.col("raw_w")).alias("norm_w"),
+        F.when(swap, F.col("raw_w")).otherwise(F.col("raw_h")).alias("norm_h"),
+        swap.alias("dims_swapped"),
+        F.col("orientation").isin(2, 4, 5, 7).alias("mirrored"),
+    )
