@@ -7168,3 +7168,171 @@ def multimodal_exif_orientation_norm(
         swap.alias("dims_swapped"),
         F.col("orientation").isin(2, 4, 5, 7).alias("mirrored"),
     )
+
+
+_BRIDGE_SQL = f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(toks) - {_SPAN_W - 1}),
+             i -> array_to_string(toks[i:i+{_SPAN_W - 1}], ' ')))) AS span
+  FROM t WHERE len(toks) >= {_SPAN_W}
+),
+keep AS (SELECT span FROM sp GROUP BY span
+         HAVING COUNT(*) BETWEEN 2 AND {_SPAN_MAX_DOCS}),
+e AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id < b.doc_id
+      JOIN keep k ON k.span = a.span),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+reach AS (
+  SELECT e.u AS eu, e.v AS ev, s.side,
+         CASE WHEN s.side = 'a' THEN e.u ELSE e.v END AS node
+  FROM e, (SELECT 'a' AS side UNION ALL SELECT 'b') s
+  UNION
+  SELECT r.eu, r.ev, r.side, s.v AS node
+  FROM reach r JOIN sym s ON s.u = r.node
+  WHERE NOT ((s.u = r.eu AND s.v = r.ev) OR (s.u = r.ev AND s.v = r.eu))
+),
+agg AS (SELECT eu, ev,
+               CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_side_a,
+               CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_side_b,
+               MAX(CASE WHEN side = 'a' AND node = ev THEN 1 ELSE 0 END)
+                 AS a_sees_b
+        FROM reach GROUP BY eu, ev)
+SELECT eu AS doc_a, ev AS doc_b, n_side_a, n_side_b,
+       CAST(n_side_a + n_side_b AS BIGINT) AS component_size
+FROM agg WHERE a_sees_b = 0
+"""
+
+
+@register("graph_bridge_edges", oracle=_BRIDGE_SQL)
+def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIDGE EDGES of the span-sharing near-dup graph — the
+    cluster-fragility read the connected-components labeling hides:
+    transitive-closure dedup (``dedup_connected_clusters``) merges
+    two document families into one cluster whenever a SINGLE weak
+    pair links them, and a bridge (an edge whose removal disconnects
+    its endpoints) IS that pair. Output: every bridge over the
+    ``dedup_span_pairs`` edge set with the sizes of the two sides it
+    holds together — the review queue for "is this one shared span
+    really the same document family, or two families glued by a
+    quote". Cycle edges (redundantly-connected pairs) never appear.
+
+    Semantics: edge (u,v) is a bridge iff v is unreachable from u in
+    G minus that edge. Computed as a per-edge BFS fixpoint from BOTH
+    endpoints — reach(edge, side, node) — expanded over the
+    symmetrized edge list excluding the edge itself; at the fixpoint
+    side-a holds u's component-in-G-minus-e, so a bridge reads
+    a_sees_b = 0 and the two side sizes ARE the split sizes.
+
+    Exactness: pure set/integer computation; the fixpoint is a
+    well-defined SET (round-count independent, unlike bounded-round
+    label propagation), the Spark loop runs to it (early-stop when
+    the accumulated count stops growing; 30-round sanity cap far
+    above any dedup component's diameter) and the oracle is the
+    identical recursion as a recursive CTE with UNION dedup.
+
+    Plan/scale: the edge list is the span-dedup pair graph —
+    duplication-bounded, NOT corpus-sized (the [2,{_SPAN_MAX_DOCS}]
+    doc-frequency cap bounds pair fanout); per-edge reach state never
+    leaves the edge's component, so total state is sum over
+    components of 2|E_c|x|V_c| — the SemDeDup quadratic-confinement
+    argument, fine for dedup graphs whose components are duplicate
+    families. Each round is one join of the reach frame against the
+    symmetrized edges + distinct (both tiny), persist-and-count per
+    round with superseded frames unpersisted. For a general
+    billion-edge graph you'd instead group whole components into
+    tasks (components are small) and run Tarjan per component inside
+    ``mapInPandas`` — stated, not needed for the dedup read."""
+    pairs = dedup_span_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    e = pairs.persist()
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist()
+    )
+    seeds = e.select(
+        F.col("u").alias("eu"),
+        F.col("v").alias("ev"),
+        F.lit("a").alias("side"),
+        F.col("u").alias("node"),
+    ).unionByName(
+        e.select(
+            F.col("u").alias("eu"),
+            F.col("v").alias("ev"),
+            F.lit("b").alias("side"),
+            F.col("v").alias("node"),
+        )
+    )
+    # the fixpoint frames are duplication-bounded (thousands of rows at
+    # most) — pin them to 8 partitions keyed on the distinct columns so
+    # the per-round distinct reuses that exchange instead of fanning to
+    # the session's shuffle default (a plain 200-partition session turns
+    # each tiny round into hundreds of empty tasks)
+    _KEYS = ["eu", "ev", "side", "node"]
+    reach = seeds.repartition(8, *_KEYS).distinct().persist()
+    n_prev = reach.count()
+    try:
+        for _ in range(30):  # sanity cap >> any dedup component diameter
+            nxt = (
+                reach.join(sym, reach.node == sym.u)
+                .where(
+                    ~(
+                        (F.col("u") == F.col("eu"))
+                        & (F.col("v") == F.col("ev"))
+                    )
+                    & ~(
+                        (F.col("u") == F.col("ev"))
+                        & (F.col("v") == F.col("eu"))
+                    )
+                )
+                .select("eu", "ev", "side", F.col("v").alias("node"))
+            )
+            merged = (
+                reach.unionByName(nxt)
+                .repartition(8, *_KEYS)
+                .distinct()
+                .persist()
+            )
+            n_new = merged.count()
+            reach.unpersist()
+            reach = merged
+            if n_new == n_prev:
+                break
+            n_prev = n_new
+        agg = reach.groupBy("eu", "ev").agg(
+            F.sum(F.when(F.col("side") == "a", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_side_a"),
+            F.sum(F.when(F.col("side") == "b", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_side_b"),
+            F.max(
+                F.when(
+                    (F.col("side") == "a") & (F.col("node") == F.col("ev")), 1
+                ).otherwise(0)
+            ).alias("a_sees_b"),
+        )
+        out = (
+            agg.where(F.col("a_sees_b") == 0)
+            .select(
+                F.col("eu").alias("doc_a"),
+                F.col("ev").alias("doc_b"),
+                "n_side_a",
+                "n_side_b",
+                (F.col("n_side_a") + F.col("n_side_b"))
+                .cast("bigint")
+                .alias("component_size"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        reach.unpersist()
+        sym.unpersist()
+        e.unpersist()
+    return out

@@ -1172,3 +1172,80 @@ def streaming_ivf_cells_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(index_path), x, qm, cqd, probe
     )
 
+
+
+TAG_MIN_CHARS = 5
+TAG_TOP_K = 20
+
+_TOPK_TAGS_SQL = rf"""
+WITH tok AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS tag
+             FROM documents),
+c AS (SELECT tag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok WHERE len(tag) >= {TAG_MIN_CHARS} GROUP BY tag)
+SELECT CAST(rk AS BIGINT) AS rank, tag, n
+FROM (SELECT tag, n, row_number() OVER (ORDER BY n DESC, tag) AS rk FROM c)
+WHERE rk <= {TAG_TOP_K}
+"""
+
+
+@register("streaming_topk_hashtags_replay", oracle=_TOPK_TAGS_SQL)
+def streaming_topk_hashtags_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRENDING-TERMS TOP-K over STREAMING-MAINTAINED counts — the
+    third maintained index beside the BM25 postings and the IVF
+    cells: the trending-hashtags board every feed product runs is a
+    frequency table updated per arriving batch plus a bounded
+    read-side top-k. The documents fixture lands as 4 files consumed
+    one per trigger; the STREAMING ENGINE maintains per-tag counts as
+    update-mode state; the final board ranks the drained state by
+    (count DESC, tag) — deterministic — and carries the equivalent
+    batch SQL as its oracle. Tag extraction here is "token of
+    >= {TAG_MIN_CHARS} chars" (the fixture carries no '#' markup; a
+    real deployment swaps ONLY the extraction predicate — the
+    maintained-state plumbing is identical).
+
+    Replay-deterministic: per-tag counts are arrival-order
+    independent; update-mode re-emissions are folded by a max-per-key
+    finisher (counts are monotone per key — the BM25 replay's
+    discipline), and the top-k orders on exact integers with a total
+    tiebreak.
+
+    Plan/scale: streaming state is the tag frequency table (vocab-
+    bounded, never evicted by design — a frequency board, like an
+    index, grows with vocabulary not traffic); one shuffle per batch,
+    map-side partials first. The read is a TakeOrderedAndProject over
+    the state. At true firehose scale the exact table swaps to a
+    count-min + heavy-hitters sketch (the documented sketch family)
+    with the same update/read split."""
+    from pyspark.sql import Window as W
+
+    from vector_db_core_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = f"tags_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    root = os.path.join(_REPLAY_ROOT, key)
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    docs.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    counts = (
+        stream.select(F.explode(tokens("text")).alias("tag"))
+        .where(F.length("tag") >= TAG_MIN_CHARS)
+        .groupBy("tag")
+        .agg(F.count("*").alias("n"))
+    )
+    _run_to_memory(counts, "stream_replay_tags", root, "update")
+    state = (
+        spark.table("stream_replay_tags")
+        .groupBy("tag")
+        .agg(F.max("n").cast("bigint").alias("n"))
+    )
+    rk = F.row_number().over(W.orderBy(F.col("n").desc(), F.col("tag")))
+    return (
+        state.select(rk.cast("bigint").alias("rank"), "tag", "n")
+        .where(F.col("rank") <= TAG_TOP_K)
+    )
