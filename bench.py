@@ -212,6 +212,25 @@ HEADLINE = [
     # round-12 wave 5
     "timeseries_holt_winters",
     "timeseries_residual_anomalies",
+    # round-13: serving-path PQ variants + the stitched interarrival
+    "sim_ivfpq_partitioned_topk",
+    "timeseries_interarrival_stitched",
+    "text_distinct_ngrams_approx",
+    # round-13 wave 2: profiling / engagement
+    "agg_cramers_v",
+    "cohort_stickiness_dau_mau",
+    "window_session_gaps",
+    "agg_quantile_bands_exact",
+    "quality_uniqueness_report",
+    # round-13 wave 3: corpus analysis + pipeline
+    "text_hapax_ratio",
+    "agg_log_odds_monroe",
+    "text_keyword_cooccurrence",
+    "pipeline_token_budget_packing",
+    "timeseries_theta_forecast",
+    "sim_random_projection_energy",
+    # the bridge fixpoint builds eagerly -> HEADLINE_INCLUSIVE
+    "graph_bridge_edges",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`
@@ -240,6 +259,9 @@ HEADLINE_INCLUSIVE = {
     # the MMR greedy runs at construction over its bounded collected
     # pool — sink-only timing would measure a 10-row materialization
     "sim_mmr_diversified_topk",
+    # the per-edge reachability fixpoint loop runs at construction;
+    # sink-only timing would measure the bounded bridge list
+    "graph_bridge_edges",
 }
 
 
