@@ -7222,117 +7222,163 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     really the same document family, or two families glued by a
     quote". Cycle edges (redundantly-connected pairs) never appear.
 
-    Semantics: edge (u,v) is a bridge iff v is unreachable from u in
-    G minus that edge. Computed as a per-edge BFS fixpoint from BOTH
-    endpoints — reach(edge, side, node) — expanded over the
-    symmetrized edge list excluding the edge itself; at the fixpoint
-    side-a holds u's component-in-G-minus-e, so a bridge reads
-    a_sees_b = 0 and the two side sizes ARE the split sizes.
+    Plan — components first, then Tarjan per component: (1) min-label
+    propagation labels every node with its component (ONE |V|-row
+    frame folding to the fixpoint — diameter rounds, the
+    ``dedup_connected_clusters`` loop); (2) edges group by component
+    label and each component's edge list runs TARJAN'S linear
+    low-link bridge algorithm inside ``applyInPandas`` — dedup
+    components are duplicate-family-sized, so each fits one Arrow
+    batch and components parallelize across executors. The subtree
+    size at each bridge gives the child side; the component total
+    gives the other — the split sizes come free from the DFS.
 
-    Exactness: pure set/integer computation; the fixpoint is a
-    well-defined SET (round-count independent, unlike bounded-round
-    label propagation), the Spark loop runs to it (early-stop when
-    the accumulated count stops growing; 30-round sanity cap far
-    above any dedup component's diameter) and the oracle is the
-    identical recursion as a recursive CTE with UNION dedup.
+    This replaced a first-cut per-edge reachability fixpoint
+    (state (edge, side, node), one distinct per round): correct and
+    oracle-shaped, but its state is sum over components of
+    2|E_c|x|V_c| and its round count the component diameter — on the
+    perturbed ~sf1 fixture\'s dense near-twin families it measured
+    145 s vs single-digit seconds for this form (the k-core lesson:
+    measure the fold, keep the winner). The oracle keeps the
+    recursion — a recursive CTE with UNION dedup computing the
+    identical set.
 
-    Plan/scale: the edge list is the span-dedup pair graph —
-    duplication-bounded, NOT corpus-sized (the [2,{_SPAN_MAX_DOCS}]
-    doc-frequency cap bounds pair fanout); per-edge reach state never
-    leaves the edge's component, so total state is sum over
-    components of 2|E_c|x|V_c| — the SemDeDup quadratic-confinement
-    argument, fine for dedup graphs whose components are duplicate
-    families. Each round is one join of the reach frame against the
-    symmetrized edges + distinct (both tiny), persist-and-count per
-    round with superseded frames unpersisted. For a general
-    billion-edge graph you'd instead group whole components into
-    tasks (components are small) and run Tarjan per component inside
-    ``mapInPandas`` — stated, not needed for the dedup read."""
-    pairs = dedup_span_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    )
-    e = pairs.persist()
-    sym = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    Exactness: pure set/integer computation; Tarjan emits exactly
+    the edges whose low-link exceeds the parent\'s discovery index —
+    the textbook characterization of bridges — independent of DFS
+    order; sizes are exact integers; the pytest re-derives bridges
+    with an INDEPENDENT Tarjan + union-find and pins equality.
+
+    Plan/scale: the edge list is duplication-bounded (the [2,20]
+    span doc-frequency cap); the CC loop shuffles (node, label)
+    pairs only; the per-component work is linear in component edges.
+    At 100 TB the shape is unchanged — millions of small components,
+    each one Arrow batch."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pairs = (
+        dedup_span_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .persist()
     )
-    seeds = e.select(
-        F.col("u").alias("eu"),
-        F.col("v").alias("ev"),
-        F.lit("a").alias("side"),
-        F.col("u").alias("node"),
-    ).unionByName(
-        e.select(
-            F.col("u").alias("eu"),
-            F.col("v").alias("ev"),
-            F.lit("b").alias("side"),
-            F.col("v").alias("node"),
-        )
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .repartition(8, "node")
+        .persist()
     )
-    # the fixpoint frames are duplication-bounded (thousands of rows at
-    # most) — pin them to 8 partitions keyed on the distinct columns so
-    # the per-round distinct reuses that exchange instead of fanning to
-    # the session's shuffle default (a plain 200-partition session turns
-    # each tiny round into hundreds of empty tasks)
-    _KEYS = ["eu", "ev", "side", "node"]
-    reach = seeds.repartition(8, *_KEYS).distinct().persist()
-    n_prev = reach.count()
+    # scope a small shuffle width to the duplication-bounded loop (the
+    # _run_to_memory device): a plain 200-partition session turns each
+    # tiny CC round into hundreds of near-empty tasks
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        prev = labels.agg(F.sum("label")).collect()[0][0]
         for _ in range(30):  # sanity cap >> any dedup component diameter
-            nxt = (
-                reach.join(sym, reach.node == sym.u)
-                .where(
-                    ~(
-                        (F.col("u") == F.col("eu"))
-                        & (F.col("v") == F.col("ev"))
-                    )
-                    & ~(
-                        (F.col("u") == F.col("ev"))
-                        & (F.col("v") == F.col("eu"))
-                    )
-                )
-                .select("eu", "ev", "side", F.col("v").alias("node"))
+            nbr = (
+                sym.join(labels, sym.v == labels.node)
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_min"))
             )
-            merged = (
-                reach.unionByName(nxt)
-                .repartition(8, *_KEYS)
-                .distinct()
+            new_labels = (
+                labels.join(nbr, labels.node == nbr.u, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce("nbr_min", F.col("label")),
+                    ).alias("label"),
+                )
+                .repartition(8, "node")
                 .persist()
             )
-            n_new = merged.count()
-            reach.unpersist()
-            reach = merged
-            if n_new == n_prev:
+            cur = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if cur == prev:  # min-propagation is monotone: fixpoint
                 break
-            n_prev = n_new
-        agg = reach.groupBy("eu", "ev").agg(
-            F.sum(F.when(F.col("side") == "a", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_side_a"),
-            F.sum(F.when(F.col("side") == "b", 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_side_b"),
-            F.max(
-                F.when(
-                    (F.col("side") == "a") & (F.col("node") == F.col("ev")), 1
-                ).otherwise(0)
-            ).alias("a_sees_b"),
+            prev = cur
+        lab = labels.select(
+            F.col("node").alias("u"), F.col("label").alias("comp")
         )
-        out = (
-            agg.where(F.col("a_sees_b") == 0)
-            .select(
-                F.col("eu").alias("doc_a"),
-                F.col("ev").alias("doc_b"),
-                "n_side_a",
-                "n_side_b",
-                (F.col("n_side_a") + F.col("n_side_b"))
-                .cast("bigint")
-                .alias("component_size"),
-            )
+        edges_labeled = pairs.join(lab, "u").select("comp", "u", "v")
+
+        schema = StructType(
+            [
+                StructField("doc_a", LongType()),
+                StructField("doc_b", LongType()),
+                StructField("n_side_a", LongType()),
+                StructField("n_side_b", LongType()),
+                StructField("component_size", LongType()),
+            ]
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+
+        def bridges_of_component(pdf):
+            import pandas as pd
+
+            adj = {}
+            for u, v in zip(pdf["u"], pdf["v"]):
+                adj.setdefault(int(u), []).append(int(v))
+                adj.setdefault(int(v), []).append(int(u))
+            n_comp = len(adj)
+            disc, low, size = {}, {}, {}
+            out = []
+            t = 0
+            for start in adj:
+                if start in disc:
+                    continue
+                disc[start] = low[start] = t
+                t += 1
+                size[start] = 1
+                stack = [(start, None, iter(adj[start]))]
+                while stack:
+                    node, parent, it = stack[-1]
+                    advanced = False
+                    for w in it:
+                        if w not in disc:
+                            disc[w] = low[w] = t
+                            t += 1
+                            size[w] = 1
+                            stack.append((w, node, iter(adj[w])))
+                            advanced = True
+                            break
+                        elif w != parent:
+                            low[node] = min(low[node], disc[w])
+                    if not advanced:
+                        stack.pop()
+                        if stack:
+                            par = stack[-1][0]
+                            low[par] = min(low[par], low[node])
+                            size[par] += size[node]
+                            if low[node] > disc[par]:
+                                a, b = min(par, node), max(par, node)
+                                child_side = size[node]
+                                side_a = (
+                                    child_side
+                                    if a == node
+                                    else n_comp - child_side
+                                )
+                                out.append(
+                                    (a, b, side_a, n_comp - side_a, n_comp)
+                                )
+            cols = ["doc_a", "doc_b", "n_side_a", "n_side_b", "component_size"]
+            if not out:  # bridge-free component: typed empty frame for Arrow
+                return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+            return pd.DataFrame(out, columns=cols)
+
+        out = edges_labeled.groupBy("comp").applyInPandas(
+            bridges_of_component, schema
+        )
+        out = spark.createDataFrame(
+            out.collect(), out.schema
+        )  # duplication-bounded; break lineage before unpersist
     finally:
-        reach.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        labels.unpersist()
         sym.unpersist()
-        e.unpersist()
+        pairs.unpersist()
     return out
