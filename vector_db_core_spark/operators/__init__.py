@@ -56,7 +56,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: cohort_stickiness_dau_mau, quality_uniqueness_report,
 #: window_session_gaps, scalar_trig_functions, text_hapax_ratio,
 #: streaming_topk_hashtags_replay, multimodal_exif_orientation_norm,
-#: agg_log_odds_monroe, pipeline_token_budget_packing
+#: agg_log_odds_monroe, pipeline_token_budget_packing,
+#: quality_uniqueness_approx
 #: — plus whatever the r13 driver leaves unsampled.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica
