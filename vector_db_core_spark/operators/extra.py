@@ -7122,3 +7122,102 @@ def timeseries_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         fc(2).alias("forecast_2"),
         fc(3).alias("forecast_3"),
     )
+
+
+_KAPPA_SQL = r"""
+WITH t AS (SELECT n_chars >= 300 AS rater_a,
+                  len(list_distinct(list_filter(
+                      string_split_regex(text, '\s+'), x -> x <> ''))) * 10
+                  >= len(list_filter(
+                      string_split_regex(text, '\s+'), x -> x <> '')) * 9
+                    AS rater_b
+           FROM documents),
+c AS (SELECT
+        CAST(SUM(CASE WHEN rater_a AND rater_b THEN 1 ELSE 0 END) AS BIGINT)
+          AS a,
+        CAST(SUM(CASE WHEN rater_a AND NOT rater_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT rater_a AND rater_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT rater_a AND NOT rater_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS d,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM t),
+m AS (SELECT a, b, c, d, n,
+             CAST(a + d AS DOUBLE) / n AS po,
+             (CAST(a + b AS DOUBLE) * (a + c)
+              + CAST(c + d AS DOUBLE) * (b + d)) / (CAST(n AS DOUBLE) * n)
+               AS pe
+      FROM c)
+SELECT a AS both_pass, b AS a_only, c AS b_only, d AS neither, n,
+       round(po, 6) AS po,
+       round(pe, 6) AS pe,
+       CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) END
+         AS cohens_kappa
+FROM m
+"""
+
+
+@register("agg_cohens_kappa", oracle=_KAPPA_SQL)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between two document-quality filters — the
+    inter-rater agreement read (Cohen 1960) that tells a curation
+    pipeline whether two filters are REDUNDANT (kappa near 1: drop
+    one), COMPLEMENTARY (kappa near 0: compose them), or FIGHTING
+    (negative: investigate) — raw percent agreement can't, because
+    two filters that both pass ~everything agree by chance. Rater A
+    is the length gate (n_chars >= 300), rater B the type-token-
+    ratio gate (distinct tokens >= 90% of tokens, spelled as the
+    integer cross-multiplication ``10*distinct >= 9*n`` — no float
+    threshold); kappa = (po - pe) / (1 - pe) over their 2x2.
+
+    Exactness: both raters are integer/boolean expressions over the
+    shared token contract; the 2x2 cells are exact integer sums; po
+    and pe are fixed double expressions stated in the same operation
+    order in both engines; the degenerate pe = 1 case (both raters
+    constant) yields NULL kappa identically rather than 0/0.
+
+    Plan/scale: one corpus scan folding map-side to a single 2x2 —
+    no shuffle beyond the 1-row final combine; adding raters widens
+    the melt, never adds scans (the agg_cramers_v note)."""
+    from vector_db_core_spark.functions.text import distinct_tokens, tokens
+
+    t = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= 300).alias("ra"),
+        (
+            F.size(distinct_tokens("text")) * 10
+            >= F.size(tokens("text")) * 9
+        ).alias("rb"),
+    )
+    c = t.agg(
+        F.sum(F.when(F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("ra") & F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~F.col("ra") & ~F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    po = (F.col("a") + F.col("d")).cast("double") / F.col("n")
+    pe = (
+        (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c"))
+        + (F.col("c") + F.col("d")).cast("double") * (F.col("b") + F.col("d"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        F.col("a").alias("both_pass"),
+        F.col("b").alias("a_only"),
+        F.col("c").alias("b_only"),
+        F.col("d").alias("neither"),
+        "n",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6)).alias(
+            "cohens_kappa"
+        ),
+    )

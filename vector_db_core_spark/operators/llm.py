@@ -7382,3 +7382,112 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.unpersist()
         pairs.unpersist()
     return out
+
+
+MRL_PREFIX_DIMS = (8, 16, 32, 64)
+MRL_TOP_K = 10
+
+
+def _mrl_sql() -> str:
+    def dist(d: int) -> str:
+        terms = " + ".join(
+            f"(m[{i}] - qm[{i}]) * (m[{i}] - qm[{i}])" for i in range(1, d + 1)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    dcols = ", ".join(f"{dist(d)} AS d{d}" for d in MRL_PREFIX_DIMS)
+    rcols = ", ".join(
+        f"row_number() OVER (ORDER BY d{d}, vec_id) AS r{d}"
+        for d in MRL_PREFIX_DIMS
+    )
+    legs = "\nUNION ALL\n".join(
+        f"SELECT CAST({d} AS INT) AS prefix_dim,"
+        f" CAST(SUM(CASE WHEN r{d} <= {MRL_TOP_K} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_overlap,"
+        f" round(SUM(CASE WHEN r{d} <= {MRL_TOP_K} THEN 1 ELSE 0 END)"
+        f" / CAST({MRL_TOP_K} AS DOUBLE), 6) AS recall_at_k"
+        f" FROM r WHERE r64 <= {MRL_TOP_K}"
+        for d in MRL_PREFIX_DIMS
+    )
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                                AS BIGINT)) AS m
+           FROM embeddings),
+q AS (SELECT m AS qm FROM e WHERE vec_id = 0),
+dist AS (SELECT e.vec_id, {dcols} FROM e, q WHERE e.vec_id <> 0),
+r AS (SELECT vec_id, {rcols} FROM dist)
+{legs}
+"""
+
+
+@register("sim_matryoshka_prefix_recall", oracle=_mrl_sql())
+def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA PREFIX-DIMENSION RECALL (Kusupati et al. 2022, MRL)
+    — the adaptive-retrieval tuning curve: if embeddings were trained
+    so their leading dimensions carry a coarse version of the whole
+    vector, serving can score with the first d dims and rerank few
+    survivors at full width. This op measures what that costs HERE:
+    exact top-{MRL_TOP_K} neighbors of the probe (vec_id 0) by full
+    64-dim integer L2, then the same top-{MRL_TOP_K} using only the
+    first 8/16/32/64 dims — one row per prefix width with its
+    recall@{MRL_TOP_K} against the full-width truth (64 reads 1.0 by
+    construction, the sanity row). The curve is the pre-flight that
+    decides whether PQ/IVF (block-local codes) or prefix truncation
+    (MRL) is the right compression for a given corpus.
+
+    Exactness: micro-quantized BIGINT distances (the PQ family's 1e6
+    contract) summed as EXPLICIT codegen terms (no interpreted HOF
+    fold — the round-13 RPE device); every ranking orders by
+    (distance, vec_id), a total order, so top-k membership is
+    engine-stable; recall is one double division + round(6).
+
+    Plan/scale: four map-side distance scans each closed by
+    ``orderBy().limit({MRL_TOP_K})`` — Spark plans
+    TakeOrderedAndProject, the distributed two-phase top-k (per-
+    partition heads, then a {MRL_TOP_K}-row merge on one reducer) —
+    vectors never shuffle; the overlap join runs on 4x{MRL_TOP_K}
+    rows against the broadcast full-width truth. The oracle spells
+    the same rankings as window functions (single-threaded is fine
+    oracle-side)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000.0, 0).cast("long"),
+        ).alias("m"),
+    )
+    qrow = e.where(F.col("vec_id") == 0).select(F.col("m").alias("qm"))
+    base = e.where(F.col("vec_id") != 0).join(F.broadcast(qrow))
+
+    def dist(d: int):
+        s = None
+        for i in range(1, d + 1):
+            t = (F.element_at("m", i) - F.element_at("qm", i)) * (
+                F.element_at("m", i) - F.element_at("qm", i)
+            )
+            s = t if s is None else s + t
+        return s.cast("bigint")
+
+    tops = {}
+    for d in MRL_PREFIX_DIMS:
+        tops[d] = (
+            base.select("vec_id", dist(d).alias("dd"))
+            .orderBy("dd", "vec_id")
+            .limit(MRL_TOP_K)
+            .select("vec_id")
+        )
+    truth = tops[64].select(F.col("vec_id").alias("tv"))
+    cand = None
+    for d in MRL_PREFIX_DIMS:
+        leg = tops[d].select(
+            F.lit(d).cast("int").alias("prefix_dim"), "vec_id"
+        )
+        cand = leg if cand is None else cand.unionByName(leg)
+    hit = cand.join(F.broadcast(truth), cand.vec_id == F.col("tv"), "left")
+    n_hit = F.sum(F.when(F.col("tv").isNotNull(), 1).otherwise(0))
+    return hit.groupBy("prefix_dim").agg(
+        n_hit.cast("bigint").alias("n_overlap"),
+        F.round(n_hit / F.lit(float(MRL_TOP_K)), 6).alias("recall_at_k"),
+    )

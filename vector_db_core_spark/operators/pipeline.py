@@ -2670,3 +2670,112 @@ def pipeline_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(None).cast("bigint").alias("pad_tokens"),
     )
     return placed.unionByName(overflow)
+
+
+CONTAM_SPAN_W = 8
+
+_CONTAM_SQL = rf"""
+WITH t AS (SELECT doc_id, source,
+                  COALESCE(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f',
+                           FALSE) AS is_test,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                    AS toks
+           FROM documents),
+sp AS (SELECT doc_id, source, is_test,
+              unnest(list_distinct(list_transform(
+                  generate_series(1, len(toks) - {CONTAM_SPAN_W - 1}),
+                  i -> array_to_string(toks[i:i+{CONTAM_SPAN_W - 1}], ' '))))
+                AS span
+       FROM t WHERE len(toks) >= {CONTAM_SPAN_W}),
+train AS (SELECT DISTINCT span FROM sp WHERE NOT is_test),
+x AS (SELECT s.doc_id, s.source, s.span,
+             CASE WHEN tr.span IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM sp s LEFT JOIN train tr ON tr.span = s.span
+      WHERE s.is_test)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+       round(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS contamination_rate,
+       SUM(hit) * 5 >= COUNT(*) AS flagged
+FROM x
+GROUP BY doc_id, source
+"""
+
+
+@register("pipeline_contamination_ngram_overlap", oracle=_CONTAM_SQL)
+def pipeline_contamination_ngram_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAIN/TEST CONTAMINATION CHECK — the decontamination read every
+    benchmark-respecting LLM pipeline runs before reporting eval
+    numbers (GPT-3's appendix C n-gram overlap protocol, Brown et al.
+    2020): for each held-out document, what fraction of its verbatim
+    {CONTAM_SPAN_W}-token spans also appears ANYWHERE in the training
+    split? The split is the deterministic md5(doc_id) nibble rule
+    (nibble == 'f': ~1/16 held out — the embedding-drift device), the
+    spans are the ``dedup_span_pairs`` window contract, and a test
+    doc is flagged when >= 20% of its spans leak (spelled as the
+    integer cross-multiplication ``hits * 5 >= n`` so the threshold
+    never touches a float).
+
+    Exactness: span sets and hit counts are exact integers over the
+    shared token contract; the per-doc rate is one double division +
+    round(6); the flag is integer arithmetic.
+
+    Plan/scale: the train span vocabulary is a DISTINCT (one shuffle
+    keyed on span — the span-dedup shape, hash-distributed); the test
+    side (a ~1/16 sample) LEFT-joins it on span — at 100 TB the join
+    is the standard hash join on the span key with the test side
+    orders of magnitude smaller, and the span strings would swap to
+    xxhash64 to shrink the shuffle (kept as strings so DuckDB mirrors
+    the query, the dedup_span_pairs note). No all-pairs anything:
+    contamination is a containment question, not a similarity one."""
+    from vector_db_core_spark.functions.text import tokens
+
+    t = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                == "f"
+            ).alias("is_test"),
+            tokens(F.col("text")).alias("toks"),
+        )
+        .where(F.size("toks") >= CONTAM_SPAN_W)
+    )
+    sp = t.select(
+        "doc_id",
+        "source",
+        "is_test",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (CONTAM_SPAN_W - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i, CONTAM_SPAN_W)
+                    ),
+                )
+            )
+        ).alias("span"),
+    )
+    train = sp.where(~F.col("is_test")).select("span").distinct()
+    hit = F.when(F.col("tr_span").isNotNull(), 1).otherwise(0)
+    x = (
+        sp.where(F.col("is_test"))
+        .join(
+            train.select(F.col("span").alias("tr_span")),
+            F.col("span") == F.col("tr_span"),
+            "left",
+        )
+        .select("doc_id", "source", hit.alias("hit"))
+    )
+    return x.groupBy("doc_id", "source").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("hit").cast("bigint").alias("n_contaminated"),
+        F.round(F.sum("hit").cast("double") / F.count("*"), 6).alias(
+            "contamination_rate"
+        ),
+        (F.sum("hit") * 5 >= F.count("*")).alias("flagged"),
+    )
