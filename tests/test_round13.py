@@ -265,3 +265,80 @@ def test_session_gap_bands_conserve_sessions(spark):
     rows = QUERIES["window_session_gaps"](spark, SF_ORACLE).collect()
     assert sum(r.n_gaps for r in rows) == n_sessions - n_users
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+
+
+def test_contamination_against_independent_recompute(spark):
+    """Re-derive the contamination table in DuckDB-free Python sets
+    from raw parquet and require exact per-doc agreement, plus the
+    split-rule sanity: every reported doc is in the md5-'f' held-out
+    split and both branches of the flag are exercised."""
+    import hashlib as _h
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM '{SF_ORACLE}/documents.parquet'"
+    ).fetchall()
+    spans = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split() if t]
+        if len(toks) < 8:
+            continue
+        spans[doc_id] = {
+            " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+        }
+    is_test = {
+        d: _h.md5(str(d).encode()).hexdigest()[0] == "f" for d in spans
+    }
+    train = set()
+    for d, s in spans.items():
+        if not is_test[d]:
+            train |= s
+    got = QUERIES["pipeline_contamination_ngram_overlap"](
+        spark, SF_ORACLE
+    ).collect()
+    assert {r.doc_id for r in got} == {d for d in spans if is_test[d]}
+    flags = set()
+    for r in got:
+        s = spans[r.doc_id]
+        hits = sum(1 for sp in s if sp in train)
+        assert (r.n_spans, r.n_contaminated) == (len(s), hits), r.doc_id
+        assert r.flagged == (hits * 5 >= len(s)), r.doc_id
+        flags.add(bool(r.flagged))
+    assert flags == {True, False}, "fixture must exercise both flag branches"
+
+
+def test_matryoshka_recall_structure(spark):
+    """The full-width row must read recall 1.0; recall is weakly
+    monotone in prefix width on this fixture's smooth embeddings; and
+    every recall is n_overlap/10 exactly."""
+    rows = {
+        r.prefix_dim: r
+        for r in QUERIES["sim_matryoshka_prefix_recall"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert set(rows) == {8, 16, 32, 64}
+    assert rows[64].n_overlap == 10 and rows[64].recall_at_k == 1.0
+    for d, r in rows.items():
+        assert 0 <= r.n_overlap <= 10
+        assert abs(r.recall_at_k - r.n_overlap / 10.0) < 1e-9
+    assert rows[32].n_overlap >= rows[8].n_overlap
+
+
+def test_cohens_kappa_identity(spark):
+    """kappa recomputed from the emitted 2x2 must match the emitted
+    kappa; cells must conserve the corpus; agreement must exceed
+    chance or the sign must say otherwise consistently."""
+    con = duckdb.connect()
+    (n_docs,) = con.sql(
+        f"SELECT COUNT(*) FROM '{SF_ORACLE}/documents.parquet'"
+    ).fetchall()[0]
+    (r,) = QUERIES["agg_cohens_kappa"](spark, SF_ORACLE).collect()
+    a, b, c, d, n = r.both_pass, r.a_only, r.b_only, r.neither, r.n
+    assert a + b + c + d == n == n_docs
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    assert abs(r.po - round(po, 6)) < 1e-9
+    assert abs(r.pe - round(pe, 6)) < 1e-9
+    assert abs(r.cohens_kappa - round((po - pe) / (1 - pe), 6)) < 1e-9
+    assert -1.0 <= r.cohens_kappa <= 1.0
