@@ -231,6 +231,11 @@ HEADLINE = [
     "sim_random_projection_energy",
     # the bridge fixpoint builds eagerly -> HEADLINE_INCLUSIVE
     "graph_bridge_edges",
+    # round-13 wave 4: eval hygiene + adaptive retrieval
+    "pipeline_contamination_ngram_overlap",
+    "sim_matryoshka_prefix_recall",
+    "agg_cohens_kappa",
+    "quality_uniqueness_approx",
 ]
 
 # NOTE (round 10, r9 verdict task 7): `pipeline_nb_language_filter`

@@ -7443,14 +7443,18 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distance, vec_id), a total order, so top-k membership is
     engine-stable; recall is one double division + round(6).
 
-    Plan/scale: four map-side distance scans each closed by
-    ``orderBy().limit({MRL_TOP_K})`` — Spark plans
-    TakeOrderedAndProject, the distributed two-phase top-k (per-
-    partition heads, then a {MRL_TOP_K}-row merge on one reducer) —
-    vectors never shuffle; the overlap join runs on 4x{MRL_TOP_K}
-    rows against the broadcast full-width truth. The oracle spells
-    the same rankings as window functions (single-threaded is fine
-    oracle-side)."""
+    Plan/scale: ONE map-side scan computes all four prefix distances
+    — each dimension's product appears in exactly one SEGMENT sum and
+    wider prefixes chain on the narrower column (64 products total;
+    a first cut restated every prefix from scratch — 120 products in
+    four separate scans — and its ladder showed a compile-dominated
+    ~19 s constant); the tiny (vec_id, d8..d64) frame persists and
+    each width closes with ``orderBy().limit({MRL_TOP_K})`` —
+    TakeOrderedAndProject, the distributed two-phase top-k — so
+    vectors are scanned once and never shuffle; the overlap join runs
+    on 4x{MRL_TOP_K} rows against the broadcast full-width truth. The
+    oracle spells the same rankings as window functions
+    (single-threaded is fine oracle-side)."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -7461,19 +7465,33 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = e.where(F.col("vec_id") == 0).select(F.col("m").alias("qm"))
     base = e.where(F.col("vec_id") != 0).join(F.broadcast(qrow))
 
-    def dist(d: int):
+    def seg(lo: int, hi: int):
+        # term sum over dims (lo, hi] — each dim's product appears in
+        # exactly ONE segment; wider prefixes CHAIN on the narrower
+        # column instead of restating it (64 products total, not 120,
+        # and the per-column expression stays far from codegen limits)
         s = None
-        for i in range(1, d + 1):
+        for i in range(lo + 1, hi + 1):
             t = (F.element_at("m", i) - F.element_at("qm", i)) * (
                 F.element_at("m", i) - F.element_at("qm", i)
             )
             s = t if s is None else s + t
-        return s.cast("bigint")
+        return s
 
+    dists = base.select("vec_id", "m", "qm", seg(0, 8).alias("d8"))
+    prev = 8
+    for d in MRL_PREFIX_DIMS[1:]:
+        dists = dists.select(
+            "*", (F.col(f"d{prev}") + seg(prev, d)).alias(f"d{d}")
+        )
+        prev = d
+    dists = dists.select(
+        "vec_id", *[F.col(f"d{d}").cast("bigint").alias(f"d{d}") for d in MRL_PREFIX_DIMS]
+    ).persist()
     tops = {}
     for d in MRL_PREFIX_DIMS:
         tops[d] = (
-            base.select("vec_id", dist(d).alias("dd"))
+            dists.select("vec_id", F.col(f"d{d}").alias("dd"))
             .orderBy("dd", "vec_id")
             .limit(MRL_TOP_K)
             .select("vec_id")
