@@ -342,3 +342,22 @@ def test_cohens_kappa_identity(spark):
     assert abs(r.pe - round(pe, 6)) < 1e-9
     assert abs(r.cohens_kappa - round((po - pe) / (1 - pe), 6)) < 1e-9
     assert -1.0 <= r.cohens_kappa <= 1.0
+
+
+def test_streaming_contamination_matches_batch(spark):
+    """The streaming guard must be row-identical to the batch
+    contamination op — the third maintained-state twin beside the
+    BM25 and IVF replays, so replay-equality is the contract."""
+    batch = sorted(
+        tuple(r)
+        for r in QUERIES["pipeline_contamination_ngram_overlap"](
+            spark, SF_ORACLE
+        ).collect()
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in QUERIES["streaming_contamination_guard_replay"](
+            spark, SF_ORACLE
+        ).collect()
+    )
+    assert streamed == batch and len(batch) > 0

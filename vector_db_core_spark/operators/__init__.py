@@ -58,7 +58,8 @@ from vector_db_core_spark.operators.registry import ORACLE, QUERIES
 #: streaming_topk_hashtags_replay, multimodal_exif_orientation_norm,
 #: agg_log_odds_monroe, pipeline_token_budget_packing,
 #: quality_uniqueness_approx, pipeline_contamination_ngram_overlap,
-#: sim_matryoshka_prefix_recall, agg_cohens_kappa
+#: sim_matryoshka_prefix_recall, agg_cohens_kappa,
+#: streaming_contamination_guard_replay
 #: — plus whatever the r13 driver leaves unsampled.
 #: Fixture drift is covered by tests/test_fixture_schema.py; everything
 #: outside the window stays green in the local pytest oracle replica

@@ -1249,3 +1249,134 @@ def streaming_topk_hashtags_replay(spark: SparkSession, sf_dir: str) -> DataFram
         state.select(rk.cast("bigint").alias("rank"), "tag", "n")
         .where(F.col("rank") <= TAG_TOP_K)
     )
+
+
+def _contam_stream_oracle() -> str:
+    from vector_db_core_spark.operators.pipeline import _CONTAM_SQL
+
+    return _CONTAM_SQL
+
+
+@register("streaming_contamination_guard_replay", oracle=_contam_stream_oracle())
+def streaming_contamination_guard_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTAMINATION GUARD AT INGESTION — the streaming twin of
+    ``pipeline_contamination_ngram_overlap`` and the deployment shape
+    a benchmark-respecting pipeline actually runs: the training span
+    vocabulary is a STATIC reference table; candidate eval documents
+    ARRIVE (here the held-out md5-'f' split lands as 4 files consumed
+    one per trigger), each arriving doc's spans stream-static
+    LEFT-join the train set, and per-doc hit counts are maintained as
+    update-mode state. The final report reads the drained state
+    through the identical flag arithmetic and carries the batch op's
+    DuckDB oracle VERBATIM.
+
+    Replay-deterministic: per-(doc, span) hits are stateless facts
+    (the static side never changes mid-replay) and the per-doc
+    aggregation is arrival-order independent; update-mode
+    re-emissions fold by max-per-key (counts are monotone per doc —
+    the streaming-BM25 finisher discipline).
+
+    Plan/scale: the static train-span DISTINCT is computed once and
+    the stream side joins it per micro-batch (stream-static hash
+    join on the span key — Spark's supported unbounded-stream shape,
+    no watermark needed because the static side is a table, not a
+    stream); streaming state is one row per ARRIVING doc (eval sets
+    are small by definition — state is candidate-sized, not
+    corpus-sized). The measured caveat: Spark's stream-static join
+    RE-EXCHANGES the static plan every trigger, so the span table
+    shuffles once per micro-batch (persisting it removes the
+    recompute, not the exchange — 36 -> 11.7 s at ~sf1). At 100 TB
+    the span table is the bucketed ARTIFACT the batch
+    decontamination pass already writes — a storage-partitioned join
+    on the span key moves only the arriving batch's spans — and at
+    eval-set rates a bloom pre-filter on the static side is the
+    cheaper guard."""
+    from vector_db_core_spark.functions.text import tokens
+    from vector_db_core_spark.operators.pipeline import CONTAM_SPAN_W, _docs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "f"
+        ).alias("is_test"),
+        tokens(F.col("text")).alias("toks"),
+    ).where(F.size("toks") >= CONTAM_SPAN_W)
+
+    def spans(df):
+        return df.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size("toks") - (CONTAM_SPAN_W - 1)
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("toks"), i, CONTAM_SPAN_W)
+                        ),
+                    )
+                )
+            ).alias("span"),
+        )
+
+    # persist the STATIC side: a stream-static join re-evaluates the
+    # static plan per micro-batch — uncached, the train-span DISTINCT
+    # ran once per trigger (measured 36 s at ~sf1 for a 9.5 s batch
+    # op; cached it is computed once and every batch hits memory)
+    train = (
+        spans(docs.where(~F.col("is_test")))
+        .select(F.col("span").alias("tr_span"))
+        .distinct()
+        .persist()
+    )
+
+    key = f"contam_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    root = os.path.join(_REPLAY_ROOT, key)
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    test_docs = docs.where(F.col("is_test")).select(
+        "doc_id", "source", "toks"
+    )
+    test_docs.repartition(4).write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema(test_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    hit = F.when(F.col("tr_span").isNotNull(), 1).otherwise(0)
+    per_doc = (
+        spans(stream)
+        .join(train, F.col("span") == F.col("tr_span"), "left")
+        .select("doc_id", "source", hit.alias("hit"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("hit").alias("n_hits"),
+        )
+    )
+    try:
+        _run_to_memory(per_doc, "stream_replay_contam", root, "update")
+    finally:
+        train.unpersist()
+    state = (
+        spark.table("stream_replay_contam")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.max("n_spans").cast("bigint").alias("n_spans"),
+            F.max("n_hits").cast("bigint").alias("n_contaminated"),
+        )
+    )
+    return state.select(
+        "doc_id",
+        "source",
+        "n_spans",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_spans"), 6
+        ).alias("contamination_rate"),
+        (F.col("n_contaminated") * 5 >= F.col("n_spans")).alias("flagged"),
+    )
