@@ -1777,14 +1777,26 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = 1_000_000_000_000
     # distinct directed pairs == both orientations of the canonical
     # u < v list — served from the session-shared scratch table, so
-    # the 8-iteration loop never pays the basket self-join
+    # the 8-iteration loop never pays the basket self-join.
+    #
+    # r14 loop-shape rework (guide §2.4 — establish the partitioning
+    # once): outdeg is STATIC, so it is pre-joined into the edge rows
+    # and the (src, dst, d) table cached HASH-PARTITIONED ON src at a
+    # pinned width. Every downstream keying then lines up: nodes
+    # derives from the cached edges with no exchange (node == src),
+    # ranks inherit nodes' (node) partitioning through the left join,
+    # and the per-iteration edges⋈ranks join is co-partitioned on
+    # both sides. The only per-iteration exchange left is the
+    # map-side-combined groupBy(dst) — the old loop re-shuffled the
+    # 2|E| edge rows AND re-joined outdeg every iteration (5
+    # exchanges/iter in the executed plan; see plans/r14/).
     und = _co_purchase_edges_table(spark, sf_dir)
-    edges = (
-        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .persist()
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
+    outdeg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = sym.join(outdeg, "src").repartition(width, "src").persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     n = nodes.count()  # bounded scalar (node count), same as the float op
     teleport = (15 * (scale // n)) // 100
@@ -1793,7 +1805,6 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(8):
         contribs = (
             edges.join(ranks, F.col("node") == F.col("src"))
-            .join(outdeg, "src")
             .select("dst", F.expr("r div d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
@@ -1817,7 +1828,6 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final ranks are materialized: the static graph caches are no
     # longer needed (re-derivable from parquet on eviction)
     edges.unpersist()
-    outdeg.unpersist()
     nodes.unpersist()
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
@@ -2643,34 +2653,33 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             trajectory.append((rnd, k) + trajectory[-1][2:])
             continue
         d = deg0 if rnd == 1 else _degrees(cur)
-        keep = d.where(F.col("dg") >= F.lit(k)).select("node").persist()
-        # TWO actions per round, DELIBERATELY (the r11-task-6 fold was
-        # tried and reverted on measurement): keep.count() is not a
-        # wasted job — it is the cache materialization. Folding both
-        # counts into one action (a cross-joined aggregate pair, or an
-        # Observation) puts THREE consumers of the un-materialized
-        # keep into one job — the count subtree plus two semi-join
-        # broadcast builds — which race the cache under AQE and
-        # recompute the round's degree aggregate up to 3x: the bench
-        # row went 21.9 s -> ~34 s folded, back on revert. With the
-        # count first, the expensive aggregate runs exactly once and
-        # nxt's two probes read the cache (the _degrees call-count
-        # pytest pins the once-per-live-round invariant).
+        # localCheckpoint, not persist (r14): each round's LOGICAL plan
+        # references the previous round's ~5x (the join probe + twice
+        # inside each keep's degree union), so with plain persist the
+        # ANALYZED tree grows 5^round — physical execution reads the
+        # cache, but every action's SQL-execution-start event renders
+        # the analyzed plan to a string, and by round 4 the DRIVER
+        # burned minutes in TreeNode.generateTreeString with all 32
+        # executor threads idle (jstack-verified; the probe measured
+        # 160 s for round 4's count over an EMPTY edge set).
+        # localCheckpoint truncates lineage to the materialized blocks,
+        # so every round's plan stays scan-shaped. Two actions per
+        # round stays DELIBERATE (the r11-task-6 fold was measured
+        # slower): the count IS the checkpoint materialization, and
+        # nxt's two semi-join probes then read the stored blocks.
+        keep = d.where(F.col("dg") >= F.lit(k)).select("node").localCheckpoint(eager=False)
         n_nodes = keep.count()
         nxt = (
             cur.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
-            .persist()
+            .localCheckpoint(eager=False)
         )
         n_edges = nxt.count()
-        cur.unpersist()
-        keep.unpersist()
         if rnd == 1:
-            deg0.unpersist()
+            cur.unpersist()  # edges0's cache; checkpointed rounds are
+            deg0.unpersist()  # reaped by the ContextCleaner on GC
         cur = nxt
         trajectory.append((rnd, k, n_nodes, n_edges))
-    deg0.unpersist()
-    cur.unpersist()
     return spark.createDataFrame(
         trajectory, schema="round INT, k DOUBLE, n_nodes LONG, n_edges LONG"
     )
@@ -2876,9 +2885,16 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternation (Kiveris et al. 2014) bounds rounds at O(log n) with
     the same per-round join shape."""
     edges = _co_purchase_edges(spark, sf_dir)
+    # r14: cache the symmetrized edges HASH-PARTITIONED ON src at a
+    # pinned width (the PageRank loop-shape rework) — the per-round
+    # lbl⋈ed join then keeps the 2|E| edge side in place and only the
+    # |V|-row label frame moves; the old unpartitioned cache
+    # re-shuffled the edge list every round.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ed = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition(width, "src")
         .persist()
     )
     lbl = (
@@ -2888,18 +2904,26 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     prev_sum = lbl.agg(F.sum("comp").alias("s")).collect()[0].s
+    first_lbl = lbl
     for _ in range(CC_ROUNDS):  # the oracle's exact round budget
         msgs = lbl.join(ed, lbl.node == ed.src).select(
             F.col("dst").alias("node"), "comp"
         )
+        # localCheckpoint, not persist (r14, the k-core lesson): each
+        # round references lbl twice (the union arm + the join probe),
+        # so plain persist grows the ANALYZED plan 2^round and the
+        # per-round action pays plan-string rendering on the driver;
+        # checkpointing keeps every round's plan scan-shaped. The sum
+        # collect is the materializing action.
         nxt = (
             lbl.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
         cur_sum = nxt.agg(F.sum("comp").alias("s")).collect()[0].s
-        lbl.unpersist()
+        if lbl is first_lbl:
+            lbl.unpersist()
         lbl = nxt
         if cur_sum == prev_sum:  # monotone: equal sum == fixpoint
             break

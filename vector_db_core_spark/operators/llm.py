@@ -4781,10 +4781,17 @@ def sim_pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     exploding to ~corpus/4096·d² ≈ 1× corpus rows straight into a
     map-side-combined (label, i, j) cell aggregate. Grouping is
     arbitrary-safe: integer addition is exact and commutative, so any
-    micro-group assignment yields the identical cells. The reduced
-    |labels|·d² cm table is PERSISTED; each of the 8 iterations is a
-    matrix-vector join + groupBy on tables of that size (independent
-    of corpus size), with the per-label max as one shared window."""
+    micro-group assignment yields the identical cells. The partials
+    then reduce to ONE d×d MATRIX PER LABEL inside a single Arrow
+    kernel that runs all 8 mat-vec iterations in exact int64 numpy —
+    the r14 rewrite: the first cut kept cm as a |labels|·d² CELL
+    TABLE and paid a join + groupBy + window PER ITERATION (~24
+    exchanges of a corpus-independent frame; measured 10.4 s at sf0.1
+    with the mat-vec loop dominating), where the per-label matrix was
+    always bounded (d² cells, independent of corpus size) — the
+    distributed iteration bought nothing. Same integer recurrence
+    (divisions as sign·(|a| div m), trunc toward zero — matching
+    Spark `div`/DuckDB `//`), same oracle, hashes unchanged."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn(
@@ -4833,46 +4840,56 @@ def sim_pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("ps"),
         )
     )
-    cm = (
-        p2.select("label", "d", F.posexplode("ps").alias("k", "s"))
-        .select(
-            "label",
-            F.expr("k div d").alias("i"),
-            F.expr("k % d").alias("j"),
-            "s",
+    # Per-label finish in ONE Arrow kernel (the r13 PQ-family pattern):
+    # sum the g2 partial arrays cell-wise, quantize (sum div 1e6 —
+    # trunc toward zero), then run all 8 mat-vec iterations in int64
+    # numpy. The first r14 cut kept the loop as higher-order-function
+    # column algebra, but Catalyst's CollapseProject inlines each
+    # iteration's once-referenced v_t into the next iteration's lambda
+    # (interpreted HOFs do no CSE, and explicit repartition barriers
+    # are themselves optimized away as redundant), nesting the 8
+    # steps into one ~850 KB expression whose cost multiplies by d per
+    # level — measured runaway, killed at 4 min. The kernel crosses
+    # the Python boundary once with |labels| rows of d² longs
+    # (corpus-independent), every op exact int64 (matmul products
+    # bounded in BIGINT per the oracle's argument; divisions
+    # implemented as sign·(|a| div m) — trunc toward zero, matching
+    # Spark `div` and DuckDB `//`).
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("label", p2.schema["label"].dataType),
+            StructField("dim", IntegerType()),
+            StructField("loading_micro", LongType()),
+        ]
+    )
+
+    def power_iter(pdf):
+        import numpy as np
+        import pandas as pd
+
+        d = int(pdf["d"].iloc[0])
+        tot = np.zeros(d * d, dtype=np.int64)
+        for ps in pdf["ps"]:
+            tot += np.asarray(ps, dtype=np.int64)
+        cm = (np.sign(tot) * (np.abs(tot) // 1_000_000)).reshape(d, d)
+        v = np.full(d, 1_000_000, dtype=np.int64)
+        for _ in range(8):
+            raw = cm @ v
+            m = int(np.abs(raw).max()) // 1_000_000 + 1
+            v = np.sign(raw) * (np.abs(raw) // m)
+        best = int(np.argmax(np.abs(v)))  # first max == lowest dim on ties
+        s = -1 if v[best] < 0 else 1
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(d, dtype=np.int32),
+                "loading_micro": v * s,
+            }
         )
-        .groupBy("label", "i", "j")
-        .agg(F.expr("sum(s) div 1000000").alias("cij"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    v = cm.select("label", "j").distinct().withColumn(
-        "v", F.lit(1_000_000).cast("long")
-    )
-    lbl = W.partitionBy("label")
-    for _ in range(8):
-        raw = (
-            cm.join(v, ["label", "j"])
-            .groupBy("label", "i")
-            .agg(F.sum(F.expr("cij * v")).alias("raw"))
-        )
-        v = raw.select(
-            "label",
-            F.col("i").alias("j"),
-            F.expr(
-                "raw div ((max(abs(raw)) OVER (PARTITION BY label) div 1000000) + 1)"
-            ).alias("v"),
-        )
-    picked = v.withColumn(
-        "rn", F.row_number().over(lbl.orderBy(F.abs("v").desc(), "j"))
-    )
-    sgn = picked.where(F.col("rn") == 1).select(
-        "label", F.when(F.col("v") < 0, -1).otherwise(1).alias("s")
-    )
-    return v.join(sgn, "label").select(
-        "label",
-        F.col("j").cast("int").alias("dim"),
-        (F.col("v") * F.col("s")).alias("loading_micro"),
-    )
+
+    return p2.groupBy("label").applyInPandas(power_iter, out_schema)
 
 
 _MINHASH_MD5_SQL = f"""
@@ -7278,12 +7295,19 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         prev = labels.agg(F.sum("label")).collect()[0][0]
+        first_labels = labels
         for _ in range(30):  # sanity cap >> any dedup component diameter
             nbr = (
                 sym.join(labels, sym.v == labels.node)
                 .groupBy("u")
                 .agg(F.min("label").alias("nbr_min"))
             )
+            # localCheckpoint, not persist (r14, the k-core lesson):
+            # each round references labels twice (join probe + the
+            # left-join spine), so plain persist grows the ANALYZED
+            # plan 2^round and every round's sum-collect pays
+            # plan-string rendering on the driver. Checkpointing
+            # keeps each round's plan scan-shaped.
             new_labels = (
                 labels.join(nbr, labels.node == nbr.u, "left")
                 .select(
@@ -7294,10 +7318,11 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("label"),
                 )
                 .repartition(8, "node")
-                .persist()
+                .localCheckpoint(eager=False)
             )
             cur = new_labels.agg(F.sum("label")).collect()[0][0]
-            labels.unpersist()
+            if labels is first_labels:
+                labels.unpersist()
             labels = new_labels
             if cur == prev:  # min-propagation is monotone: fixpoint
                 break
@@ -7373,9 +7398,12 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = edges_labeled.groupBy("comp").applyInPandas(
             bridges_of_component, schema
         )
-        out = spark.createDataFrame(
-            out.collect(), out.schema
-        )  # duplication-bounded; break lineage before unpersist
+        # localCheckpoint, not collect+createDataFrame (r14, the r13
+        # verdict's shape nit): the lineage break must not transit the
+        # driver — at 100 TB the bridge list is the review QUEUE and
+        # can be millions of rows. Eager: materialize before the
+        # finally block unpersists the frames this plan reads.
+        out = out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         labels.unpersist()
