@@ -1801,7 +1801,6 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()  # bounded scalar (node count), same as the float op
     teleport = (15 * (scale // n)) // 100
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
-    prev_ck = None
     for i in range(8):
         contribs = (
             edges.join(ranks, F.col("node") == F.col("src"))
@@ -1820,11 +1819,14 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if i % 3 == 2 or i == 7:
-            ranks = ranks.persist()
+            # localCheckpoint, not persist (r14): persist keeps the
+            # full analyzed lineage, so each checkpoint's count action
+            # re-renders the whole iteration chain's plan string
+            # driver-side; the checkpoint truncates it to the stored
+            # blocks (and carries the (node) partitioning forward for
+            # the next iteration's co-partitioned join)
+            ranks = ranks.localCheckpoint(eager=False)
             ranks.count()
-            if prev_ck is not None:
-                prev_ck.unpersist()
-            prev_ck = ranks
     # final ranks are materialized: the static graph caches are no
     # longer needed (re-derivable from parquet on eviction)
     edges.unpersist()
