@@ -2036,28 +2036,35 @@ def _co_purchase_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-shot builder for the canonical WEIGHTED co-purchase edge
     list from 2-20 item baskets: one row per unordered part pair
     (u < v), ``w`` = number of distinct orders containing both.
-    Catalyst pushes the basket-size LeftSemi below the pairwise
-    self-join (plan verified in the r8 judge session), so oversized
-    baskets never pair. The groupBy count replaces the old
-    ``.distinct()`` — same shuffle, same row count, and the weight
-    comes for free (the float-PageRank consumer needs it)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.distinct()
-    bk = (
-        op.groupBy("l_orderkey")
-        .agg(F.count("*").alias("sz"))
-        .where(F.col("sz").between(2, 20))
-        .select("l_orderkey")
+
+    r14 rewrite to the ``assoc_part_pairs_in_orders`` construction:
+    the basket is assembled ONCE per order (collect_set — distinct
+    parts, bounded state), the size cap applies to the array, and the
+    k·(k−1)/2 ordered pairs are generated inside codegen by an
+    indexed transform over the sorted array — TWO shuffles (basket
+    build, pair count) and ZERO joins, where the old distinct +
+    self-join + LeftSemi form paid four exchanges over the raw line
+    items (measured 3-4 s -> see BASELINE.md r14; same (u, v, w)
+    rows, sorting makes u < v by construction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts").between(2, 20))
     )
-    a = op.alias("a")
-    b = op.alias("b")
-    return (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .join(bk, "l_orderkey", "left_semi")
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    pair_arrays = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice("parts", i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
+    )
+    return (
+        baskets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
         .agg(F.count("*").alias("w"))
     )
 
@@ -2128,6 +2135,15 @@ def _oriented_triangles(edges):
     lo_first = (F.col("dg_u") < F.col("dg_v")) | (
         (F.col("dg_u") == F.col("dg_v")) & (F.col("u") < F.col("v"))
     )
+    # r14: cache the oriented edges HASH-PARTITIONED ON src so the
+    # wedge self-join is co-partitioned (zero exchanges on either
+    # side — the old unpartitioned cache shuffled the edge list for
+    # both join arms), and project the wedge stream down to its three
+    # node ids BEFORE the closing semi-join's exchange — the degree
+    # fields ride only to the wedge filter, never across the wide
+    # O(E^1.5) shuffle (guide §2.3: project before the exchange).
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     o = (
         edges.join(du, "u")
         .join(dv, "v")
@@ -2137,6 +2153,7 @@ def _oriented_triangles(edges):
                 F.struct(F.col("dg_u").alias("dg_v"), F.col("u").alias("v"))
             ).alias("dst"),
         )
+        .repartition(width, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1 = o.select("src", F.col("dst").alias("b"))
@@ -2145,16 +2162,17 @@ def _oriented_triangles(edges):
     tri = (
         e1.join(e2, "src")
         .where(F.col("b") < F.col("c"))  # struct (deg, id) order: one wedge per pair
-        .join(
-            e3,
-            (F.col("b.v") == F.col("b_node")) & (F.col("c.v") == F.col("c_node")),
-            "left_semi",
-        )
         .select(
             F.col("src").alias("u"),
-            F.col("b.v").alias("v"),
-            F.col("c.v").alias("w"),
+            F.col("b.v").alias("bv"),
+            F.col("c.v").alias("cv"),
         )
+        .join(
+            e3,
+            (F.col("bv") == F.col("b_node")) & (F.col("cv") == F.col("c_node")),
+            "left_semi",
+        )
+        .select("u", F.col("bv").alias("v"), F.col("cv").alias("w"))
     )
     return deg0, tri
 

@@ -6454,6 +6454,11 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("yv"),
         )
         .select("xv", "yv")
+        # persisted (r14): BOTH histograms and the final moment join
+        # read this per-order reduction — unpersisted, the lineitem
+        # scan + aggregate ran three times in the executed plan.
+        # Released by the registry-wide clearCache contract.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # item-count side: grid-sized histogram (basket sizes)
     hx = x.groupBy("xv").agg(F.count("*").alias("c"))

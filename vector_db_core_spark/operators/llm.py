@@ -3976,15 +3976,20 @@ def text_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin-heavy data. Curation uses it as "drop/trim docs whose
     dup_fraction exceeds tau" (the Lee et al. policy at corpus scale).
 
-    Plan: one corpus scan explodes per-doc DISTINCT spans; span doc-
-    frequency is a map-side-combined groupBy over the span key; one
-    spans-to-df join (AQE-sized — df has one row per distinct span)
-    feeds the per-doc count aggregate. Two shuffles keyed on span,
-    one on doc_id; no pair join anywhere. At 100 TB the span string
-    key swaps for ``xxhash64(span)`` exactly as
-    ``dedup_span_pairs_hashed`` prescribes (string keys here keep the
-    integer counts DuckDB-exact under the hash gate). Counts are
-    integers; dup_fraction is one int/int double division — exact."""
+    Plan: ONE corpus scan explodes per-doc DISTINCT spans; the span
+    doc-frequency rides a window count over the span partitioning
+    (the ``dedup_span_pairs`` count-gate shape, r14): one exchange of
+    the generated span stream + a partition-local sort, then the
+    per-doc aggregate — where the r13 groupBy-then-join form
+    BROADCAST the df aggregate and therefore scanned, tokenized and
+    span-generated the corpus TWICE (two Generate subtrees over
+    documents.parquet in the executed plan; the span generation is
+    the query's dominant cost). Two shuffles total (span, doc_id); no
+    pair join anywhere. At 100 TB the span string key swaps for
+    ``xxhash64(span)`` exactly as ``dedup_span_pairs_hashed``
+    prescribes (string keys here keep the integer counts DuckDB-exact
+    under the hash gate). Counts are integers; dup_fraction is one
+    int/int double division — exact."""
     t = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", tokens(F.col("text")).alias("toks"))
@@ -4001,10 +4006,10 @@ def text_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("span"),
     )
-    df = spans.groupBy("span").agg(F.count("*").cast("int").alias("span_df"))
+    span_df = F.count("*").over(W.partitionBy("span"))
     dup = (F.col("span_df") > 1).cast("long")
     return (
-        spans.join(df, "span")
+        spans.withColumn("span_df", span_df)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
@@ -6924,10 +6929,11 @@ def text_keyword_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(distinct_tokens("text")).alias("token")
     )
     dfc = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
-    rk = F.row_number().over(W.orderBy(F.col("df").desc(), F.col("token")))
-    top = dfc.select("token", "df", rk.alias("rk")).where(
-        F.col("rk") <= COOCC_VOCAB_K
-    )
+    # top-k by (df DESC, token) via TakeOrderedAndProject (r14): the
+    # old row_number window sorted the whole vocabulary in ONE task;
+    # orderBy+limit computes per-partition partial top-k in parallel
+    # and merges K rows — same deterministic set, total order
+    top = dfc.orderBy(F.col("df").desc(), "token").limit(COOCC_VOCAB_K)
     inc = toks.join(F.broadcast(top.select("token")), "token")
     arr = inc.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("token")).alias("ts")
