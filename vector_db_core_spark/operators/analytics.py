@@ -3332,10 +3332,29 @@ def graph_link_prediction_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over ≤|seeds|·|nodes| reduced rows, partitioned on the
     seed key."""
     edges = _co_purchase_edges(spark, sf_dir)
-    adj = edges.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
-        edges.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    # r14: ONE scan of the edge scratch builds both adjacency
+    # directions via a 2-element explode (the union form scanned the
+    # parquet twice per reference), and the degree table — which THREE
+    # join arms consume (dw, du, dv) — is computed once and persisted
+    # (tiny: one row per node). Unpersisted, the executed plan cloned
+    # the union + two-exchange degree aggregate per consumer: 22
+    # parquet scans, 20 exchanges -> 4 scans, ~8 exchanges. Released
+    # by the registry-wide clearCache contract.
+    from pyspark import StorageLevel
+
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("w"), F.col("v").alias("n")),
+                F.struct(F.col("v").alias("w"), F.col("u").alias("n")),
+            )
+        ).alias("e")
+    ).select("e.w", "e.n")
+    deg = (
+        adj.groupBy(F.col("w").alias("node"))
+        .agg(F.count("*").alias("dg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = _degrees(edges)
     a = adj.where(F.col("n") <= LINK_SEED_MAX_KEY).alias("a")
     b = adj.alias("b")
     dw = deg.select(F.col("node").alias("w"), F.col("dg").alias("dg_w"))
@@ -3343,7 +3362,7 @@ def graph_link_prediction_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(27,15)"
     )
     cn = (
-        a.join(b, "w")
+        F.broadcast(a).join(b, "w")
         .where(F.col("a.n") != F.col("b.n"))
         .join(dw, "w")
         .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
