@@ -5117,12 +5117,22 @@ def sim_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the exact-PCA build. Iteration tables are k rows; nothing
     grows with corpus size except the two linear passes."""
     k = 4
-    x = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(
-            "transform(cast(embedding as array<double>),"
-            " v -> cast(round(v * 1000000.0, 0) as bigint))"
-        ).alias("xm"),
+    # r14: persist the micro-quantized vector table — SEVEN subtrees
+    # consume it (the seed join, each iteration's assign + centroid
+    # re-join, the final assign) and the unpersisted plan re-ran the
+    # scan + per-element quantize transform for every one (14 parquet
+    # scans in the executed plan). Released by the registry-wide
+    # clearCache contract.
+    x = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(cast(embedding as array<double>),"
+                " v -> cast(round(v * 1000000.0, 0) as bigint))"
+            ).alias("xm"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     init = (
         x.select("vec_id")
@@ -5139,17 +5149,25 @@ def sim_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cent = init.join(x, "vec_id").select("cid", F.col("xm").alias("cm"))
-    dist = F.expr(
-        "aggregate(zip_with(xm, cm, (a, b) -> (a - b) * (a - b)),"
-        " cast(0 as bigint), (acc, v) -> acc + v)"
-    )
 
+    # r14: the assignment argmin folds over the k-row centroid table
+    # collapsed to ONE array row — the old crossJoin fanned the corpus
+    # out k× and re-collapsed it with a groupBy(vec_id) EXCHANGE per
+    # assign (three assigns = three corpus shuffles). array_min over
+    # (dist, cid) structs is the same lexicographic argmin (ties to
+    # the lowest cid) evaluated per row with zero fanout and zero
+    # shuffle; only the k-row centroid aggregate moves between stages.
     def assign(c):
+        cs = c.agg(F.collect_list(F.struct("cid", "cm")).alias("cs"))
+        m = F.expr(
+            "array_min(transform(cs, c -> struct("
+            " aggregate(zip_with(xm, c.cm, (a, b) -> (a - b) * (a - b)),"
+            "           cast(0 as bigint), (acc, v) -> acc + v) as dist,"
+            " c.cid as cid)))"
+        )
         return (
-            x.crossJoin(F.broadcast(c))
-            .withColumn("dist", dist)
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            x.crossJoin(F.broadcast(cs))
+            .select("vec_id", m.alias("m"))
             .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
         )
 

@@ -571,17 +571,15 @@ def _minhash_stream_hits(
         F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
     ).select("batch_doc_id", "batch_hs", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     hits = (
-        # r14: BROADCAST both static sides. Unhinted, each microbatch
-        # re-planned these as shuffle joins — the corpus band/verify
-        # tables crossed an exchange once PER TRIGGER (4 triggers here)
-        # while the stream side is a few hundred rows. Broadcasting
-        # makes every batch a map-only pipeline over the arriving file;
-        # the static side reads from the persisted corpus_sets cache.
-        # At 100 TB the band table outgrows a broadcast and the hint
-        # comes off — the join key distribution, not the engine shape,
-        # decides (guide §3.1).
-        banded.join(F.broadcast(corpus_bands), ["band", "key"])  # stream-static
-        .join(F.broadcast(corpus_verify), "corpus_doc_id")  # stream-static
+        # r14 note: a broadcast hint on both static sides was tried and
+        # REVERTED — the captured microbatch physical plan
+        # (plans/r14/streaming_minhash_microbatch_after_r14.txt) shows
+        # Catalyst already plans BroadcastHashJoin for both joins with
+        # or without the hint (the persisted corpus_sets carries exact
+        # cached stats), and an alternating A/B measured equal within
+        # noise (median 7.8 vs 7.9 s under page-cache churn).
+        banded.join(corpus_bands, ["band", "key"])  # stream-static, stateless
+        .join(corpus_verify, "corpus_doc_id")  # stream-static, stateless
         .select(
             "batch_doc_id",
             "corpus_doc_id",
