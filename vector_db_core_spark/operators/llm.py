@@ -6157,6 +6157,11 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one_minus = float(MMR_ONE_MINUS_LAM_TXT)
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # r14: persist the 50-row pool — THREE consumers re-ran the full
+    # corpus cosine + TakeOrdered without it (the a/b pairwise arms and
+    # the relevance collect each re-derived it: three corpus passes).
+    # Bounded by MMR_POOL whatever the corpus; released by the
+    # registry-wide clearCache contract.
     rel = (
         e.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -6167,6 +6172,7 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_POOL)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = rel.select(F.col("vec_id").alias("pa"), F.col("embedding").alias("va"))
     b = rel.select(F.col("vec_id").alias("pb"), F.col("embedding").alias("vb"))
