@@ -1121,3 +1121,40 @@ def test_round10_anova_single_corpus_scan(spark):
         .toString()
     )
     assert plan.count("orders.parquet") == 1, plan.count("orders.parquet")
+
+
+def test_round14_kmeans_assignment_is_centroid_array_fold(spark):
+    """r14: the Lloyd assignment argmin folds over the centroid table
+    collapsed to ONE broadcast array row (array_min over (dist, cid)
+    structs) — the old form fanned the corpus out k-times and
+    re-collapsed it with a groupBy(vec_id) min(struct) exchange per
+    assign. The fold keeps the identical lexicographic tie-break
+    (lowest cid wins) because array_min orders structs field-by-field
+    exactly like the min(struct) aggregate did."""
+    plan = _plan_simple(QUERIES["sim_kmeans_lloyd_exact"](spark, SF_ORACLE))
+    assert "array_min" in plan
+    # the one-row centroid-array crossJoin stays a broadcast NL join
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_round14_link_prediction_degree_table_computed_once(spark):
+    """r14: graph_link_prediction_seeded's degree table is persisted
+    for its three join arms (dw/du/dv) — the unpersisted plan cloned
+    the union+aggregate degree subtree per consumer (22 scans of the
+    edge scratch). The cached table must appear in the plan, and the
+    adjacency must come from ONE exploded scan, not a two-scan union."""
+    plan = _plan_simple(QUERIES["graph_link_prediction_seeded"](spark, SF_ORACLE))
+    assert "InMemoryTableScan" in plan
+
+
+def test_round14_shingle_hashes_no_window_no_exchange(spark):
+    """r14: the shingle-hash builder indexes the carried token array
+    inside codegen (element_at over an exploded position sequence) —
+    the r13 window-lead path paid a corpus-wide (doc_id, pos, token)
+    exchange + sort per consumer. The subplan must stay shuffle-free
+    and window-free; output is multiset-identical by construction."""
+    from vector_db_core_spark.operators.llm import _shingle_hashes, _t
+
+    plan = _plan(_shingle_hashes(_t(spark, SF_ORACLE, "documents")))
+    assert "Window" not in plan
+    assert "Exchange" not in plan

@@ -188,30 +188,43 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
     The fast signature input. Exploding ``_shingle_sets``'s
     expression-built array re-evaluates the interpreted shingle lambda
     inside the Generate per emitted row (measured ~6x the whole
-    signature cost at sf0.1). This path explodes the codegen'd
-    ``split`` instead and rebuilds each shingle from its two
-    lead() neighbors — one narrow (doc_id, pos, token) shuffle for the
-    window, after which hashing is pure codegen. Duplicates are fine
-    for MinHash (min over multiset == min over set); SimHash callers
-    must ``.distinct()`` first.
+    signature cost at sf0.1), and the r13 window-lead path paid a full
+    (doc_id, pos, token) EXCHANGE + SORT to sidestep that. r14: both
+    costs go — explode a POSITION SEQUENCE and rebuild each shingle by
+    indexing the carried token array (``element_at`` is codegen'd and
+    O(1); the Generate carries the array by reference). Zero shuffle,
+    zero interpreted lambda, one corpus scan (alternating A/B on the
+    grouped signature build: min 1.87 -> 1.57 s, med 2.92 -> 2.02 s;
+    output multiset-identical). At 100 TB this removes one corpus-wide
+    shuffle from every MinHash/SimHash consumer (guide §2.1).
+    Duplicates are fine for MinHash (min over multiset == min over
+    set); SimHash callers must ``.distinct()`` first.
     """
-    toks = (
-        docs.select("doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok"))
-        .where(F.col("tok") != "")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    tri = toks.withColumn("t1", F.lead("tok", 1).over(w)).withColumn(
-        "t2", F.lead("tok", 2).over(w)
-    )
-    long_docs = tri.where(F.col("t2").isNotNull()).select(
-        "doc_id", F.xxhash64(F.concat_ws(" ", "tok", "t1", "t2")).alias("_b")
+    t = docs.select("doc_id", tokens("text").alias("_toks"))
+    long_docs = (
+        t.where(F.size("_toks") >= 3)
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - 2)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at("_toks", F.col("i")),
+                    F.element_at("_toks", F.col("i") + 1),
+                    F.element_at("_toks", F.col("i") + 2),
+                )
+            ).alias("_b"),
+        )
     )
     # <3-token documents: single whole-text shingle (same rule as
     # shingles_of_tokens); the filter is codegen'd so this branch costs
     # one cheap scan even when it matches nothing
     short_docs = (
-        docs.select("doc_id", tokens("text").alias("_toks"))
-        .where(F.size("_toks") < 3)
+        t.where(F.size("_toks") < 3)
         .select("doc_id", F.xxhash64(F.array_join("_toks", " ")).alias("_b"))
     )
     return long_docs.unionByName(short_docs)
