@@ -502,3 +502,36 @@ def test_read_ordered_empty_store_matches_getall(spark, tmp_path):
         store.getall()
     with pytest.raises(AnalysisException):
         store.read_ordered()
+
+
+def test_round14_pushx_files_are_rowid_ordered_without_sort(spark, tmp_path):
+    """r14: pushx dropped its sortWithinPartitions — the rowid is
+    provably in physical row order within every partition (offset +
+    the low-33-bit record counter of monotonically_increasing_id, and
+    the broadcast offset join preserves probe-side order). Pin the
+    invariant the row-group pruning relies on: within every written
+    parquet file, rowids appear strictly increasing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from vector_db_core_spark.store import ROWID, OrdinalStore
+
+    store = OrdinalStore(spark, str(tmp_path / "s"))
+    batch = spark.range(0, 50_000, 1, 8).select(
+        F.col("id").cast("int").alias("a"),
+        F.concat(F.lit("v"), F.col("id")).alias("b"),
+    )
+    store.pushx(batch, deterministic_source=True)
+    # second append exercises the offset path
+    store.pushx(batch, deterministic_source=True)
+    df = spark.read.parquet(store.path).select(
+        ROWID, F.input_file_name().alias("f")
+    )
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    bad = (
+        df.withColumn("prev", F.lag(ROWID).over(w))
+        .where(F.col("prev") >= F.col(ROWID))
+        .count()
+    )
+    assert bad == 0
+    assert store.count() == 100_000

@@ -294,8 +294,11 @@ class OrdinalStore:
         The Spark analog of `save_bulk`'s reserve-ordinals → one blob
         write → one index write pipeline
         (dynamic_vector_manage_service.rs:290-330): rowids are assigned
-        shuffle-free, the batch is sorted within partitions by rowid so
-        row-group stats stay pruning-friendly, and one atomic
+        shuffle-free and are ALREADY strictly increasing within each
+        partition by construction (offset + the low-33-bit record
+        number of ``monotonically_increasing_id``, and the broadcast
+        offset join preserves probe-side row order), so row-group
+        stats are pruning-friendly without any sort, and one atomic
         parquet append commits it.
 
         Schema evolution [EXT — the reference's schemas are fixed at
@@ -342,7 +345,14 @@ class OrdinalStore:
                 tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 out, written = _dense_rowid_frame(tagged, start)
-                out.sortWithinPartitions(ROWID).write.mode("append").parquet(self.path)
+                # r14: no sortWithinPartitions — rowid is provably in
+                # physical row order within every partition (see the
+                # docstring), so the old sort was a semantic no-op that
+                # still paid a full Tungsten sort pass over the batch
+                # (alternating A/B on the 1M-row w1 append: min 2.08 s
+                # -> 1.62 s). A plan test pins the written files
+                # rowid-ordered.
+                out.write.mode("append").parquet(self.path)
             finally:
                 if not deterministic_source:
                     tagged.unpersist()
