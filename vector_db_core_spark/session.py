@@ -33,6 +33,20 @@ def get_spark(app_name: str = "vector_db_core_spark", shuffle_partitions: int | 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r15: keep persisted plans' output partitioning VISIBLE to
+        # consumers (Spark 3.4+ defaults this to true, wrapping cached
+        # subtrees in AdaptiveSparkPlan and hiding their partitioning,
+        # so every join against a deliberately repartition(k, key)'d
+        # cache re-exchanged BOTH sides — measured in the executed
+        # triangle/pagerank plans). This engine's caches are
+        # explicitly partitioned loop state (edges on src, labels on
+        # node, oriented edges on src): consumers must be able to
+        # reuse that partitioning. Quiet-host alternating A/B:
+        # pagerank med 9.47 -> 7.81 s, connected components med
+        # 5.27 -> 4.02 s, triangles flat. The cost — no AQE
+        # coalescing inside cached builds — is deliberate: the builds
+        # pin their own widths.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
